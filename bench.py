@@ -1,0 +1,68 @@
+"""Benchmark harness: run the declared queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01": sec, ...}, "sf": <scale factor>}
+
+Execution is forced with a noop-format write (full plan runs, nothing
+is collected to the driver), so timings measure the engine, not result
+transfer. One untimed warmup query amortizes JVM/parquet-reader JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mitoscape_spark.queries import QUERIES
+    from mitoscape_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    def run_once(fn) -> None:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: JIT the parquet reader + codegen paths, untimed
+    try:
+        run_once(QUERIES["q01"])
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            run_once(fn)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-queries wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,61 @@
+"""Table catalog for the synthetic test corpus (TESTDATA.md).
+
+One parquet file per table under an ``sf`` directory. We always load
+through ``spark.read.parquet`` with the file's own schema — explicit,
+no inference pass — so Catalyst's column pruning and predicate pushdown
+reach the parquet scan (check with ``df.explain``: ``ReadSchema`` /
+``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # parquet TIMESTAMP(NANOS) read as long (see session.py); truncate
+        # to µs — the oracle does the same via CAST(ts AS TIMESTAMP), so
+        # both engines compare timestamps at identical precision.
+        # integer DIV, not float /: ns-since-epoch (~1.7e18) exceeds the
+        # double's exact-integer range, float division would corrupt µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so spark.sql can reference it."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,135 @@
+"""Local mirror of the driver's Spark-vs-DuckDB correctness gate.
+
+For each declared query we run the Spark plan and the DuckDB oracle on
+the same parquet tables, then compare row count, column names, and an
+order-insensitive value hash (columns sorted by name, every row
+canonicalized to a string, row-strings sorted, sha256 over the lot).
+The driver does the same; keeping this in-repo gives a fast inner loop
+(`python -m mitoscape_spark.verify --sf /root/testdata/sf0.01`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+from mitoscape_spark.catalog import TABLES, table_path
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    return str(v)
+
+
+def _hash_rows(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "|".join(_canon_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@dataclass
+class CompareResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    cols_match: bool
+    hash_match: bool
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.spark_rows == self.oracle_rows
+            and self.cols_match
+            and self.hash_match
+        )
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResult:
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = con.execute(sql)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    return CompareResult(
+        name=name,
+        spark_rows=len(s_rows),
+        oracle_rows=len(o_rows),
+        cols_match=sorted(s_cols) == sorted(o_cols),
+        hash_match=_hash_rows(s_cols, s_rows) == _hash_rows(o_cols, o_rows),
+    )
+
+
+def main() -> int:
+    import argparse
+
+    from mitoscape_spark.queries import ORACLE, QUERIES
+    from mitoscape_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("verify")
+    con = duckdb_connection(args.sf)
+    failures = 0
+    for name, fn in QUERIES.items():
+        if args.only and name not in args.only:
+            continue
+        if name not in ORACLE:
+            n = fn(spark, args.sf).count()
+            print(f"{name}: rows-only check, {n} rows")
+            continue
+        try:
+            res = compare_query(spark, con, name, fn, ORACLE[name], args.sf)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {exc}")
+            failures += 1
+            continue
+        status = "OK" if res.ok else "FAIL"
+        if not res.ok:
+            failures += 1
+        print(
+            f"{name}: {status} spark={res.spark_rows} oracle={res.oracle_rows} "
+            f"cols={res.cols_match} hash={res.hash_match}"
+        )
+    print(f"failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
