@@ -23,7 +23,10 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from mitoscape_spark.queries import QUERIES
+    # bench gate = the oracle-checked headline set (BASELINE.md measures
+    # DuckDB on Q01–Q15); domain/extension ops are correctness-gated via
+    # the driver's queries() run instead.
+    from mitoscape_spark.queries.relational import QUERIES
     from mitoscape_spark.session import get_spark
 
     spark = get_spark("bench")
