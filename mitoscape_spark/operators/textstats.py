@@ -1,0 +1,104 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All pure column expressions (every
+one is oracle-checkable cross-engine; regexes stay within the subset
+Java regex and RE2 agree on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword profiles; deterministic, embedded identically
+# in the DuckDB oracle SQL (queries.extensions)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "pour"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "für", "von"),
+    "es": ("el", "la", "de", "y", "un", "una", "es", "para"),
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (ceil(chars/4) — the common
+    rule-of-thumb subword estimate) per document."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0,1] (rounded for cross-engine comparison)."""
+    t = F.col(text_col)
+    toks = F.split(F.lower(t), " ")
+    n_toks = F.size(toks)
+    stop = LANG_PROFILES["en"]
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    punct_chars = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^a-zA-Z0-9 ]", "")
+    )
+    avg_wlen = (
+        F.length(t) - n_toks + 1
+    ) / n_toks  # total chars minus spaces over tokens
+    score = (
+        F.least(n_toks / 50.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_chars / F.greatest(F.length(t), F.lit(1)), F.lit(1.0)))
+        * 0.3
+        + F.least(n_stop / 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        punct_chars.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: argmax stopword-profile hit count,
+    ties broken by lexicographically-last language code, 'und'
+    (undetermined) when no profile matches at all."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hits = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(s) for s in profile])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, profile in sorted(LANG_PROFILES.items())
+    ]
+    # struct ordering compares (hits, lang) field-by-field: desc sort
+    # puts max hits first, lexicographically-last lang on ties
+    best = F.sort_array(F.array(*hits), asc=False)[0]
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", window: int = 4
+) -> DataFrame:
+    """Document fingerprint: min md5 over rolling token windows
+    (winnowing-style single fingerprint; equal fingerprints ⇒ shared
+    window, a cheap near-dup prefilter)."""
+    from mitoscape_spark.operators.dedup import shingles
+
+    return (
+        shingles(docs.select("doc_id", F.col(text_col).alias("text")), window)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+    )

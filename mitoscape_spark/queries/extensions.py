@@ -1,6 +1,459 @@
-"""E-series / training-data-pipeline query registry (filled in incrementally)."""
+"""E-series + training-data-pipeline queries (SURVEY.md §2.9 E-series;
+BASELINE.json north star: dedup, similarity search, text analysis).
+
+Every entry with an ORACLE string is hash-checked against DuckDB at
+sf0.01 by the driver; entries without one (approximate ANN, multimodal
+plumbing) get rows-only checks. Hashing portability: md5 hex strings
+are identical across engines; min-of-md5 is the MinHash; bit
+extraction is integer arithmetic (floor(v / 2^k) % 2) in both dialects.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mitoscape_spark.catalog import load_table
+
+# ---------------------------------------------------------------- E01
+def ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (customer, totalprice desc) — top-3 orders per
+    customer. One shuffle on o_custkey; WindowExec streams sorted runs."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------- E02
+def ext_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame agg: per-user running sum over the last 4 events
+    (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW ordered by ts)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("sliding_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------- E03
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash distinct) on a projection with real duplicates."""
+    from mitoscape_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs.select("lang", "source")).orderBy(
+        "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------- E04
+def ext_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine to vec_id 0's embedding."""
+    from mitoscape_spark.operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = (
+        emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return topk_cosine(emb.where(F.col("vec_id") != 0), list(query), k=10)
+
+
+# ---------------------------------------------------------------- E05
+def ext_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish length estimate."""
+    from mitoscape_spark.operators.textstats import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- dedup
+def ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 8 seeded min-md5 hashes over 3-token shingles."""
+    from mitoscape_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs).orderBy("doc_id", "seed")
+
+
+def ext_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): candidate near-dup pairs."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(minhash_signatures(docs)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.1 via inverted-index join."""
+    from mitoscape_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (majority vote over token md5 bits)."""
+    from mitoscape_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9, brute-force baseline)."""
+    from mitoscape_spark.operators.dedup import embedding_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ≈ 0.51) — 0.35 keeps the check non-vacuous
+    return embedding_near_duplicates(emb, threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------------------ text
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mitoscape_spark.operators.textstats import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).orderBy("doc_id")
+
+
+def ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mitoscape_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs).orderBy("doc_id")
+
+
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mitoscape_spark.operators.textstats import fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------------- sessions
+def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E06 (batch form): 5-minute-gap sessions per user via
+    F.session_window — same gap-merge semantics as the streaming op."""
+    from mitoscape_spark.operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, "5 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# ------------------------------------------- approximate (rows-only)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine via sign-random-projection LSH.
+
+    Approximate ⇒ no SQL oracle; tests assert recall ≥ 0.6 vs the
+    brute-force baseline (tests/test_similarity.py).
+    """
+    from mitoscape_spark.operators.similarity import SignRandomProjectionLSH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = (
+        emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    lsh = SignRandomProjectionLSH(dim=64, n_planes=4, n_tables=8)
+    return lsh.topk(emb.where(F.col("vec_id") != 0), list(query), k=10)
+
+
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata →
+    Arrow-batched byte-histogram features via mapInPandas. The codec
+    step is environment-gated (sources.multimodal); the Spark plumbing
+    (schema, batching, UDF shape) is fully exercised. Rows-only check
+    (binary columns aren't in the DuckDB corpus)."""
+    from mitoscape_spark.sources.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(spark, docs)
+    return (
+        extract_features(media)
+        .select(
+            "media_id",
+            "modality",
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+            F.size("features").alias("dim"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_STOP_SQL = {
+    "en": "['the','a','of','and','to','in','is','for']",
+    "fr": "['le','la','de','et','un','une','est','pour']",
+    "de": "['der','die','das','und','ein','ist','für','von']",
+    "es": "['el','la','de','y','un','una','es','para']",
+}
+
+# Shared DuckDB CTEs: tokens with 0-based pos, 3-token shingles
+_TOKS = """
+toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+)
+"""
+_SHINGLES3 = """
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+    WHERE len(t) >= 3
+)
+"""
+
+QUERIES = {
+    "ext_window_rank": ext_window_rank,
+    "ext_sliding_sum": ext_sliding_sum,
+    "ext_dedup_exact": ext_dedup_exact,
+    "ext_topk_cosine": ext_topk_cosine,
+    "ext_tokenize": ext_tokenize,
+    "ext_minhash_sig": ext_minhash_sig,
+    "ext_minhash_pairs": ext_minhash_pairs,
+    "ext_ngram_jaccard": ext_ngram_jaccard,
+    "ext_simhash": ext_simhash,
+    "ext_embedding_neardup": ext_embedding_neardup,
+    "ext_lang_id": ext_lang_id,
+    "ext_quality": ext_quality,
+    "ext_fingerprint": ext_fingerprint,
+    "ext_session_window": ext_session_window,
+    "ext_ann_lsh": ext_ann_lsh,
+    "ext_multimodal_features": ext_multimodal_features,
+}
+
+ORACLE = {
+    "ext_window_rank": """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    "ext_sliding_sum": """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS sliding_sum
+        FROM events ORDER BY user_id, event_id
+    """,
+    "ext_dedup_exact": """
+        SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+    """,
+    "ext_topk_cosine": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        )
+        SELECT vec_id AS id,
+               ROUND(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cos DESC, id LIMIT 10
+    """,
+    "ext_tokenize": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_minhash_sig": f"""
+        WITH {_TOKS}, {_SHINGLES3}
+        SELECT doc_id, seed,
+               MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+        FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+        GROUP BY doc_id, seed ORDER BY doc_id, seed
+    """,
+    "ext_minhash_pairs": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sig AS (
+            SELECT doc_id, seed,
+                   MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+            FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   string_agg(minhash, ',' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    "ext_ngram_jaccard": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i) >= 0.1
+        ORDER BY doc_a, doc_b
+    """,
+    "ext_simhash": f"""
+        WITH {_TOKS},
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        hv AS (
+            SELECT doc_id,
+                   (instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 4096
+                 + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 256
+                 + (instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) AS hval
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   SUM(CAST(FLOOR(hval / POW(2, b)) AS INT) % 2 * 2 - 1) AS vote
+            FROM hv, UNNEST(range(16)) AS r(b)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                    THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_embedding_neardup": """
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+        ORDER BY id_a, id_b
+    """,
+    "ext_lang_id": f"""
+        WITH {_TOKS},
+        scored AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(t, stops)) AS hits
+            FROM toks, (VALUES
+                ('en', {_STOP_SQL['en']}),
+                ('fr', {_STOP_SQL['fr']}),
+                ('de', {_STOP_SQL['de']}),
+                ('es', {_STOP_SQL['es']})
+            ) AS p(lang, stops)
+        ),
+        best AS (
+            SELECT doc_id, lang, hits,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, lang DESC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+               hits AS lang_hits
+        FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    "ext_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   length(text) - length(
+                       regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')
+                   ) AS n_punct,
+                   len(list_intersect(
+                       string_split(lower(text), ' '),
+                       {_STOP_SQL['en']})) AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND((length(text) - n_tokens + 1.0) / n_tokens, 4)
+                   AS avg_word_len,
+               n_punct, n_stopwords,
+               ROUND(
+                   LEAST(n_tokens / 50.0, 1.0) * 0.4
+                   + (1 - LEAST(n_punct / GREATEST(length(text), 1) * 1.0, 1.0)) * 0.3
+                   + LEAST(n_stopwords / 5.0, 1.0) * 0.3, 4) AS quality
+        FROM base ORDER BY doc_id
+    """,
+    "ext_fingerprint": f"""
+        WITH {_TOKS},
+        sh4 AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1))) AS r(i)
+            WHERE len(t) >= 4
+        )
+        SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+        FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_session_window": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 5 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    # ext_ann_lsh: approximate — rows-only (recall-tested in pytest)
+}

@@ -1,0 +1,116 @@
+"""Structured Streaming over the events table (extension E06 — the
+reference is strictly batch, SURVEY.md §2.7).
+
+Streaming plans mirror the batch operators (operators.sessionize) so a
+batch backfill and the live stream produce the same rollups:
+tumbling/sliding windows + session windows with watermarked late-data
+handling. Local smoke: parquet readStream → memory sink →
+processAllAvailable() drives the batch of files through the streaming
+engine synchronously.
+
+Scale: watermarks bound state (old windows evict); session-window state
+is per (user, open-session) — keyed state scales with active users, not
+history. Sinks should be idempotent (foreachBatch + MERGE) on a real
+deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mitoscape_spark.catalog import load_table
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over the events parquet (schema pinned from the batch
+    table; ns→µs ts conversion matches catalog.load_table)."""
+    import os
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source ingests directories; sf_dir holds every
+    # table's parquet, so expose the events file alone through a
+    # symlink dir (a real deployment lands stream files in their own
+    # directory to begin with)
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+    # mirror catalog's nanos→µs normalization when ts arrives as long
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream.select(batch.columns)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, if slide given) event-time window counts
+    per event_type with late-data watermark."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming session windows (same semantics as
+    operators.sessionize.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming aggregation to completion against the current
+    file set (local smoke harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,237 @@
+"""Operator-level tests: dedup family, similarity (incl. LSH recall),
+text stats, sessionization, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mitoscape_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_known_duplicates(spark):
+    from mitoscape_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c")], ["k", "v"]
+    )
+    assert exact_dedup(df).count() == 3
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_minhash_identical_docs_collide(spark):
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words appear in this other document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_candidate_pairs(minhash_signatures(docs)).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_ngram_jaccard_bounds(spark):
+    from mitoscape_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),  # identical → jaccard 1.0
+            (3, "a b c d x y"),  # shares 2 of 4 shingles with 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert 0 < out[(1, 3)] < 1
+
+
+def test_simhash_similar_docs_close(spark):
+    from mitoscape_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),  # 1 token differs
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    h = {r.doc_id: int(r.simhash) for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[1], h[2]) <= hamming(h[1], h[3])
+    assert all(0 <= v < 2**16 for v in h.values())
+
+
+def test_topk_cosine_exact_self_similarity(spark, emb):
+    from mitoscape_spark.operators.similarity import topk_cosine
+
+    query = emb.where(F.col("vec_id") == 1).head()["embedding"]
+    out = topk_cosine(emb, list(query), k=5).collect()
+    # the query vector itself must rank first with cos ≈ 1
+    assert out[0].id == 1
+    assert out[0].cos == pytest.approx(1.0, abs=1e-6)
+    assert len(out) == 5
+    assert all(out[i].cos >= out[i + 1].cos for i in range(4))
+
+
+def test_lsh_recall_against_bruteforce(spark, emb):
+    from mitoscape_spark.operators.similarity import (
+        SignRandomProjectionLSH,
+        topk_cosine,
+    )
+
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    exact = {
+        r.id for r in topk_cosine(
+            emb.where(F.col("vec_id") != 0), query, k=10
+        ).collect()
+    }
+    # near-orthogonal corpus: top-10 sit at cosine ≈0.3 where one
+    # hyperplane agrees with p≈0.6 → 4 planes, 16 tables ⇒ recall ≈0.9
+    lsh = SignRandomProjectionLSH(dim=64, n_planes=4, n_tables=16)
+    approx = {
+        r.id
+        for r in lsh.topk(
+            emb.where(F.col("vec_id") != 0), query, k=10
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_lang_id_profiles(spark):
+    from mitoscape_spark.operators.textstats import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and a dog"),
+            (2, "le chat est dans la maison et un chien"),
+            (3, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_quality_monotone_in_length(spark):
+    from mitoscape_spark.operators.textstats import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the " * 60 + "end")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+    assert out[2] > out[1]
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [
+            (1, ts(0), 1.0),
+            (1, ts(3), 1.0),  # same session (gap 3 < 5)
+            (1, ts(20), 1.0),  # new session
+            (2, ts(0), 1.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = sessionize(events, "5 minutes").orderBy(
+        "user_id", "session_start"
+    ).collect()
+    assert [(r.user_id, r.n_events) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+    # session end = last event + gap
+    assert rows[0].session_end == ts(8)
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    from mitoscape_spark.sources.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, docs.limit(20))
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 16
+        assert sum(r.features) == pytest.approx(1.0, abs=1e-9)
+    again = extract_features(synthetic_media(spark, docs.limit(20))).collect()
+    assert sorted((r.media_id, tuple(r.features)) for r in feats) == sorted(
+        (r.media_id, tuple(r.features)) for r in again
+    )
+
+
+def test_multimodal_decode_requires_codec(spark, docs):
+    from mitoscape_spark.sources.multimodal import decode_media, synthetic_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(synthetic_media(spark, docs.limit(1)))
+
+
+def test_bam_reader_gated(spark):
+    from mitoscape_spark.sources.bam import read_alignments_bam
+
+    try:
+        import pysam  # noqa: F401
+
+        pytest.skip("pysam present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        read_alignments_bam(spark, "/nonexistent.bam")
+
+
+def test_alignment_parquet_roundtrip(spark, tmp_path):
+    from mitoscape_spark.pipeline import fixtures
+    from mitoscape_spark.sources.bam import (
+        read_alignments_parquet,
+        write_alignments_parquet,
+    )
+
+    src = fixtures.to_spark(spark, fixtures.mt_alignments_pdf(20)).select(
+        "read_name", "chrom", "start", "mapq", "attributes", "seq", "md",
+        "primary_alignment", "read_paired", "proper_pair", "mate_mapped",
+        "supplementary",
+    ).withColumn("start", F.col("start").cast("long")) \
+     .withColumn("mapq", F.col("mapq").cast("int"))
+    path = str(tmp_path / "aln.parquet")
+    write_alignments_parquet(src, path)
+    back = read_alignments_parquet(spark, path)
+    assert back.count() == src.count()
+    assert back.schema["read_name"].dataType.typeName() == "string"
