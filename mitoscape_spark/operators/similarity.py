@@ -9,6 +9,15 @@
                            their bucket. The 100 TB path: the bucket join
                            is an equi-join on the hash key, and recall is
                            tuned with (n_planes, n_tables).
+* ``IVFFlatIndex``       — inverted-file ANN: a coarse quantizer (k-means
+                           centroids trained on a driver-side sample —
+                           standard IVF practice; the quantizer needs
+                           thousands of vectors, not the corpus) assigns
+                           every vector a centroid id; queries probe only
+                           the ``n_probe`` nearest cells. At 100 TB the
+                           assigned table is written partitioned by
+                           centroid id so a probe is partition pruning,
+                           not a scan.
 
 Built-in BucketedRandomProjectionLSH (pyspark.ml) covers euclidean
 distance; cosine needs the sign-projection variant, implemented here as
@@ -18,6 +27,7 @@ pure column expressions over a broadcast plane matrix literal.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -136,6 +146,115 @@ class SignRandomProjectionLSH:
         )
         return (
             candidates.select(
+                "id",
+                F.round(cosine_similarity("v", q), 6).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), F.col("id"))
+            .limit(k)
+        )
+
+
+class IVFFlatIndex:
+    """IVF-Flat approximate nearest neighbor over an embedding column.
+
+    ``fit`` trains a seeded k-means coarse quantizer on a bounded
+    driver-side sample (Lloyd's, ``n_iter`` rounds — deterministic), then
+    assigns every corpus vector its nearest centroid with an
+    Arrow-vectorized pandas UDF (one numpy matmul per batch, no per-row
+    Python). ``topk`` probes the ``n_probe`` centroids nearest the query
+    and brute-forces cosine inside those cells only.
+
+    Scale path: persist ``assign(...)`` partitioned by ``centroid`` —
+    probing is then parquet partition pruning; cells stay balanced
+    because k-means splits dense regions.
+    """
+
+    def __init__(
+        self,
+        n_centroids: int = 16,
+        n_probe: int = 4,
+        n_iter: int = 10,
+        seed: int = 42,
+        train_sample: int = 20_000,
+    ):
+        self.n_centroids = n_centroids
+        self.n_probe = n_probe
+        self.n_iter = n_iter
+        self.seed = seed
+        self.train_sample = train_sample
+        self.centroids: np.ndarray | None = None
+
+    # -- quantizer -------------------------------------------------------
+    def fit(
+        self,
+        embeddings: DataFrame,
+        vec_col: str = "embedding",
+    ) -> "IVFFlatIndex":
+        sample = [
+            row[0]
+            for row in embeddings.select(vec_col)
+            .limit(self.train_sample)
+            .collect()
+        ]
+        x = np.asarray(sample, dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(self.seed)
+        centroids = x[rng.choice(len(x), self.n_centroids, replace=False)]
+        for _ in range(self.n_iter):
+            sims = x @ centroids.T  # cosine == dot on unit vectors
+            assign = sims.argmax(axis=1)
+            for c in range(self.n_centroids):
+                members = x[assign == c]
+                if len(members):
+                    mu = members.mean(axis=0)
+                    centroids[c] = mu / max(np.linalg.norm(mu), 1e-12)
+        self.centroids = centroids
+        return self
+
+    def assign(
+        self,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(id, v, centroid) — corpus vectors tagged with their cell."""
+        assert self.centroids is not None, "call fit() first"
+        from pyspark.sql.functions import pandas_udf
+
+        cent = self.centroids  # closure-captured; broadcast by Spark
+
+        @pandas_udf("int")
+        def nearest_centroid(vecs: pd.Series) -> pd.Series:
+            x = np.asarray(vecs.tolist(), dtype=np.float64)
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series((x @ cent.T).argmax(axis=1).astype("int32"))
+
+        return embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn("centroid", nearest_centroid("v"))
+
+    # -- search ----------------------------------------------------------
+    def topk(
+        self,
+        embeddings: DataFrame,
+        query: list[float],
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        assert self.centroids is not None, "call fit() first"
+        qv = np.asarray(query, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        probe = np.argsort(-(self.centroids @ qv))[: self.n_probe]
+        cells = [int(c) for c in probe]
+        q = F.array(*[F.lit(float(x)) for x in query])
+        return (
+            self.assign(embeddings, id_col, vec_col)
+            .where(F.col("centroid").isin(cells))
+            .select(
                 "id",
                 F.round(cosine_similarity("v", q), 6).alias("cos"),
             )

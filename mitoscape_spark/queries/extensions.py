@@ -174,7 +174,55 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- intervals
+def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (big-big scale path for q13's semantics):
+    per event, count same-user events in the following hour. Same
+    result as the range-residual join, but executed as an equi-join on
+    (user_id, hour-bucket) — no nested loop, even when both sides are
+    fact tables."""
+    from mitoscape_spark.operators.intervals import point_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("w_start"),
+        (F.unix_timestamp("ts") + 3600).alias("w_end"),
+    )
+    points = events.select(
+        "user_id", F.unix_timestamp("ts").alias("p_ts")
+    )
+    joined = point_interval_join(
+        points,
+        intervals,
+        point_col="p_ts",
+        start_col="w_start",
+        end_col="w_end",
+        equi_keys=["user_id"],
+        bucket_width=3600,
+        closed="right",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_id")
+    )
+
+
 # ------------------------------------------- approximate (rows-only)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine via an IVF coarse quantizer (k-means
+    cells, n_probe nearest probed). Approximate ⇒ rows-only check;
+    recall vs brute force asserted in tests/test_operators.py."""
+    from mitoscape_spark.operators.similarity import IVFFlatIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    index = IVFFlatIndex(n_centroids=8, n_probe=3).fit(emb)
+    return index.topk(emb.where(F.col("vec_id") != 0), list(query), k=10)
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via sign-random-projection LSH.
 
@@ -252,6 +300,8 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
     "ext_session_window": ext_session_window,
+    "ext_interval_join": ext_interval_join,
+    "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_multimodal_features": ext_multimodal_features,
 }
@@ -455,5 +505,16 @@ ORACLE = {
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start
     """,
-    # ext_ann_lsh: approximate — rows-only (recall-tested in pytest)
+    "ext_interval_join": """
+        SELECT e1.event_id, COUNT(*) AS n
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+         AND CAST(e2.ts AS TIMESTAMP)
+             <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        GROUP BY e1.event_id ORDER BY e1.event_id
+    """,
+    # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
+    # in pytest)
 }

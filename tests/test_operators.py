@@ -235,3 +235,89 @@ def test_alignment_parquet_roundtrip(spark, tmp_path):
     back = read_alignments_parquet(spark, path)
     assert back.count() == src.count()
     assert back.schema["read_name"].dataType.typeName() == "string"
+
+
+def test_point_interval_join_matches_naive(spark, emb):
+    from mitoscape_spark.operators.intervals import point_interval_join
+
+    events = load_table(spark, SF, "events")
+    intervals = events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("w_start"),
+        (F.unix_timestamp("ts") + 3600).alias("w_end"),
+    )
+    points = events.select("user_id", F.unix_timestamp("ts").alias("p_ts"))
+    bucketed = (
+        point_interval_join(
+            points, intervals,
+            point_col="p_ts", start_col="w_start", end_col="w_end",
+            equi_keys=["user_id"], bucket_width=3600, closed="right",
+        )
+        .groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    e1, e2 = events.alias("e1"), events.alias("e2")
+    naive = (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (
+                F.unix_timestamp("e2.ts")
+                <= F.unix_timestamp("e1.ts") + 3600
+            ),
+        )
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.event_id: r.n for r in bucketed.collect()}
+    expected = {r.event_id: r.n for r in naive.collect()}
+    assert got == expected
+
+
+def test_interval_overlap_join_dedups_pairs(spark):
+    from mitoscape_spark.operators.intervals import interval_overlap_join
+
+    # interval pairs spanning multiple buckets must appear exactly once
+    left = spark.createDataFrame(
+        [(1, 0, 250), (2, 400, 450)], ["l_id", "ls", "le"]
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 600), (20, 260, 300)], ["r_id", "rs", "re"]
+    )
+    rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=100
+    ).select("l_id", "r_id").collect()
+    got = sorted((r.l_id, r.r_id) for r in rows)
+    # (1,10): overlap [100,250]; (2,10): overlap [400,450]; (1,20)/(2,20): none
+    assert got == [(1, 10), (2, 10)]
+
+
+def test_ivf_recall_against_bruteforce(spark, emb):
+    from mitoscape_spark.operators.similarity import IVFFlatIndex, topk_cosine
+
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = {r.id for r in topk_cosine(corpus, query, k=10).collect()}
+    index = IVFFlatIndex(n_centroids=8, n_probe=4).fit(emb)
+    approx = {r.id for r in index.topk(corpus, query, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_ivf_assignment_covers_corpus(spark, emb):
+    from mitoscape_spark.operators.similarity import IVFFlatIndex
+
+    index = IVFFlatIndex(n_centroids=4, n_probe=4).fit(emb)
+    assigned = index.assign(emb)
+    assert assigned.count() == emb.count()
+    cells = assigned.groupBy("centroid").count().collect()
+    assert all(0 <= r.centroid < 4 for r in cells)
+    # probing every cell == exact search
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    from mitoscape_spark.operators.similarity import topk_cosine
+
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = [r.id for r in topk_cosine(corpus, query, k=5).collect()]
+    full_probe = [r.id for r in index.topk(corpus, query, k=5).collect()]
+    assert exact == full_probe

@@ -55,3 +55,59 @@ def test_session_counts_stream_matches_batch_operator(spark):
     batch = sessionize(load_table(spark, SF, "events"), "5 minutes").collect()
     expected = {(r.user_id, r.session_start): r.n_events for r in batch}
     assert got == expected
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.streaming.stateful import running_user_stats
+
+    events = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    # two files → two micro-batches (maxFilesPerTrigger=1): state must
+    # carry across batches
+    stream_dir = str(tmp_path / "stream")
+    half = events.count() // 2
+    first = events.limit(half)
+    second = events.subtract(first)
+    first.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends every update; the LAST row per
+    # user is the final state
+    import pandas as pd  # noqa: F401
+
+    updates = spark.sql("SELECT * FROM stateful_smoke").collect()
+    final = {}
+    for r in updates:  # appended in batch order
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    expected = {r.user_id: (r.n, r.s) for r in batch}
+    assert {u: v[0] for u, v in final.items()} == {
+        u: v[0] for u, v in expected.items()
+    }
+    for u in expected:
+        assert final[u][1] == pytest.approx(expected[u][1], rel=1e-9)
