@@ -1,0 +1,172 @@
+"""CLI — the reference's entry surface re-expressed (``MTClassify.main``
+option parsing at ``MTClassify.scala:54-81, 107-127``; training/eval
+entry points at ``MTClassifierModel.scala:187-288``).
+
+    python -m mitoscape_spark.cli classify \
+        --mt sample_MT.parquet --nt sample_NT.parquet \
+        --ld mitomap.ld --numt NUMTs_hg38.txt \
+        --model model_dir --out survivors.parquet --prob 0.5
+
+    python -m mitoscape_spark.cli train \
+        --training labeled_features.parquet --classifier rf \
+        --model-out model_dir
+
+    python -m mitoscape_spark.cli evaluate \
+        --training labeled_features.parquet --classifier rf
+
+Deliberate differences from the reference CLI:
+  * ``--threads`` is optional — the session master comes from
+    spark-submit on a cluster (the reference hard-codes local[threads]);
+  * inputs are alignment parquet (sources.bam.ALIGNMENT_SCHEMA); BAM
+    ingest is the pysam-gated path in sources.bam;
+  * ``train``/``evaluate`` are reachable from the CLI (the reference
+    ships them as dead library code, SURVEY.md §3.2-3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_numts(spark: SparkSession, path: str) -> DataFrame:
+    """NUMT dimension from the reference's tab format (chrom, start,
+    end, score — ``MTClassifierModel.scala:157-172``), kept distributed
+    and broadcastable instead of driver-side I/O."""
+    return (
+        spark.read.options(sep="\t", header="false")
+        .csv(path)
+        .toDF("chrom", "start", "end", "score")
+        .select(
+            "chrom",
+            F.col("start").cast("int").alias("start"),
+            F.col("end").cast("int").alias("end"),
+            F.col("score").cast("float").alias("score"),
+        )
+    )
+
+
+def _read_alignments(spark: SparkSession, path: str) -> DataFrame:
+    from mitoscape_spark.sources.bam import (
+        read_alignments_bam,
+        read_alignments_parquet,
+    )
+
+    if path.endswith(".bam"):
+        return read_alignments_bam(spark, path)
+    return read_alignments_parquet(spark, path)
+
+
+def cmd_classify(args: argparse.Namespace, spark: SparkSession) -> int:
+    from mitoscape_spark.pipeline.classify import classify
+    from mitoscape_spark.pipeline.ld import ld_scores_table
+    from mitoscape_spark.pipeline.ml import load_pipeline_model
+
+    mt_path = args.mt or f"{args.prefix}_MT.parquet"
+    nt_path = args.nt or f"{args.prefix}_NT.parquet"
+    mt = _read_alignments(spark, mt_path)
+    nt = _read_alignments(spark, nt_path)
+    ld = ld_scores_table(spark, args.ld)
+    numts = load_numts(spark, args.numt) if args.numt else None
+    model = load_pipeline_model(args.model)
+
+    result = classify(
+        mt,
+        nt,
+        ld,
+        numts,
+        model=model,
+        prob=args.prob,
+        genome_relative=not args.read_relative,
+    )
+    result.alignments.write.mode("overwrite").parquet(args.out)
+    n = result.survivors.count()
+    print(f"classify: {n} surviving reads -> {args.out}")
+    result.features.unpersist()
+    return 0
+
+
+def cmd_train(args: argparse.Namespace, spark: SparkSession) -> int:
+    from mitoscape_spark.pipeline.ml import train_gbt, train_rf
+
+    training = spark.read.parquet(args.training)
+    trainer = train_rf if args.classifier == "rf" else train_gbt
+    trainer(training, model_path=args.model_out, seed=args.seed)
+    print(f"train: {args.classifier} model -> {args.model_out}")
+    return 0
+
+
+def cmd_evaluate(args: argparse.Namespace, spark: SparkSession) -> int:
+    from mitoscape_spark.pipeline.ml import (
+        evaluate_accuracy,
+        train_gbt,
+        train_rf,
+    )
+
+    training = spark.read.parquet(args.training)
+    train, test = training.randomSplit(
+        [args.split, 1.0 - args.split], seed=args.seed
+    )
+    trainer = train_rf if args.classifier == "rf" else train_gbt
+    model = trainer(train, seed=args.seed)
+    acc = evaluate_accuracy(model, test, prob_threshold=args.prob)
+    print(f"evaluate: {args.classifier} accuracy={acc:.4f}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mitoscape-spark")
+    p.add_argument("--threads", type=int, default=None,
+                   help="local[threads]; omit under spark-submit")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("classify", help="score reads, write survivors")
+    c.add_argument("--prefix", help="reads <prefix>_MT/_NT.parquet")
+    c.add_argument("--mt", help="MT alignment table (overrides --prefix)")
+    c.add_argument("--nt", help="NT alignment table (overrides --prefix)")
+    c.add_argument("--ld", required=True, help="LD score file (tab)")
+    c.add_argument("--numt", help="NUMT interval file (tab)")
+    c.add_argument("--model", required=True, help="fitted PipelineModel dir")
+    c.add_argument("--out", required=True, help="output parquet path")
+    c.add_argument("--prob", type=float, default=0.5)  # MTClassify.scala:115
+    c.add_argument("--read-relative", action="store_true",
+                   help="compat: read-relative variant positions (SURVEY §8 Q3)")
+    c.set_defaults(fn=cmd_classify)
+
+    t = sub.add_parser("train", help="fit RF/GBT on labeled features")
+    t.add_argument("--training", required=True, help="labeled feature parquet")
+    t.add_argument("--classifier", choices=["rf", "gbt"], default="rf")
+    t.add_argument("--model-out", required=True)
+    t.add_argument("--seed", type=int, default=42)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="hold-out accuracy")
+    e.add_argument("--training", required=True)
+    e.add_argument("--classifier", choices=["rf", "gbt"], default="rf")
+    e.add_argument("--split", type=float, default=0.7)
+    e.add_argument("--prob", type=float, default=0.0)
+    e.add_argument("--seed", type=int, default=42)
+    e.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    from mitoscape_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if spark is None:
+        master = f"local[{args.threads}]" if args.threads else None
+        spark = get_spark("mitoscape-cli", master=master)
+    try:
+        return args.fn(args, spark)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,115 @@
+"""CLI end-to-end: train on labeled fixtures, classify alignment
+parquet with the reference's file formats (tab LD + tab NUMT), check
+the survivor parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from mitoscape_spark.cli import load_numts, main
+from mitoscape_spark.pipeline import fixtures
+
+
+def _as_alignment_schema(df):
+    """Cast fixture frames to sources.bam.ALIGNMENT_SCHEMA types (what
+    an offline BAM→parquet converter produces)."""
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.sources.bam import ALIGNMENT_SCHEMA
+
+    casts = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in ALIGNMENT_SCHEMA.fields
+        if f.name in df.columns
+    ]
+    return df.select(*casts)
+
+
+@pytest.fixture(scope="module")
+def cli_inputs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    mt = _as_alignment_schema(
+        fixtures.to_spark(spark, fixtures.mt_alignments_pdf(80))
+    )
+    nt = _as_alignment_schema(
+        fixtures.to_spark(spark, fixtures.nt_alignments_pdf(80))
+    )
+    mt.write.parquet(str(root / "sample_MT.parquet"))
+    nt.write.parquet(str(root / "sample_NT.parquet"))
+
+    fixtures.ld_scores_pdf(2000).to_csv(
+        root / "ld.tsv", sep="\t", header=False, index=False
+    )
+    fixtures.numts_pdf().to_csv(
+        root / "numts.tsv", sep="\t", header=False, index=False
+    )
+    training = fixtures.to_spark_canonical(
+        spark, fixtures.labeled_features_pdf(1000), "Read"
+    )
+    training.write.parquet(str(root / "training.parquet"))
+    return root
+
+
+def test_cli_train_then_classify(spark, cli_inputs):
+    root = cli_inputs
+    rc = main(
+        [
+            "train",
+            "--training", str(root / "training.parquet"),
+            "--classifier", "rf",
+            "--model-out", str(root / "model"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    rc = main(
+        [
+            "classify",
+            "--prefix", str(root / "sample"),
+            "--ld", str(root / "ld.tsv"),
+            "--numt", str(root / "numts.tsv"),
+            "--model", str(root / "model"),
+            "--out", str(root / "survivors.parquet"),
+            "--prob", "0.5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(root / "survivors.parquet"))
+    # survivors ⊆ original MT alignments, schema preserved
+    src = spark.read.parquet(str(root / "sample_MT.parquet"))
+    assert set(out.columns) == set(src.columns)
+    assert 0 < out.count() <= src.count()
+    # every surviving alignment keeps its read grouping: the semi-join
+    # keeps all alignments of a surviving read
+    names_out = {r.read_name for r in out.select("read_name").distinct().collect()}
+    per_read_src = (
+        src.where(src.read_name.isin(list(names_out)))
+        .groupBy("read_name").count().collect()
+    )
+    per_read_out = dict(
+        (r.read_name, r["count"])
+        for r in out.groupBy("read_name").count().collect()
+    )
+    assert {r.read_name: r["count"] for r in per_read_src} == per_read_out
+
+
+def test_cli_evaluate_accuracy_threshold(spark, cli_inputs):
+    rc = main(
+        [
+            "evaluate",
+            "--training", str(cli_inputs / "training.parquet"),
+            "--classifier", "rf",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+
+def test_load_numts_types(spark, cli_inputs):
+    numts = load_numts(spark, str(cli_inputs / "numts.tsv"))
+    assert [f.dataType.typeName() for f in numts.schema.fields] == [
+        "string", "integer", "integer", "float",
+    ]
+    assert numts.count() == 25
