@@ -273,3 +273,81 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """(id, component): connected components over candidate-pair edges —
+    the step that turns near-dup PAIRS into dedup GROUPS. Min-label
+    propagation: every node repeatedly adopts the smallest id reachable
+    over one hop until a fixpoint (checked with a distributed count, no
+    driver-side collect of the edge set).
+
+    Scale: each iteration is one self-equi-join + min-agg (shuffle on
+    node id); iterations grow with component *diameter*, not graph
+    size — near-dup clusters are shallow (stars/cliques), so 2-3
+    iterations in practice. For adversarial long chains, switch to the
+    large-star/small-star variant (same join primitive).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # undirected: both directions + self-loops seed each node's label
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        ).cache()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: for every connected component of candidate
+    pairs keep only the smallest id (the canonical doc); docs in no
+    pair survive untouched. Anti-join keeps the corpus side streaming —
+    only the (small) duplicate-id set shuffles."""
+    components = connected_components(pairs)
+    losers = components.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

@@ -120,6 +120,26 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline: MinHash → LSH candidate pairs →
+    connected components (min-label propagation) → keep the canonical
+    (smallest-id) doc per cluster. Oracle: recursive-CTE transitive
+    closure over the same band-join pairs."""
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    return (
+        dedup_keep_canonical(docs, pairs)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (majority vote over token md5 bits)."""
     from mitoscape_spark.operators.dedup import simhash
@@ -294,6 +314,7 @@ QUERIES = {
     "ext_minhash_sig": ext_minhash_sig,
     "ext_minhash_pairs": ext_minhash_pairs,
     "ext_ngram_jaccard": ext_ngram_jaccard,
+    "ext_dedup_near": ext_dedup_near,
     "ext_simhash": ext_simhash,
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_lang_id": ext_lang_id,
@@ -389,6 +410,45 @@ ORACLE = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i / (sa.n + sb.n - i) >= 0.1
         ORDER BY doc_a, doc_b
+    """,
+    "ext_dedup_near": f"""
+        WITH RECURSIVE {_TOKS}, {_SHINGLES3},
+        sig AS (
+            SELECT doc_id, seed,
+                   MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+            FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   string_agg(minhash, ',' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            WHERE r.s != e.d
+        ),
+        comp AS (
+            SELECT s AS id, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        SELECT doc_id FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.id AND c.id != c.component
+        WHERE c.id IS NULL
+        ORDER BY doc_id
     """,
     "ext_simhash": f"""
         WITH {_TOKS},

@@ -321,3 +321,54 @@ def test_ivf_assignment_covers_corpus(spark, emb):
     exact = [r.id for r in topk_cosine(corpus, query, k=5).collect()]
     full_probe = [r.id for r in index.topk(corpus, query, k=5).collect()]
     assert exact == full_probe
+
+
+def test_connected_components_merges_chains(spark):
+    from mitoscape_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 6)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert comp[6] == comp[7] == 6
+
+
+def test_dedup_keep_canonical(spark):
+    from mitoscape_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # 2,3 fold into 1; 6 folds into 5; 4,7,8 untouched
+    assert kept == [1, 4, 5, 7, 8]
+
+
+def test_minhash_to_dedup_end_to_end(spark):
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "completely different words appear in this other document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 4]
