@@ -152,3 +152,48 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.format").alias("format"),
         ),
     )
+
+
+def frame_sample(
+    media: DataFrame, every_n: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """(media_id, frame_idx, frame) — sample every ``every_n``-th frame.
+
+    Frames are fixed-width byte windows of the payload per
+    ``meta.n_frames`` (a codec-backed build decodes real frames; the
+    windowing, fan-out schema and Arrow batching are identical either
+    way). Fan-out is a generator, not a shuffle — frame rows land in
+    the same partition as their source row.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    continue
+                n_frames = max(int(meta["n_frames"] or 1), 1)
+                raw = bytes(payload)
+                width = max(len(raw) // n_frames, 1)
+                taken = 0
+                for k in range(0, n_frames, every_n):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    ids.append(media_id)
+                    idxs.append(k)
+                    frames.append(raw[k * width : (k + 1) * width])
+                    taken += 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, out_schema)

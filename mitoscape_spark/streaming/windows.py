@@ -114,3 +114,12 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension snapshot — each micro-batch joins against the static side
+    (re-read per batch for file-based dims), no state involved."""
+    return events.join(F.broadcast(dim), on=on, how="left")

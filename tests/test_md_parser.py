@@ -67,3 +67,61 @@ def test_udf_roundtrip(spark):
     )
     assert out[0].v == ["5A"]
     assert out[1].v == []
+
+
+# ---- property test: model-generate (md, seq, expected), invert ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_B = "ACGT"
+
+_match_seg = st.tuples(
+    st.integers(min_value=1, max_value=8),  # '=' count
+    st.lists(st.sampled_from(_B), max_size=3),  # insertion bases
+)
+_event = st.one_of(
+    st.tuples(st.just("sub"), st.sampled_from(_B + "N")),
+    st.tuples(st.just("del"), st.lists(st.sampled_from(_B), min_size=1, max_size=3)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lead=_match_seg,
+    body=st.lists(st.tuples(_event, _match_seg), max_size=5),
+    offset=st.integers(min_value=0, max_value=16000),
+)
+def test_parse_md_inverts_generated_model(lead, body, offset):
+    """Build (md, seq) from a random alignment model — matches with
+    embedded insertions, substitutions (incl. dropped N), deletions —
+    and check the parser emits exactly the modeled variants."""
+    md_parts: list[str] = []
+    seq_parts: list[str] = []
+    expected: list[str] = []
+    ref = 0
+
+    def emit_match(seg):
+        nonlocal ref
+        n, ins = seg
+        # insertions sit before the '='s; the parser must skip them
+        # while counting matches
+        seq_parts.append("".join(ins) + "=" * n)
+        md_parts.append(str(n))
+        ref += n
+
+    emit_match(lead)
+    for (kind, payload), seg in body:
+        if kind == "sub":
+            read_base = payload
+            ref_base = "A" if read_base != "A" else "C"  # any non-equal ref
+            md_parts.append(ref_base)
+            seq_parts.append(read_base)
+            if read_base != "N":
+                expected.append(f"{offset + ref + 1}{read_base}")
+            ref += 1
+        else:
+            md_parts.append("^" + "".join(payload))
+            ref += len(payload)
+        emit_match(seg)
+
+    assert parse_md("".join(md_parts), "".join(seq_parts), offset) == expected

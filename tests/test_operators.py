@@ -372,3 +372,27 @@ def test_minhash_to_dedup_end_to_end(spark):
     pairs = minhash_candidate_pairs(minhash_signatures(docs))
     kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 4]
+
+
+def test_frame_sample_windows_payload(spark, docs):
+    from mitoscape_spark.sources.multimodal import frame_sample, synthetic_media
+
+    media = synthetic_media(spark, docs.limit(5), modality="video")
+    # synthetic meta says 1 frame; override to 8 to exercise sampling
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width"), F.col("meta.height"),
+            F.col("meta.sample_rate"),
+            F.lit(8).alias("n_frames"), F.col("meta.format"),
+        ),
+    )
+    frames = frame_sample(media, every_n=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(len(v) for v in by_media.values()) == {4}  # frames 0,2,4,6
+    for rows in by_media.values():
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4, 6]
+        widths = {len(bytes(r.frame)) for r in rows}
+        assert len(widths) == 1  # equal windows

@@ -111,3 +111,23 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     }
     for u in expected:
         assert final[u][1] == pytest.approx(expected[u][1], rel=1e-9)
+
+
+def test_stream_static_enrichment(spark):
+    from mitoscape_spark.streaming.windows import enrich_stream
+
+    stream = events_stream(spark, SF)
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    enriched = enrich_stream(stream, dim).groupBy("segment").count()
+    run_to_memory(enriched, "enrich_smoke")
+    got = {r.segment: r["count"] for r in spark.sql("SELECT * FROM enrich_smoke").collect()}
+    batch = (
+        load_table(spark, SF, "events")
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+        .groupBy("segment").count().collect()
+    )
+    assert got == {r.segment: r["count"] for r in batch}
