@@ -194,6 +194,62 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- OLAP additions
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation → ALL): grouping-sets aggregation,
+    a surface the reference lacks entirely (SURVEY §2.4). Null group
+    keys are coalesced to 'ALL' so cross-engine sort/hash agree."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .rollup("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "n",
+            "bal",
+        )
+        .orderBy("n_name")
+    )
+
+
+def ext_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ordered-set
+    aggregate): Spark `percentile` == DuckDB `quantile_cont`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def ext_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (COUNT/SUM DISTINCT) — Catalyst expands to a
+    two-level aggregation; no distinct-aggs exist in the reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sdq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------- intervals
 def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval join (big-big scale path for q13's semantics):
@@ -321,6 +377,9 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
     "ext_session_window": ext_session_window,
+    "ext_rollup": ext_rollup,
+    "ext_quantiles": ext_quantiles,
+    "ext_distinct_agg": ext_distinct_agg,
     "ext_interval_join": ext_interval_join,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
@@ -564,6 +623,28 @@ ORACLE = {
                ROUND(SUM(value), 4) AS sum_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start
+    """,
+    "ext_rollup": """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+        GROUP BY ROLLUP(n_name)
+        ORDER BY n_name
+    """,
+    "ext_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "ext_distinct_agg": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               ROUND(SUM(DISTINCT l_quantity), 2) AS sdq,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "ext_interval_join": """
         SELECT e1.event_id, COUNT(*) AS n
