@@ -1,0 +1,53 @@
+"""Grouped-map custom transforms via ``applyInPandas`` — the surface
+for per-group logic that column expressions genuinely can't express
+(here: a robust z-score needing two dependent medians per group).
+
+Scale: one shuffle on the group key; each group materializes as a
+pandas frame in one task, so this is for *many medium groups* (users,
+documents), never for one giant group — memory per task is bounded by
+the largest group. For algebraic stats use plain groupBy; for running
+state use streaming.stateful.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401 (doc parity)
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_robust_zscore(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    out_col: str = "robust_z",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group robust z-score: (x − median) / (1.4826 · MAD), where
+    MAD = median(|x − median|). Null when MAD is 0 (constant group).
+
+    Median-of-medians needs two dependent passes over the group — not
+    expressible as a single Catalyst aggregate, hence the grouped map.
+    Rounded for cross-engine comparison (the DuckDB oracle computes the
+    same with ``median``/``quantile_cont``).
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def transform(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].astype(float)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        if mad == 0.0:
+            z = pd.Series([None] * len(x), dtype="object")
+        else:
+            z = ((x - med) / (1.4826 * mad)).round(ndigits)
+        out = pdf.copy()
+        out[out_col] = z
+        return out
+
+    return df.groupBy(key).applyInPandas(transform, schema=schema)

@@ -250,6 +250,22 @@ def ext_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust z-score of event values (applyInPandas grouped
+    map — two dependent medians per group, not a Catalyst aggregate).
+    Oracle: DuckDB median + MAD via two windowless aggregates."""
+    from mitoscape_spark.operators.grouped import grouped_robust_zscore
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    return (
+        grouped_robust_zscore(events, "user_id", "value")
+        .select("user_id", "event_id", "robust_z")
+        .orderBy("user_id", "event_id")
+    )
+
+
 # ---------------------------------------------------------- intervals
 def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval join (big-big scale path for q13's semantics):
@@ -377,6 +393,7 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
     "ext_session_window": ext_session_window,
+    "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
     "ext_quantiles": ext_quantiles,
     "ext_distinct_agg": ext_distinct_agg,
@@ -623,6 +640,25 @@ ORACLE = {
                ROUND(SUM(value), 4) AS sum_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start
+    """,
+    "ext_robust_z": """
+        WITH stats AS (
+            SELECT user_id, median(value) AS med
+            FROM events GROUP BY user_id
+        ),
+        mads AS (
+            SELECT e.user_id, median(abs(e.value - s.med)) AS mad
+            FROM events e JOIN stats s ON e.user_id = s.user_id
+            GROUP BY e.user_id
+        )
+        SELECT e.user_id, e.event_id,
+               CASE WHEN m.mad = 0 THEN NULL
+                    ELSE ROUND((e.value - s.med) / (1.4826 * m.mad), 4)
+               END AS robust_z
+        FROM events e
+        JOIN stats s ON e.user_id = s.user_id
+        JOIN mads m ON e.user_id = m.user_id
+        ORDER BY e.user_id, e.event_id
     """,
     "ext_rollup": """
         SELECT COALESCE(n_name, 'ALL') AS n_name,

@@ -396,3 +396,22 @@ def test_frame_sample_windows_payload(spark, docs):
         assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4, 6]
         widths = {len(bytes(r.frame)) for r in rows}
         assert len(widths) == 1  # equal windows
+
+
+def test_grouped_robust_zscore(spark):
+    from mitoscape_spark.operators.grouped import grouped_robust_zscore
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, 100.0), (2, 5.0), (2, 5.0)],
+        ["k", "v"],
+    )
+    rows = grouped_robust_zscore(df, "k", "v").collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r)
+    # group 1: median 2.5, MAD 1.0 → outlier 100 has a huge z
+    zs = {r.v: r.robust_z for r in by_k[1]}
+    assert zs[100.0] > 10
+    assert abs(zs[2.0]) < 1
+    # constant group → MAD 0 → null z
+    assert all(r.robust_z is None for r in by_k[2])
