@@ -194,6 +194,55 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- SQL-path (spark.sql)
+# The reference has no query language (SURVEY §3: hard-wired DataFrame
+# programs); the rebuild gets a full SQL frontend from Spark. These run
+# THROUGH spark.sql over registered views — same Catalyst plans as the
+# DataFrame API, proving the SQL surface end-to-end. Shapes are TPC-H
+# Q1/Q3 analogs (the corpus lacks some TPC-H columns; filters adjusted).
+
+_PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc,
+           ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+           ROUND(AVG(l_discount), 4)                          AS avg_disc,
+           COUNT(*)                                           AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def ext_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PRICING_SUMMARY_SQL)
+
+
+def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
 # ----------------------------------------------------- OLAP additions
 def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (nation → ALL): grouping-sets aggregation,
@@ -393,6 +442,8 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
     "ext_session_window": ext_session_window,
+    "ext_sql_pricing_summary": ext_sql_pricing_summary,
+    "ext_sql_shipping_priority": ext_sql_shipping_priority,
     "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
     "ext_quantiles": ext_quantiles,
@@ -641,6 +692,9 @@ ORACLE = {
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start
     """,
+    # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
+    "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
+    "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "ext_robust_z": """
         WITH stats AS (
             SELECT user_id, median(value) AS med

@@ -123,3 +123,19 @@ def enrich_stream(
     dimension snapshot — each micro-batch joins against the static side
     (re-read per batch for file-based dims), no state involved."""
     return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on ``keys`` with
+    watermark-bounded state — duplicate keys older than the watermark
+    are evicted from the state store, so memory tracks the dedup window,
+    not the whole stream history. The streaming twin of
+    operators.dedup.exact_dedup."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicates(
+        [*keys, watermark_col]
+    )

@@ -106,3 +106,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    from mitoscape_spark.sources.layout import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    one_lang = docs.select("lang").head()[0]
+    filtered = back.where(F.col("lang") == one_lang)
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], plan
+    assert (
+        filtered.count()
+        == docs.where(F.col("lang") == one_lang).count()
+    )

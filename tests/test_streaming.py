@@ -131,3 +131,33 @@ def test_stream_static_enrichment(spark):
         .groupBy("segment").count().collect()
     )
     assert got == {r.segment: r["count"] for r in batch}
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.streaming.windows import dedup_stream
+
+    events = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    doubled = events.unionAll(events)  # every row duplicated
+    stream_dir = str(tmp_path / "dups")
+    doubled.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        dedup_stream(stream, ["user_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_smoke").head()["n"]
+    expected = events.dropDuplicates(["user_id", "ts"]).count()
+    assert got == expected
