@@ -57,6 +57,11 @@ def _read_alignments(spark: SparkSession, path: str) -> DataFrame:
 
     if path.endswith(".bam"):
         return read_alignments_bam(spark, path)
+    if path.endswith(".sam"):
+        from mitoscape_spark.sources.sam import register_sam_source
+
+        register_sam_source(spark)
+        return spark.read.format("samtext").load(path)
     return read_alignments_parquet(spark, path)
 
 

@@ -51,3 +51,36 @@ def test_model_persistence_roundtrip(labeled, model, tmp_path_factory):
     a = model.transform(labeled.limit(20)).select("Read", "prediction").collect()
     b = reloaded.transform(labeled.limit(20)).select("Read", "prediction").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_reference_model_artifact_loads_and_scores(spark, tmp_path):
+    """API-parity proof: the reference's persisted Spark 3.0.0 RF
+    artifact (src/universal/MTClassifierModel.RF.tar — SURVEY.md §1.1
+    item 4) loads unchanged through pyspark.ml and scores with the
+    documented shape (128 trees, 6 features, 2 classes)."""
+    import os
+    import tarfile
+
+    tar_path = "/root/reference/src/universal/MTClassifierModel.RF.tar"
+    if not os.path.exists(tar_path):
+        import pytest
+
+        pytest.skip("reference artifact not present")
+    with tarfile.open(tar_path) as tf:
+        tf.extractall(tmp_path)
+    from pyspark.ml.classification import RandomForestClassificationModel
+    from pyspark.ml.linalg import Vectors
+
+    m = RandomForestClassificationModel.load(
+        str(tmp_path / "MTClassifierModel.RF")
+    )
+    assert m.getNumTrees == 128
+    assert m.numFeatures == 6
+    assert m.numClasses == 2
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0, 40000.0, 3.0, 30.0, 2.0, 3.0]),)],
+        ["features"],
+    )
+    out = m.transform(df).select("prediction", "probability").head()
+    assert out.prediction in (0.0, 1.0)
+    assert abs(sum(out.probability) - 1.0) < 1e-9

@@ -415,3 +415,51 @@ def test_grouped_robust_zscore(spark):
     assert abs(zs[2.0]) < 1
     # constant group → MAD 0 → null z
     assert all(r.robust_z is None for r in by_k[2])
+
+
+def test_samtext_python_datasource(spark, tmp_path):
+    from mitoscape_spark.sources.sam import register_sam_source
+
+    sam = "\n".join([
+        "@HD\tVN:1.6\tSO:coordinate",
+        "@SQ\tSN:chrM\tLN:16569",
+        # flag 99 = paired|proper|mate-mapped|first-in-pair (0x1|0x2|0x20|0x40)
+        "r1\t99\tchrM\t5\t60\t10M\t=\t105\t200\t====A=====\tFFFFFFFFFF\tNM:i:1\tMD:Z:4A5",
+        # flag 355 = 99|0x100 secondary
+        "r1\t355\tchrM\t900\t0\t10M\t=\t105\t200\t==========\tFFFFFFFFFF\tNM:i:0\tMD:Z:10",
+        # flag 2147 includes 0x800 supplementary
+        "r2\t2147\tchrM\t42\t37\t10M\t=\t142\t200\t==========\tFFFFFFFFFF\tNM:i:0\tMD:Z:10",
+        # unmapped mate: flag 9 = paired|mate-unmapped
+        "r3\t9\t*\t0\t0\t*\t*\t0\t0\t*\tFFFFFFFFFF",
+    ])
+    p = tmp_path / "reads.sam"
+    p.write_text(sam + "\n")
+    register_sam_source(spark)
+    df = spark.read.format("samtext").load(str(p))
+    rows = {(r.read_name, r.start): r for r in df.collect()}
+    assert len(rows) == 4
+    r1 = rows[("r1", 5)]
+    assert r1.chrom == "chrM" and r1.mapq == 60 and r1.md == "4A5"
+    assert r1.primary_alignment and r1.read_paired and r1.proper_pair
+    assert r1.mate_mapped and not r1.supplementary
+    assert not rows[("r1", 900)].primary_alignment
+    assert rows[("r2", 42)].supplementary
+    r3 = rows[("r3", 0)]
+    assert r3.chrom is None and r3.seq is None and not r3.mate_mapped
+    # the ingest feeds the MD parse downstream
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.functions.md_parser import md_variants_udf
+
+    v = (
+        df.where(F.col("md").isNotNull() & F.col("primary_alignment"))
+        .select(
+            "read_name",
+            md_variants_udf(
+                F.col("md"), F.col("seq"), (F.col("start") - 1).cast("long")
+            ).alias("variants"),
+        )
+        .orderBy("read_name")
+        .collect()
+    )
+    assert v[0].variants == ["9A"]  # pos 5 (1-based) + read offset 4 → 9A
