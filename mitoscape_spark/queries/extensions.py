@@ -352,6 +352,24 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- approximate (rows-only)
+def ext_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus stats: HLL++ distinct counts and t-digest-ish
+    approximate percentiles per return flag — the O(1)-memory path for
+    100 TB profile jobs where exact distinct/percentile would shuffle
+    the world. Approximate ⇒ rows-only; tolerance vs exact asserted in
+    tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via an IVF coarse quantizer (k-means
     cells, n_probe nearest probed). Approximate ⇒ rows-only check;
@@ -449,6 +467,7 @@ QUERIES = {
     "ext_quantiles": ext_quantiles,
     "ext_distinct_agg": ext_distinct_agg,
     "ext_interval_join": ext_interval_join,
+    "ext_sketch_stats": ext_sketch_stats,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_multimodal_features": ext_multimodal_features,

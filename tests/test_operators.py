@@ -463,3 +463,25 @@ def test_samtext_python_datasource(spark, tmp_path):
         .collect()
     )
     assert v[0].variants == ["9A"]  # pos 5 (1-based) + read offset 4 → 9A
+
+
+def test_sketch_stats_tolerance(spark):
+    from mitoscape_spark.queries.extensions import ext_sketch_stats
+
+    sketch = {
+        r.l_returnflag: r for r in ext_sketch_stats(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, s in sketch.items():
+        e = exact[flag]
+        assert abs(s.nd_parts - e.nd) / e.nd <= 0.05, (flag, s.nd_parts, e.nd)
+        assert abs(s.p50_approx - e.p50) <= 2.0, (flag, s.p50_approx, e.p50)
