@@ -102,3 +102,45 @@ def fingerprints(
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk, n_tokens): overlapping token-window
+    chunks — the standard training-data preparation step (context-sized
+    pieces with overlap so no boundary text is lost).
+
+    Stride = chunk_size − overlap; the last chunk may be short; docs
+    shorter than one chunk yield one chunk. Pure JVM higher-order
+    functions (sequence → transform → slice): a generator + project,
+    no shuffle, no Python.
+    """
+    assert 0 <= overlap < chunk_size
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least one)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("toks"),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.array_join(F.col("c.toks"), " ").alias("chunk"),
+        F.size(F.col("c.toks")).alias("n_tokens"),
+    )

@@ -182,6 +182,17 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs).orderBy("doc_id")
 
 
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping 64-token windows, stride 48
+    (generator + project, no shuffle, no Python)."""
+    from mitoscape_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 # ------------------------------------------------------- sessions
 def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E06 (batch form): 5-minute-gap sessions per user via
@@ -459,6 +470,7 @@ QUERIES = {
     "ext_lang_id": ext_lang_id,
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
+    "ext_chunk_documents": ext_chunk_documents,
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
@@ -684,6 +696,19 @@ ORACLE = {
         )
         SELECT doc_id, MIN(md5(shingle)) AS fingerprint
         FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_chunk_documents": """
+        WITH nc AS (
+            SELECT doc_id, t,
+                   GREATEST(CAST(CEIL((len(t) - 16.0) / 48.0) AS INT), 1)
+                       AS n_chunks
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk,
+               len(t[i*48+1 : i*48+64]) AS n_tokens
+        FROM nc, UNNEST(range(n_chunks)) AS r(i)
+        ORDER BY doc_id, chunk_idx
     """,
     "ext_session_window": """
         WITH e AS (

@@ -485,3 +485,22 @@ def test_sketch_stats_tolerance(spark):
         e = exact[flag]
         assert abs(s.nd_parts - e.nd) / e.nd <= 0.05, (flag, s.nd_parts, e.nd)
         assert abs(s.p50_approx - e.p50) <= 2.0, (flag, s.p50_approx, e.p50)
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from mitoscape_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, chunk_size=4, overlap=1).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    got = [(r.doc_id, r.chunk_idx, r.chunk, r.n_tokens) for r in rows]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),  # overlap 1: t3 repeats
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b", 2),  # short doc → one short chunk
+    ]
