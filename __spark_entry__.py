@@ -25,6 +25,10 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # bare sessions default to 200 shuffle partitions — far too many for
+    # the sf0.001/sf0.01 correctness corpora; AQE coalesces either way,
+    # but a right-sized initial count avoids the empty-task overhead
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # static conf on some builds; catalog handles fallback

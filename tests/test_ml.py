@@ -84,3 +84,18 @@ def test_reference_model_artifact_loads_and_scores(spark, tmp_path):
     out = m.transform(df).select("prediction", "probability").head()
     assert out.prediction in (0.0, 1.0)
     assert abs(sum(out.probability) - 1.0) < 1e-9
+
+
+def test_gbt_accuracy_threshold(spark):
+    """GBT twin (reference testGBModel, MTClassifierModel.scala:225-257
+    — whose 'precision' metric name would throw; we evaluate accuracy,
+    SURVEY.md §8 Q7) clears the same separability bound as the RF."""
+    from mitoscape_spark.pipeline import fixtures
+    from mitoscape_spark.pipeline.ml import evaluate_accuracy, train_gbt
+
+    labeled = fixtures.to_spark_canonical(
+        spark, fixtures.labeled_features_pdf(800), "Read"
+    )
+    train, test = labeled.randomSplit([0.7, 0.3], seed=42)
+    model = train_gbt(train, seed=42)
+    assert evaluate_accuracy(model, test) >= 0.85
