@@ -254,6 +254,84 @@ def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+# ------------------------------------------------ joins/set-ops surface
+def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no 'P'-status orders
+    (NOT EXISTS). The complement of the reference's semi-join writeback
+    (J2/J3); the status filter keeps the result non-vacuous (every
+    customer in the corpus has some order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def ext_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over per-side aggregates: nations by customer
+    count vs supplier count, either side possibly absent."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("nc"))
+    s = supplier.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("ns", F.lit(0)).alias("ns"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (set semantics — absent from the reference,
+    SURVEY §2.5): nation keys having customers but no suppliers, and
+    keys having both, unioned with a tag column."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # leftover duplicate occurrences (bag semantics)
+    only_c = c.subtract(s).withColumn("tag", F.lit("customers_only"))
+    return both.unionAll(only_c).orderBy("tag", "nationkey")
+
+
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per (customer-nation, orderstatus) with the
+    status domain spread to columns. Catalyst rewrites pivot to
+    conditional aggregates — the oracle states that form directly."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "n_name",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ----------------------------------------------------- OLAP additions
 def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (nation → ALL): grouping-sets aggregation,
@@ -474,6 +552,10 @@ QUERIES = {
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
+    "ext_anti_join": ext_anti_join,
+    "ext_outer_join": ext_outer_join,
+    "ext_set_ops": ext_set_ops,
+    "ext_pivot": ext_pivot,
     "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
     "ext_quantiles": ext_quantiles,
@@ -739,6 +821,53 @@ ORACLE = {
     # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "ext_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+        ORDER BY c_custkey
+    """,
+    "ext_outer_join": """
+        WITH c AS (
+            SELECT c_nationkey, COUNT(*) AS nc FROM customer
+            GROUP BY c_nationkey
+        ),
+        s AS (
+            SELECT s_nationkey, COUNT(*) AS ns FROM supplier
+            GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+               COALESCE(nc, 0) AS nc,
+               COALESCE(ns, 0) AS ns
+        FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+        ORDER BY nationkey
+    """,
+    "ext_set_ops": """
+        SELECT nationkey, 'both' AS tag FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nationkey, 'customers_only' AS tag FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        )
+        ORDER BY tag, nationkey
+    """,
+    "ext_pivot": """
+        SELECT n_name,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
     "ext_robust_z": """
         WITH stats AS (
             SELECT user_id, median(value) AS med

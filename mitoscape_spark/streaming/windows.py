@@ -139,3 +139,37 @@ def dedup_stream(
     return events.withWatermark(watermark_col, watermark).dropDuplicates(
         [*keys, watermark_col]
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events joined to left-side
+    events of the same key within ``(lt, lt + within]`` event time.
+
+    Both sides carry watermarks and the join has a time-range
+    constraint — that pair is what lets the state store evict rows
+    older than (watermark + range), so state is bounded by the join
+    window, not stream history.
+    """
+    l = left.select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )

@@ -161,3 +161,24 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     got = spark.sql("SELECT COUNT(*) AS n FROM dedup_smoke").head()["n"]
     expected = events.dropDuplicates(["user_id", "ts"]).count()
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from mitoscape_spark.streaming.windows import stream_stream_join
+
+    got_df = stream_stream_join(
+        events_stream(spark, SF), events_stream(spark, SF)
+    )
+    assert got_df.isStreaming
+    run_to_memory(got_df, "ssj_smoke", output_mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n FROM ssj_smoke").head()["n"]
+    e = load_table(spark, SF, "events")
+    l = e.select(F.col("user_id").alias("k"), F.col("ts").alias("lt"))
+    r = e.select(F.col("user_id").alias("k2"), F.col("ts").alias("rt"))
+    batch = l.join(
+        r,
+        (F.col("k") == F.col("k2"))
+        & (F.col("rt") > F.col("lt"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 5 MINUTES")),
+    ).count()
+    assert got == batch
