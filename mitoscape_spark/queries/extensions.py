@@ -255,6 +255,37 @@ def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ joins/set-ops surface
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the user's most recent order
+    at or before the event (merge pattern — one shuffle, no row
+    amplification; operators.asof). Ties on order date resolve to the
+    greatest o_orderkey; the oracle states the rank-1 form."""
+    from mitoscape_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("event_id")
 def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join — customers with no 'P'-status orders
     (NOT EXISTS). The complement of the reference's semi-join writeback
@@ -552,6 +583,7 @@ QUERIES = {
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
+    "ext_asof_join": ext_asof_join,
     "ext_anti_join": ext_anti_join,
     "ext_outer_join": ext_outer_join,
     "ext_set_ops": ext_set_ops,
@@ -821,6 +853,22 @@ ORACLE = {
     # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "ext_asof_join": """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey,
+                   ROUND(o.o_totalprice, 2) AS o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT event_id, user_id, o_orderkey, o_totalprice
+        FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
     "ext_anti_join": """
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (

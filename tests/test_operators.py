@@ -504,3 +504,36 @@ def test_chunk_documents_overlap_and_short_docs(spark):
         (1, 2, "t6 t7 t8 t9", 4),
         (2, 0, "a b", 2),  # short doc → one short chunk
     ]
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(10)), (2, 200, t(5)), (3, 300, t(5))],
+        ["k", "lid", "lt"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(5), 11, 5.0),    # exactly at left time → inclusive match
+            (1, t(7), 12, 7.0),
+            (2, t(6), 21, 6.0),    # after the only left row → no match
+            (2, t(3), 20, 3.0),
+            (2, t(3), 22, 3.5),    # same ts: greatest tiebreak (22) wins
+        ],
+        ["k", "rt", "rid", "val"],
+    )
+    rows = {
+        (r.k, r.lid): (r.rid, r.val)
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            payload=["rid", "val"], tiebreak="rid",
+        ).collect()
+    }
+    assert rows[(1, 100)] == (11, 5.0)   # inclusive at-time match
+    assert rows[(1, 101)] == (12, 7.0)   # latest ≤ t
+    assert rows[(2, 200)] == (22, 3.5)   # tie resolved to max rid
+    assert rows[(3, 300)] == (None, None)  # no right rows at all
