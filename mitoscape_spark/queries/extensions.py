@@ -140,6 +140,17 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: part names within edit distance 1–3, blocked on
+    the first token (per-block equi-join, never a cross product)."""
+    from mitoscape_spark.operators.fuzzy import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_partkey", "p_name").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (majority vote over token md5 bits)."""
     from mitoscape_spark.operators.dedup import simhash
@@ -574,6 +585,7 @@ QUERIES = {
     "ext_minhash_pairs": ext_minhash_pairs,
     "ext_ngram_jaccard": ext_ngram_jaccard,
     "ext_dedup_near": ext_dedup_near,
+    "ext_fuzzy_match": ext_fuzzy_match,
     "ext_simhash": ext_simhash,
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_lang_id": ext_lang_id,
@@ -682,6 +694,19 @@ ORACLE = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i / (sa.n + sb.n - i) >= 0.1
         ORDER BY doc_a, doc_b
+    """,
+    "ext_fuzzy_match": """
+        WITH b AS (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[1] AS blk
+            FROM part
+        )
+        SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
+               levenshtein(a.p_name, b2.p_name) AS dist
+        FROM b a JOIN b b2
+          ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey
+        WHERE levenshtein(a.p_name, b2.p_name) BETWEEN 1 AND 3
+        ORDER BY id_a, id_b
     """,
     "ext_dedup_near": f"""
         WITH RECURSIVE {_TOKS}, {_SHINGLES3},

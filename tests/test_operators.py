@@ -537,3 +537,26 @@ def test_asof_join_semantics(spark):
     assert rows[(1, 101)] == (12, 7.0)   # latest ≤ t
     assert rows[(2, 200)] == (22, 3.5)   # tie resolved to max rid
     assert rows[(3, 300)] == (None, None)  # no right rows at all
+
+
+def test_fuzzy_pairs_blocking_and_bounds(spark):
+    from mitoscape_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgets"),   # dist 1, same block
+            (3, "red gadget"),    # widget→gadget: 2 substitutions
+            (4, "blue widget"),   # different block — never compared
+            (5, "red widget"),    # exact dup — excluded (min_distance=1)
+        ],
+        ["id", "name"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert (1, 4) not in got and (2, 4) not in got
+    assert (1, 5) not in got  # exact duplicates excluded
