@@ -560,3 +560,74 @@ def test_fuzzy_pairs_blocking_and_bounds(spark):
     assert got[(1, 3)] == 2
     assert (1, 4) not in got and (2, 4) not in got
     assert (1, 5) not in got  # exact duplicates excluded
+
+
+# ---- property tests (hypothesis) ------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=50),
+    chunk_size=st.integers(min_value=2, max_value=12),
+    data=st.data(),
+)
+def test_chunk_reconstruction_property(spark, n_tokens, chunk_size, data):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating must reproduce the original token stream."""
+    from mitoscape_spark.operators.textstats import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_size - 1))
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs, chunk_size, overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    rebuilt: list[str] = []
+    for r in rows:
+        ctoks = r.chunk.split(" ")
+        rebuilt.extend(ctoks if r.chunk_idx == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        max_size=12,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from mitoscape_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference union-find on the driver
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == expected

@@ -182,3 +182,43 @@ def test_stream_stream_join_matches_batch(spark):
         & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 5 MINUTES")),
     ).count()
     assert got == batch
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Stop a checkpointed stream mid-source, add more data, restart
+    with the same checkpoint: the sink must end exactly-once complete —
+    every input row counted once, nothing reprocessed."""
+    import os
+
+    events = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    half = events.count() // 2
+    first = events.limit(half)
+    second = events.subtract(first)
+    first.coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # processes first batch, commits offsets to checkpoint
+    second.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    run_once()  # restart: must pick up ONLY b1
+    got = spark.read.parquet(out).count()
+    assert got == events.count()
