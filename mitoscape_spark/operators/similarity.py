@@ -261,3 +261,47 @@ class IVFFlatIndex:
             .orderBy(F.col("cos").desc(), F.col("id"))
             .limit(k)
         )
+
+
+def lsh_near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos): embedding near-dup pairs generated inside LSH
+    buckets — the scale path for dedup.embedding_near_duplicates'
+    brute-force baseline. Candidates come from a self-equi-join on
+    (table, bucket) (uniform md-bucket keys shuffle evenly); the exact
+    cosine then filters, so results are a subset of brute force with
+    recall tuned by (n_planes, n_tables).
+    """
+    lsh = SignRandomProjectionLSH(dim=dim, n_planes=n_planes, n_tables=n_tables)
+    buckets = lsh.bucketize(embeddings, id_col, vec_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -631,3 +631,22 @@ def test_connected_components_matches_union_find(spark, edges):
         r.id: r.component for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_lsh_neardup_pairs_subset_with_recall(spark, emb):
+    from mitoscape_spark.operators.dedup import embedding_near_duplicates
+    from mitoscape_spark.operators.similarity import lsh_near_duplicate_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_duplicate_pairs(
+            emb, threshold=0.3, n_planes=3, n_tables=12
+        ).collect()
+    }
+    assert approx <= exact  # exact-cosine filter ⇒ no false positives
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.5, f"LSH near-dup recall {recall} too low"
