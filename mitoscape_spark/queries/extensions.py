@@ -265,6 +265,33 @@ def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+
+_LOCAL_SUPPLIER_VOLUME_SQL = """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def ext_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a same-nation residual —
+    exercises Catalyst join ordering + broadcast selection across the
+    dimension chain (nation/region broadcast; fact joins shuffle)."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LOCAL_SUPPLIER_VOLUME_SQL)
+
+
 # ------------------------------------------------ joins/set-ops surface
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order
@@ -595,6 +622,7 @@ QUERIES = {
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
+    "ext_sql_local_supplier_volume": ext_sql_local_supplier_volume,
     "ext_asof_join": ext_asof_join,
     "ext_anti_join": ext_anti_join,
     "ext_outer_join": ext_outer_join,
@@ -878,6 +906,7 @@ ORACLE = {
     # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "ext_sql_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "ext_asof_join": """
         WITH ranked AS (
             SELECT e.event_id, e.user_id, o.o_orderkey,
