@@ -292,6 +292,27 @@ def ext_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(_LOCAL_SUPPLIER_VOLUME_SQL)
 
 
+
+def ext_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: top-50 tokens by document frequency
+    (DF = docs containing the token, TF = total occurrences). The
+    profile job every training-data pipeline runs; distinct-agg +
+    count in one pass, deterministic (df DESC, tok) ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(50)
+    )
+
+
 # ------------------------------------------------ joins/set-ops surface
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order
@@ -619,6 +640,7 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_fingerprint": ext_fingerprint,
     "ext_chunk_documents": ext_chunk_documents,
+    "ext_term_freq": ext_term_freq,
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
@@ -863,6 +885,18 @@ ORACLE = {
         )
         SELECT doc_id, MIN(md5(shingle)) AS fingerprint
         FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_term_freq": """
+        SELECT tok,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               COUNT(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT 50
     """,
     "ext_chunk_documents": """
         WITH nc AS (
