@@ -313,6 +313,32 @@ def ext_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_RETURNED_ITEM_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def ext_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue — fact
+    ⋈ fact ⋈ dim with a pushed-down flag filter and top-k."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RETURNED_ITEM_SQL)
+
+
 # ------------------------------------------------ joins/set-ops surface
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order
@@ -645,6 +671,7 @@ QUERIES = {
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
     "ext_sql_local_supplier_volume": ext_sql_local_supplier_volume,
+    "ext_sql_returned_items": ext_sql_returned_items,
     "ext_asof_join": ext_asof_join,
     "ext_anti_join": ext_anti_join,
     "ext_outer_join": ext_outer_join,
@@ -941,6 +968,7 @@ ORACLE = {
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "ext_sql_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
+    "ext_sql_returned_items": _RETURNED_ITEM_SQL,
     "ext_asof_join": """
         WITH ranked AS (
             SELECT e.event_id, e.user_id, o.o_orderkey,
