@@ -339,6 +339,36 @@ def ext_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RETURNED_ITEM_SQL)
 
 
+
+def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data preparation: quality-score every doc,
+    keep quality ≥ 0.5, chunk survivors into 32-token windows (stride
+    24), count chunks and tokens per kept doc — the operators composing
+    end-to-end as one Catalyst plan (scores and chunking fuse into the
+    same scan; one shuffle for the final per-doc count)."""
+    from mitoscape_spark.operators.textstats import (
+        chunk_documents,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        quality_scores(docs)
+        .where(F.col("quality") >= 0.5)
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    chunks = chunk_documents(kept, chunk_size=32, overlap=8)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_chunk_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------ joins/set-ops surface
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order
@@ -667,6 +697,7 @@ QUERIES = {
     "ext_fingerprint": ext_fingerprint,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
+    "ext_prep_pipeline": ext_prep_pipeline,
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
@@ -912,6 +943,37 @@ ORACLE = {
         )
         SELECT doc_id, MIN(md5(shingle)) AS fingerprint
         FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_prep_pipeline": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   LEAST(len(string_split(lower(text), ' ')) / 50.0, 1.0) * 0.4
+                   + (1 - LEAST((length(text) - length(
+                         regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                         / GREATEST(length(text), 1) * 1.0, 1.0)) * 0.3
+                   + LEAST(len(list_intersect(
+                         string_split(lower(text), ' '),
+                         {_STOP_SQL['en']})) / 5.0, 1.0) * 0.3 AS quality
+            FROM documents
+        ),
+        kept AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            WHERE ROUND(q.quality, 4) >= 0.5
+        ),
+        nc AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   GREATEST(CAST(CEIL((len(string_split(text, ' ')) - 8.0)
+                       / 24.0) AS INT), 1) AS n_chunks
+            FROM kept
+        ),
+        chunks AS (
+            SELECT doc_id, len(t[i*24+1 : i*24+32]) AS n_tokens
+            FROM nc, UNNEST(range(n_chunks)) AS r(i)
+        )
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens
+        FROM chunks GROUP BY doc_id ORDER BY doc_id
     """,
     "ext_term_freq": """
         SELECT tok,
