@@ -340,6 +340,84 @@ def ext_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_VOLUME_SHIPPING_SQL = """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def ext_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume by ship
+    year. Two roles of the same dimension (nation joined twice) + a
+    disjunctive cross-table predicate Catalyst can only apply post-join
+    — the dimension joins broadcast, the two fact joins shuffle."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_VOLUME_SHIPPING_SQL)
+
+
+_ORDER_PRIORITY_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+def ext_sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi residual
+    (shipdate > orderdate + 60d) decorrelated by Catalyst into a left
+    semi join — the SQL-frontend twin of the J2/J3 semi-join surface."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORDER_PRIORITY_SQL)
+
+
+_DISJUNCTIVE_FILTER_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 5 AND 30)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def ext_sql_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates spanning both join sides. Catalyst extracts the common
+    per-table disjuncts (brand IN (...), quantity ranges) and pushes
+    them below the join into the parquet scan; the full OR is applied
+    as the post-join residual."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_FILTER_SQL)
+
+
 def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data preparation: quality-score every doc,
     keep quality ≥ 0.5, chunk survivors into 32-token windows (stride
@@ -703,6 +781,9 @@ QUERIES = {
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
     "ext_sql_local_supplier_volume": ext_sql_local_supplier_volume,
     "ext_sql_returned_items": ext_sql_returned_items,
+    "ext_sql_volume_shipping": ext_sql_volume_shipping,
+    "ext_sql_order_priority": ext_sql_order_priority,
+    "ext_sql_disjunctive_filter": ext_sql_disjunctive_filter,
     "ext_asof_join": ext_asof_join,
     "ext_anti_join": ext_anti_join,
     "ext_outer_join": ext_outer_join,
@@ -1031,6 +1112,9 @@ ORACLE = {
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "ext_sql_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "ext_sql_returned_items": _RETURNED_ITEM_SQL,
+    "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
+    "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
+    "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
     "ext_asof_join": """
         WITH ranked AS (
             SELECT e.event_id, e.user_id, o.o_orderkey,
