@@ -211,6 +211,47 @@ class IVFFlatIndex:
         self.centroids = centroids
         return self
 
+    def fit_distributed(
+        self,
+        embeddings: DataFrame,
+        vec_col: str = "embedding",
+    ) -> "IVFFlatIndex":
+        """Train the coarse quantizer with pyspark.ml KMeans over the
+        FULL corpus — the path for when embeddings exceed driver memory
+        (the sample-based ``fit`` caps at ``train_sample`` rows).
+
+        Vectors are unit-normalized JVM-side first, so euclidean
+        k-means on them approximates spherical k-means (cosine cells);
+        the returned centers are re-normalized and search proceeds
+        through the same dot-product assignment as ``fit``.
+        """
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        unit = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.greatest(F.col("_norm"), F.lit(1e-12)),
+        )
+        feats = (
+            embeddings.withColumn("_norm", norm)
+            .select(array_to_vector(unit).alias("features"))
+        )
+        model = KMeans(
+            k=self.n_centroids, seed=self.seed, maxIter=self.n_iter
+        ).fit(feats)
+        centers = np.asarray(model.clusterCenters(), dtype=np.float64)
+        self.centroids = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+        )
+        return self
+
     def assign(
         self,
         embeddings: DataFrame,

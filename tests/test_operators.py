@@ -323,6 +323,24 @@ def test_ivf_assignment_covers_corpus(spark, emb):
     assert exact == full_probe
 
 
+def test_ivf_distributed_kmeans_quantizer(spark, emb):
+    from mitoscape_spark.operators.similarity import IVFFlatIndex, topk_cosine
+
+    index = IVFFlatIndex(n_centroids=4, n_probe=4, n_iter=5).fit_distributed(emb)
+    assert index.centroids.shape == (4, len(emb.head()["embedding"]))
+    # centers are unit-normalized (spherical k-means convention)
+    norms = (index.centroids**2).sum(axis=1) ** 0.5
+    assert abs(norms - 1.0).max() < 1e-9
+    # every vector lands in a valid cell; full probe == exact search
+    assigned = index.assign(emb)
+    assert assigned.count() == emb.count()
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = [r.id for r in topk_cosine(corpus, query, k=5).collect()]
+    full_probe = [r.id for r in index.topk(corpus, query, k=5).collect()]
+    assert exact == full_probe
+
+
 def test_connected_components_merges_chains(spark):
     from mitoscape_spark.operators.dedup import connected_components
 
