@@ -89,6 +89,53 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens that are repeats (1 − distinct/total) and the fraction of
+    all bigrams taken by the single most frequent bigram. High values
+    flag boilerplate / degenerate text that training-data pipelines
+    drop before dedup even runs.
+
+    Token stats are pure map-side array expressions; the bigram mode
+    needs one shuffle on (doc_id, bigram) then a per-doc rollup —
+    both keyed by doc_id, so AQE coalesces them into adjacent stages.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
+            "dup_token_frac"
+        ),
+        toks.alias("_toks"),
+        n.alias("_n"),
+    )
+    pair_len = F.greatest(F.col("_n") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("_toks", F.lit(1), pair_len),
+        F.slice("_toks", F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    mode_frac = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("_tbf"))
+    )
+    return (
+        base.select("doc_id", "dup_token_frac")
+        .join(mode_frac, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_token_frac",
+            F.round(F.coalesce(F.col("_tbf"), F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", window: int = 4
 ) -> DataFrame:

@@ -186,6 +186,15 @@ def ext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs).orderBy("doc_id")
 
 
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction +
+    top-bigram fraction per document."""
+    from mitoscape_spark.operators.textstats import repetition_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_scores(docs).orderBy("doc_id")
+
+
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.textstats import fingerprints
 
@@ -772,6 +781,7 @@ QUERIES = {
     "ext_embedding_neardup": ext_embedding_neardup,
     "ext_lang_id": ext_lang_id,
     "ext_quality": ext_quality,
+    "ext_repetition": ext_repetition,
     "ext_fingerprint": ext_fingerprint,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
@@ -1014,6 +1024,29 @@ ORACLE = {
                    + (1 - LEAST(n_punct / GREATEST(length(text), 1) * 1.0, 1.0)) * 0.3
                    + LEAST(n_stopwords / 5.0, 1.0) * 0.3, 4) AS quality
         FROM base ORDER BY doc_id
+    """,
+    "ext_repetition": f"""
+        WITH {_TOKS},
+        base AS (
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6)
+                       AS dup_token_frac
+            FROM toks
+        ),
+        big AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        bgc AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+        ),
+        bgm AS (
+            SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbf
+            FROM bgc GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.dup_token_frac,
+               ROUND(COALESCE(m.tbf, 0.0), 6) AS top_bigram_frac
+        FROM base b LEFT JOIN bgm m USING (doc_id) ORDER BY b.doc_id
     """,
     "ext_fingerprint": f"""
         WITH {_TOKS},

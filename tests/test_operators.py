@@ -152,6 +152,26 @@ def test_quality_monotone_in_length(spark):
     assert out[2] > out[1]
 
 
+def test_repetition_scores_known_values(spark):
+    from mitoscape_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),      # 3/4 dup tokens, "a a" is every bigram
+            (2, "a b c d"),      # no dup tokens, 3 distinct bigrams
+            (3, "solo"),         # single token: no bigrams at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.dup_token_frac, r.top_bigram_frac)
+        for r in repetition_scores(docs).collect()
+    }
+    assert out[1] == (0.75, 1.0)
+    assert out[2] == (0.0, round(1 / 3, 6))
+    assert out[3] == (0.0, 0.0)
+
+
 def test_sessionize_gap_semantics(spark):
     import datetime as dt
 
