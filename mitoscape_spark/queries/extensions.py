@@ -427,6 +427,22 @@ def ext_sql_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DISJUNCTIVE_FILTER_SQL)
 
 
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-part numeric columns → (part, metric,
+    value) long form — the inverse of ext_pivot. DataFrame ``unpivot``
+    is a zero-shuffle generator (each row expands map-side)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
 def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data preparation: quality-score every doc,
     keep quality ≥ 0.5, chunk survivors into 32-token windows (stride
@@ -799,6 +815,7 @@ QUERIES = {
     "ext_outer_join": ext_outer_join,
     "ext_set_ops": ext_set_ops,
     "ext_pivot": ext_pivot,
+    "ext_unpivot": ext_unpivot,
     "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
     "ext_quantiles": ext_quantiles,
@@ -1210,6 +1227,15 @@ ORACLE = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "ext_unpivot": """
+        SELECT p_partkey, metric, value FROM (
+            SELECT p_partkey, 'size' AS metric,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS metric,
+                   CAST(p_retailprice AS DOUBLE) AS value FROM part
+        ) ORDER BY p_partkey, metric
     """,
     "ext_robust_z": """
         WITH stats AS (

@@ -224,19 +224,6 @@ def test_multimodal_decode_requires_codec(spark, docs):
         decode_media(synthetic_media(spark, docs.limit(1)))
 
 
-def test_bam_reader_gated(spark):
-    from mitoscape_spark.sources.bam import read_alignments_bam
-
-    try:
-        import pysam  # noqa: F401
-
-        pytest.skip("pysam present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        read_alignments_bam(spark, "/nonexistent.bam")
-
-
 def test_alignment_parquet_roundtrip(spark, tmp_path):
     from mitoscape_spark.pipeline import fixtures
     from mitoscape_spark.sources.bam import (
