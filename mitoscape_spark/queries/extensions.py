@@ -427,6 +427,139 @@ def ext_sql_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DISJUNCTIVE_FILTER_SQL)
 
 
+_CORRELATED_MIN_SQL = """
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           ROUND(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT MIN(p2.p_retailprice) FROM part p2
+        WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_partkey
+"""
+
+
+def ext_sql_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery with an aggregate
+    (cheapest part per brand). Catalyst decorrelates it into a
+    per-brand MIN aggregate joined back on the correlation key — one
+    extra scan + one shuffle, never a per-row subquery execution."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_MIN_SQL)
+
+
+_LARGE_ORDERS_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+"""
+
+
+def ext_sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — the
+    classic large-volume-customer query. The subquery plans as an
+    aggregate feeding a left semi join on the fact's own key; the semi
+    side is small post-HAVING, so AQE converts it to broadcast."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LARGE_ORDERS_SQL)
+
+
+_IDLE_RICH_CUSTOMERS_SQL = """
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+"""
+
+
+def ext_sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar-average subquery (plans
+    as a 1-row broadcast filter, no per-row execution) combined with a
+    correlated NOT EXISTS (decorrelated to a left anti join)."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_IDLE_RICH_CUSTOMERS_SQL)
+
+
+def ext_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one pass: lag/lead (offset),
+    first_value (frame), ntile/percent_rank/cume_dist (rank family)
+    share a single (PARTITION BY o_custkey ORDER BY ...) window spec —
+    one shuffle + one sort serves all six, which is exactly how Spark
+    physical-plans it (a single Window operator)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.round(F.first_value("o_totalprice").over(w), 2).alias(
+                "first_price"
+            ),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def ext_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, Arrow-batched) in a LATERAL join: each
+    document row fans out to its word bigrams. UDTFs are the
+    generator-shaped UDF surface the reference lacks entirely
+    (SURVEY §2.8 'no UDTFs'); Arrow batching keeps the Python
+    boundary columnar. Top-1000 slice for a bounded result."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string", useArrow=True)
+    class BigramUDTF:
+        def eval(self, text: str):
+            toks = (text or "").lower().split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (a + " " + b,)
+
+    spark.udtf.register("bigrams", BigramUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram
+        FROM documents d, LATERAL bigrams(d.text) b
+        ORDER BY d.doc_id, b.bigram
+        LIMIT 1000
+        """
+    )
+
+
 def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): wide per-part numeric columns → (part, metric,
     value) long form — the inverse of ext_pivot. DataFrame ``unpivot``
@@ -816,6 +949,11 @@ QUERIES = {
     "ext_set_ops": ext_set_ops,
     "ext_pivot": ext_pivot,
     "ext_unpivot": ext_unpivot,
+    "ext_sql_correlated_min": ext_sql_correlated_min,
+    "ext_sql_large_orders": ext_sql_large_orders,
+    "ext_sql_idle_rich_customers": ext_sql_idle_rich_customers,
+    "ext_window_funcs": ext_window_funcs,
+    "ext_udtf_bigrams": ext_udtf_bigrams,
     "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
     "ext_quantiles": ext_quantiles,
@@ -1236,6 +1374,44 @@ ORACLE = {
             SELECT p_partkey, 'retailprice' AS metric,
                    CAST(p_retailprice AS DOUBLE) AS value FROM part
         ) ORDER BY p_partkey, metric
+    """,
+    "ext_sql_correlated_min": _CORRELATED_MIN_SQL,
+    "ext_sql_large_orders": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderkey
+    """,
+    "ext_sql_idle_rich_customers": _IDLE_RICH_CUSTOMERS_SQL,
+    "ext_window_funcs": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
+               ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+               ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+               CAST(NTILE(4) OVER w AS INT)        AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4)     AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4)        AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "ext_udtf_bigrams": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        )
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, UNNEST(range(1, array_length(t))) AS r(i)
+        ORDER BY doc_id, bigram
+        LIMIT 1000
     """,
     "ext_robust_z": """
         WITH stats AS (
