@@ -560,6 +560,63 @@ def ext_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the events.props payload column: typed
+    ``from_json`` parse (schema'd, JVM-side Jackson — not a UDF) then
+    per-type aggregation of the extracted field. The semi-structured
+    column pattern every event pipeline hits."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ext_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column, fully
+    JVM-side (no Python boundary): transform (x²), aggregate (fold to
+    squared L2 norm), filter+size (positive-component count),
+    array_max. The declarative alternative to a vector pandas_udf —
+    whole-stage-codegen'd, Catalyst-prunable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xsq = F.transform("embedding", lambda x: x.cast("double") * x)
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                F.aggregate(xsq, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("sq_norm"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("mx"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def ext_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling rollup in batch: date_trunc to the hour +
+    per-(hour, type) aggregates — the batch twin of the streaming
+    window queries (streaming/windows.py shares this grouping)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hr"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hr", "event_type")
+    )
+
+
 def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): wide per-part numeric columns → (part, metric,
     value) long form — the inverse of ext_pivot. DataFrame ``unpivot``
@@ -949,6 +1006,9 @@ QUERIES = {
     "ext_set_ops": ext_set_ops,
     "ext_pivot": ext_pivot,
     "ext_unpivot": ext_unpivot,
+    "ext_json_extract": ext_json_extract,
+    "ext_array_hof": ext_array_hof,
+    "ext_time_rollup": ext_time_rollup,
     "ext_sql_correlated_min": ext_sql_correlated_min,
     "ext_sql_large_orders": ext_sql_large_orders,
     "ext_sql_idle_rich_customers": ext_sql_idle_rich_customers,
@@ -1374,6 +1434,32 @@ ORACLE = {
             SELECT p_partkey, 'retailprice' AS metric,
                    CAST(p_retailprice AS DOUBLE) AS value FROM part
         ) ORDER BY p_partkey, metric
+    """,
+    "ext_json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(AVG(k), 4) AS avg_k,
+               MAX(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "ext_array_hof": """
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * x)), 4) AS sq_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS mx
+        FROM embeddings ORDER BY vec_id
+    """,
+    "ext_time_rollup": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               event_type, COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "ext_sql_correlated_min": _CORRELATED_MIN_SQL,
     "ext_sql_large_orders": """
