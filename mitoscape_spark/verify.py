@@ -93,40 +93,77 @@ def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareRe
     )
 
 
+def _check_one(spark, con, name: str, fn, sql, sf_dir: str) -> tuple[str, bool]:
+    """One query's check → (report line, ok). Thread-safe: Spark job
+    submission is concurrent by design; the caller hands each thread
+    its own DuckDB cursor."""
+    try:
+        if sql is None:
+            n = fn(spark, sf_dir).count()
+            return f"{name}: rows-only check, {n} rows", True
+        res = compare_query(spark, con, name, fn, sql, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        return f"{name}: ERROR {exc}", False
+    status = "OK" if res.ok else "FAIL"
+    return (
+        f"{name}: {status} spark={res.spark_rows} oracle={res.oracle_rows} "
+        f"cols={res.cols_match} hash={res.hash_match}",
+        res.ok,
+    )
+
+
 def main() -> int:
     import argparse
+    import os
+    from concurrent.futures import ThreadPoolExecutor
 
+    from mitoscape_spark.catalog import register_views
     from mitoscape_spark.queries import ORACLE, QUERIES
     from mitoscape_spark.session import get_spark
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--jobs",
+        type=int,
+        default=min(8, os.cpu_count() or 1),
+        help="concurrent query checks (1 = sequential). Spark actions "
+        "are thread-safe and local[N] has idle cores at sf0.01 — "
+        "overlapping the per-query driver/analysis/DuckDB time is "
+        "where the wall-clock win is.",
+    )
     args = ap.parse_args()
 
     spark = get_spark("verify")
     con = duckdb_connection(args.sf)
+    # Pre-register temp views once so concurrent SQL-frontend queries
+    # only re-put identical entries instead of racing first creation.
+    register_views(spark, args.sf)
+
+    todo = [
+        (name, fn)
+        for name, fn in QUERIES.items()
+        if not args.only or name in args.only
+    ]
+
+    def run(item):
+        name, fn = item
+        # cursor() duplicates the connection, sharing the catalog —
+        # DuckDB connections are not safe to share across threads
+        with con.cursor() as cur:
+            return _check_one(spark, cur, name, fn, ORACLE.get(name), args.sf)
+
+    if args.jobs <= 1:
+        results = [run(it) for it in todo]
+    else:
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            results = list(pool.map(run, todo))
+
     failures = 0
-    for name, fn in QUERIES.items():
-        if args.only and name not in args.only:
-            continue
-        if name not in ORACLE:
-            n = fn(spark, args.sf).count()
-            print(f"{name}: rows-only check, {n} rows")
-            continue
-        try:
-            res = compare_query(spark, con, name, fn, ORACLE[name], args.sf)
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: ERROR {exc}")
-            failures += 1
-            continue
-        status = "OK" if res.ok else "FAIL"
-        if not res.ok:
-            failures += 1
-        print(
-            f"{name}: {status} spark={res.spark_rows} oracle={res.oracle_rows} "
-            f"cols={res.cols_match} hash={res.hash_match}"
-        )
+    for line, ok in results:  # stable declaration order
+        print(line)
+        failures += 0 if ok else 1
     print(f"failures: {failures}")
     return 1 if failures else 0
 
