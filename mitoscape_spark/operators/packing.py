@@ -1,0 +1,73 @@
+"""Sequence packing: concatenate-and-split planning for training data.
+
+Pretraining pipelines concatenate tokenized documents in a fixed order
+and slice the stream into ``budget``-token sequences. The plan for that
+is a global prefix sum: each document's ``start_offset`` is the total
+token count of every document before it, and its pack assignment is
+``start_offset DIV budget``.
+
+Scale shape — the naive version is a Window over a *global* ORDER BY,
+which Spark executes as a single partition: a one-task bottleneck at
+100 TB. This module implements the classic two-phase distributed prefix
+sum instead:
+
+1. bucket rows by the order key (``order_col DIV bucket_width``);
+2. aggregate per-bucket token totals — one row per bucket;
+3. cumulative-sum those totals with a window over the *tiny* bucket
+   table (the only global ordering materialized);
+4. broadcast-join each bucket's base offset back and finish with a
+   within-bucket window — bounded partitions, full parallelism.
+
+Equivalent to the global window for any numeric, unique ``order_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign (start_offset, pack_id) to every row under the global
+    order of ``order_col``. Rows may straddle pack boundaries — the
+    pack_id is where the row *starts*, matching concatenate-then-split
+    semantics.
+    """
+    rows = df.select(
+        order_col,
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.expr(f"{order_col} DIV {bucket_width}").alias("_bkt"),
+    )
+
+    totals = rows.groupBy("_bkt").agg(F.sum(tokens_col).alias("_tot"))
+    w_bkt = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_bkt), F.lit(0)).alias("_base")
+    )
+
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(bases), "_bkt")
+        .select(
+            order_col,
+            tokens_col,
+            (
+                F.col("_base")
+                + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+            ).alias("start_offset"),
+        )
+        .withColumn("pack_id", F.expr(f"start_offset DIV {budget}"))
+    )

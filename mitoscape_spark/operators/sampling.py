@@ -1,0 +1,76 @@
+"""Deterministic sampling and data-mixing operators.
+
+Training-data pipelines need *reproducible* subsampling: the same
+document must make the same keep/drop decision on every run, on every
+cluster size, in every engine. ``DataFrame.sample`` cannot promise that
+(its output depends on partition layout), so these operators hash a key
+column instead: md5 produces identical lowercase hex in every engine,
+and comparing a fixed-width hex prefix against a threshold string is
+equivalent to comparing the number it encodes (lexicographic order on
+fixed-width lowercase hex == numeric order).
+
+``fraction`` maps to a 4-hex-digit threshold ``floor(fraction * 16^4)``
+— a resolution of 1/65536, plenty for mixing weights. ``fraction >= 1``
+uses the sentinel threshold ``"g"`` which every hex prefix sorts below.
+
+Scale shape: a narrow ``filter`` on a hash of one column — no shuffle,
+no state, evaluated inside the scan stage; at 100 TB it costs one md5
+per row and prunes immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 4  # 16^4 = 65536 buckets
+
+
+def hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> 4-hex-digit threshold string ('g' = keep all)."""
+    if fraction >= 1.0:
+        return "g"  # sorts above every hex digit => keeps everything
+    if fraction <= 0.0:
+        return "0000"  # nothing sorts strictly below "0000"
+    return format(int(fraction * 65536), "04x")
+
+
+def _hash_prefix(key_col: str, salt: str) -> Column:
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.substring(F.md5(key), 1, _PREFIX_LEN)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided purely by ``md5(salt || key)``.
+
+    Distinct ``salt`` values give independent samples from the same key
+    space (e.g. disjoint train/validation splits via complementary
+    thresholds on different salts).
+    """
+    return df.where(_hash_prefix(key_col, salt) < F.lit(hex_threshold(fraction)))
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — the data-mixing primitive
+    (e.g. keep 25% of the dominant language, 100% of the rest).
+
+    Compiles the weight table to a CASE expression over ``stratum_col``,
+    so the whole mix is still one shuffle-free filter.
+    """
+    thr: Column = F.lit(hex_threshold(default))
+    for value, fraction in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(hex_threshold(fraction))
+        ).otherwise(thr)
+    return df.where(_hash_prefix(key_col, salt) < thr)

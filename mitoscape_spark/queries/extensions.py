@@ -951,6 +951,52 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th doc plays the eval set;
+    report distinct shared-shingle counts for the contaminated training
+    docs. The benchmark shingle set broadcasts (eval suites are MB-scale
+    against a 100 TB corpus), so the membership probe is map-side."""
+    from mitoscape_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return contamination_report(train, bench).orderBy("doc_id")
+
+
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: global prefix sum of token counts in
+    doc_id order via the two-phase bucketed rewrite (operators/packing)
+    — no single-partition global window at any scale."""
+    from mitoscape_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    return pack_sequences(
+        toks, order_col="doc_id", tokens_col="n_tokens",
+        budget=512, bucket_width=64,
+    ).orderBy("doc_id")
+
+
+def ext_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: keep 25% of 'en', 50% of 'de', all of
+    the rest, decided by md5(doc_id) — engine-portable (same rows in
+    DuckDB), partition-layout independent, shuffle-free."""
+    from mitoscape_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_mix(
+            docs, "lang", {"en": 0.25, "de": 0.5}, key_col="doc_id"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -1023,6 +1069,9 @@ QUERIES = {
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_multimodal_features": ext_multimodal_features,
+    "ext_decontaminate": ext_decontaminate,
+    "ext_pack_sequences": ext_pack_sequences,
+    "ext_sample_mix": ext_sample_mix,
 }
 
 ORACLE = {
@@ -1549,6 +1598,44 @@ ORACLE = {
          AND CAST(e2.ts AS TIMESTAMP)
              <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         GROUP BY e1.event_id ORDER BY e1.event_id
+    """,
+    "ext_decontaminate": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        )
+        SELECT s.doc_id, COUNT(*) AS n_shared
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % 20 != 0
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+    "ext_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 512 AS pack_id
+        FROM offs ORDER BY doc_id
+    """,
+    "ext_sample_mix": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN lang = 'en' THEN '4000'
+                   WHEN lang = 'de' THEN '8000'
+                   ELSE 'g' END
+        ORDER BY doc_id
     """,
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)

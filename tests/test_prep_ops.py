@@ -1,0 +1,183 @@
+"""Training-data prep operators: deterministic sampling / mixing,
+sequence packing (distributed prefix sum), benchmark decontamination.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mitoscape_spark.catalog import load_table
+from mitoscape_spark.operators.decontaminate import (
+    contamination_report,
+    decontaminate,
+)
+from mitoscape_spark.operators.packing import pack_sequences
+from mitoscape_spark.operators.sampling import (
+    deterministic_sample,
+    hex_threshold,
+    weighted_mix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ sampling
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "0000"
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(0.5) == "8000"
+    assert hex_threshold(0.25) == "4000"
+
+
+def test_deterministic_sample_layout_independent(spark):
+    docs = load_table(spark, SF, "documents")
+    a = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.3).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(13), "doc_id", 0.3
+        ).collect()
+    )
+    assert a == b and a  # same decision under any partition layout
+
+
+def test_deterministic_sample_fraction_and_edges(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    kept = deterministic_sample(docs, "doc_id", 0.5).count()
+    assert abs(kept / n - 0.5) < 0.25  # md5 is uniform-ish on small n
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == n
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_deterministic_sample_nested_subsets(spark):
+    # thresholds nest: the 20% sample is a subset of the 60% sample
+    docs = load_table(spark, SF, "documents")
+    small = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.2).collect()
+    }
+    big = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.6).collect()
+    }
+    assert small <= big
+
+
+def test_deterministic_sample_salt_gives_different_sample(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.5, salt="a").collect()
+    }
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.5, salt="b").collect()
+    }
+    assert a != b
+
+
+def test_weighted_mix_equals_per_stratum_samples(spark):
+    docs = load_table(spark, SF, "documents")
+    mixed = {
+        r.doc_id
+        for r in weighted_mix(
+            docs, "lang", {"en": 0.25, "de": 0.5}, key_col="doc_id"
+        ).collect()
+    }
+    expected = set()
+    for lang, frac in [("en", 0.25), ("de", 0.5)]:
+        expected |= {
+            r.doc_id
+            for r in deterministic_sample(
+                docs.where(F.col("lang") == lang), "doc_id", frac
+            ).collect()
+        }
+    expected |= {
+        r.doc_id
+        for r in docs.where(~F.col("lang").isin("en", "de")).collect()
+    }
+    assert mixed == expected
+
+
+# ------------------------------------------------------------- packing
+def _naive_pack(df, order_col, tokens_col, budget):
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return df.select(
+        order_col,
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
+        .alias("start_offset"),
+    ).withColumn("pack_id", F.expr(f"start_offset DIV {budget}"))
+
+
+@pytest.mark.parametrize("bucket_width", [1, 7, 64, 10_000])
+def test_pack_sequences_matches_global_window(spark, bucket_width):
+    # sparse, non-contiguous order keys; bucket widths from degenerate
+    # (one row per bucket) to degenerate (everything in one bucket)
+    rows = [(i * 3 + (i % 5), (i * 37) % 211 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = pack_sequences(
+        df, "doc_id", "n_tokens", budget=256, bucket_width=bucket_width
+    )
+    want = _naive_pack(df, "doc_id", "n_tokens", 256)
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    # the per-row window must hash-partition on the bucket key — the
+    # only SinglePartition exchange allowed is the tiny bucket-totals
+    # side, never the full table
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens int"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pack_sequences(df, "doc_id", "n_tokens").explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(_bkt" in plan
+
+
+# ----------------------------------------------------- decontamination
+def test_decontaminate_drops_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "entirely unrelated training text here"),
+            (3, "quick brown fox somewhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    report = {
+        r.doc_id: r.n_shared
+        for r in contamination_report(train, bench, shingle_size=3).collect()
+    }
+    # docs 1 and 3 share the 3-shingle "quick brown fox"
+    assert report == {1: 1, 3: 1}
+    clean = {r.doc_id for r in decontaminate(train, bench, 3).collect()}
+    assert clean == {2}
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d")], "doc_id long, text string"
+    )
+    # shared 3-shingles: "a b c", "b c d"
+    rows = contamination_report(train, bench, 3).collect()
+    assert [(r.doc_id, r.n_shared) for r in rows] == [(1, 2)]
