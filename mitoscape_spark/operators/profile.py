@@ -1,0 +1,102 @@
+"""Table profiling and data-quality validation.
+
+A 100 TB ingest needs an ANALYZE-style profile (null fractions, distinct
+cardinalities, value ranges) and constraint checks (key uniqueness,
+referential integrity) *before* anything downstream trusts the data.
+
+Scale shape:
+- ``profile_columns`` is ONE aggregation job over the table regardless
+  of how many columns are profiled — all per-column aggregates ride the
+  same partial+final hash agg (multiple COUNT DISTINCTs go through
+  Catalyst's Expand rewrite: one extra map-side row replication, still
+  a single shuffle, no per-column table rescans). The wide 1-row agg
+  result is then unpivoted driver-free with ``stack``.
+- ``check_unique`` is a key-hash aggregation (one shuffle) that returns
+  offending keys, not a boolean — at scale you want the violation set.
+- ``orphan_rows`` is a left-anti join; the parent side's key projection
+  is broadcast when small, else sort-merge — Catalyst/AQE choose.
+
+Min/max are cast to string so one tall schema fits every column type;
+distinct counts are exact (use ext sketches for approximate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Tall per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val) — one aggregation job for all columns."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        F.col("_n_rows").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def check_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key combinations appearing more than once, with their counts.
+    Empty result == uniqueness holds."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def orphan_rows(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Child rows whose foreign key has no match in the parent table
+    (referential-integrity violations), via left-anti join."""
+    return child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+
+
+def quality_summary(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    references: list[tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """One-row violation-count summary across all declared constraints.
+    Each constraint contributes one count row; 0 everywhere == clean.
+    Counts run as independent jobs unioned into a single tall result:
+    (check_name, n_violations)."""
+    spark = df.sparkSession
+    rows: list[DataFrame] = []
+
+    def one(name: str, n_df: DataFrame) -> DataFrame:
+        return n_df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    for c in not_null or []:
+        rows.append(one(f"not_null:{c}", df.where(F.col(c).isNull())))
+    for keys in unique or []:
+        rows.append(one(f"unique:{','.join(keys)}", check_unique(df, keys)))
+    for parent, fk, pk in references or []:
+        rows.append(one(f"fk:{fk}->{pk}", orphan_rows(df, parent, fk, pk)))
+    if not rows:
+        return spark.createDataFrame([], "check_name string, n_violations long")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

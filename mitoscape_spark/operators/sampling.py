@@ -54,6 +54,30 @@ def deterministic_sample(
     return df.where(_hash_prefix(key_col, salt) < F.lit(hex_threshold(fraction)))
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: partition the hash space
+    into contiguous bands, one per split, in the given dict order.
+    Fractions must sum to <= 1; any hash above the last band gets NULL
+    (i.e. held out). Same scale shape as sampling: a narrow projection,
+    no shuffle, identical assignment on every run and engine."""
+    h = _hash_prefix(key_col, salt)
+    expr: Column = F.lit(None).cast("string")
+    hi = 0.0
+    bands = []
+    for name, fraction in fractions.items():
+        lo, hi = hi, hi + fraction
+        bands.append((name, hex_threshold(lo), hex_threshold(hi)))
+    for name, lo_t, hi_t in reversed(bands):
+        expr = F.when((h >= lo_t) & (h < hi_t), name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def weighted_mix(
     df: DataFrame,
     stratum_col: str,

@@ -997,6 +997,99 @@ def ext_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + whitespace normalization + per-doc leak audit —
+    all JVM-side regexp expressions, one narrow scan, no shuffle."""
+    from mitoscape_spark.operators.redact import (
+        normalize_text,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = normalize_text(
+        pii_counts(redact_pii(docs)), "redacted", "clean"
+    )
+    return red.select(
+        "doc_id",
+        "clean",
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    ).orderBy("doc_id")
+
+
+def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of orders — ONE aggregation job
+    for all four columns (multi-COUNT-DISTINCT via Catalyst Expand),
+    unpivoted with stack; no per-column rescans."""
+    from mitoscape_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("col_name")
+
+
+def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over lineitem: NOT NULL, key uniqueness
+    (known-violated in this corpus — nonzero count expected), and two
+    referential-integrity checks via left-anti joins."""
+    from mitoscape_spark.operators.profile import quality_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return quality_summary(
+        li,
+        not_null=["l_orderkey", "l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        references=[
+            (orders, "l_orderkey", "o_orderkey"),
+            (part, "l_partkey", "p_partkey"),
+        ],
+    ).orderBy("check_name")
+
+
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on plain parquet: snapshot ⟵ change set (10% updates
+    + a batch of inserts) via anti-join + union. The change set
+    broadcasts; the snapshot is never shuffled."""
+    from mitoscape_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    # integer-cents price: exact cross-engine arithmetic (double ROUND
+    # tie behavior differs between engines at the 3rd decimal)
+    target = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    updates = target.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "price_cents", F.expr("price_cents * 11 div 10")
+    )
+    inserts = target.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    merged = merge_upsert(target, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.orderBy("o_orderkey")
+
+
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash bands
+    (80/10/10), aggregated per (split, lang) — reproducible on any
+    cluster size and engine; the assignment itself is shuffle-free."""
+    from mitoscape_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -1072,6 +1165,11 @@ QUERIES = {
     "ext_decontaminate": ext_decontaminate,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_sample_mix": ext_sample_mix,
+    "ext_redact": ext_redact,
+    "ext_profile": ext_profile,
+    "ext_data_quality": ext_data_quality,
+    "ext_merge_upsert": ext_merge_upsert,
+    "ext_hash_split": ext_hash_split,
 }
 
 ORACLE = {
@@ -1636,6 +1734,116 @@ ORACLE = {
                    WHEN lang = 'de' THEN '8000'
                    ELSE 'g' END
         ORDER BY doc_id
+    """,
+    "ext_redact": """
+        SELECT doc_id,
+               lower(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               'https?://[A-Za-z0-9./_%?&=#-]+',
+                               '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()-]{6,}[0-9]', '<PHONE>', 'g'),
+                   '[ \t\n\r]+', ' ', 'g'))) AS clean,
+               len(regexp_extract_all(text,
+                   'https?://[A-Za-z0-9./_%?&=#-]+')) AS n_url,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(text,
+                   '\\+?[0-9][0-9()-]{6,}[0-9]')) AS n_phone
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_profile": """
+        SELECT * FROM (
+            SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+        ) ORDER BY col_name
+    """,
+    "ext_data_quality": """
+        SELECT * FROM (
+            SELECT 'not_null:l_orderkey' AS check_name,
+                   COUNT(*) AS n_violations
+            FROM lineitem WHERE l_orderkey IS NULL
+            UNION ALL
+            SELECT 'not_null:l_quantity', COUNT(*)
+            FROM lineitem WHERE l_quantity IS NULL
+            UNION ALL
+            SELECT 'unique:l_orderkey,l_linenumber', COUNT(*) FROM (
+                SELECT 1 FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+            )
+            UNION ALL
+            SELECT 'fk:l_orderkey->o_orderkey', COUNT(*)
+            FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+            )
+            UNION ALL
+            SELECT 'fk:l_partkey->p_partkey', COUNT(*)
+            FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey
+            )
+        ) ORDER BY check_name
+    """,
+    "ext_merge_upsert": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents
+            FROM orders
+        ),
+        src AS (
+            SELECT o_orderkey, price_cents * 11 // 10 AS price_cents
+            FROM t WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, price_cents
+            FROM t WHERE o_orderkey % 7 = 3
+        ),
+        merged AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT t.* FROM t WHERE NOT EXISTS (
+                SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+            )
+        )
+        SELECT o_orderkey, price_cents FROM merged ORDER BY o_orderkey
+    """,
+    "ext_hash_split": """
+        WITH s AS (
+            SELECT CASE
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                ELSE 'test' END AS split, lang
+            FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)

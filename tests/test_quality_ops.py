@@ -1,0 +1,164 @@
+"""Data-quality surface: PII redaction / normalization, table
+profiling, constraint validation, merge/upsert, hash splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mitoscape_spark.catalog import load_table
+from mitoscape_spark.operators.merge import apply_changes, merge_upsert
+from mitoscape_spark.operators.profile import (
+    check_unique,
+    orphan_rows,
+    profile_columns,
+    quality_summary,
+)
+from mitoscape_spark.operators.redact import (
+    normalize_text,
+    pii_counts,
+    redact_pii,
+)
+from mitoscape_spark.operators.sampling import assign_splits
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- redact
+def test_redact_pii_all_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk today"),
+            (2, "see https://example.com/a/b?q=1#frag for details"),
+            (3, "call +1(555)123-4567 now"),
+            (4, "clean text, nothing to hide"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.redacted for r in redact_pii(docs).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "see <URL> for details"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "clean text, nothing to hide"
+
+
+def test_pii_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a@b.io c@d.io and https://x.y plus +1555123456789")],
+        "doc_id long, text string",
+    )
+    r = pii_counts(docs).first()
+    assert (r.n_email, r.n_url, r.n_phone) == (2, 1, 1)
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "  A\tB\n\nC   d  ")], "doc_id long, text string"
+    )
+    r = normalize_text(docs).first()
+    assert r.normalized == "a b c d"
+
+
+# ------------------------------------------------------------- profile
+def test_profile_columns_single_job(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "y")],
+        "k long, v string",
+    )
+    prof = {r.col_name: r for r in profile_columns(df, ["k", "v"]).collect()}
+    k, v = prof["k"], prof["v"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (4, 1, 2)
+    assert (k.min_val, k.max_val) == ("1", "2")
+    assert (v.n_rows, v.n_nulls, v.n_distinct) == (4, 1, 2)
+    assert (v.min_val, v.max_val) == ("x", "y")
+
+
+def test_check_unique_and_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 99)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    dups = check_unique(child, ["k", "fk"]).collect()
+    assert [(r.k, r.fk, r.n) for r in dups] == [(1, 10, 2)]
+    orphans = orphan_rows(child, parent, "fk", "pk").collect()
+    assert [r.fk for r in orphans] == [99]
+
+
+def test_quality_summary_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, None), (3, 99)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (99,)], "pk long")
+    res = {
+        r.check_name: r.n_violations
+        for r in quality_summary(
+            df,
+            not_null=["fk"],
+            unique=[["k"]],
+            references=[(parent, "fk", "pk")],
+        ).collect()
+    }
+    assert res["not_null:fk"] == 1
+    assert res["unique:k"] == 1  # k=1 appears twice -> one violating key
+    # fk=None and fk=2's row: NULL fk doesn't match -> orphan; 10/99 match
+    assert res["fk:fk->pk"] == 1
+
+
+# --------------------------------------------------------------- merge
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    merged = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_apply_changes_deletes_and_upserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, None, "D"), (2, "B", "U"), (4, "D", "I")],
+        "k long, v string, op string",
+    )
+    out = {r.k: r.v for r in apply_changes(target, changes, ["k"]).collect()}
+    assert out == {2: "B", 3: "c", 4: "D"}
+
+
+# --------------------------------------------------------------- split
+def test_assign_splits_disjoint_total_deterministic(spark):
+    docs = load_table(spark, SF, "documents")
+    s1 = assign_splits(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = s1.select("doc_id", "split").collect()
+    n = docs.count()
+    # every row assigned exactly one split; fractions sum to 1 -> no NULLs
+    assert len(rows) == n
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert by["train"] | by.get("val", set()) | by.get("test", set()) == {
+        r.doc_id for r in rows
+    }
+    # rough proportions at n=50: train dominates
+    assert len(by["train"]) > len(by.get("val", set()))
+    # deterministic: a repartitioned rerun assigns identically
+    s2 = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            docs.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert s2 == {r.doc_id: r.split for r in rows}
+
+
+def test_assign_splits_holdout_band(spark):
+    docs = load_table(spark, SF, "documents")
+    out = assign_splits(docs, "doc_id", {"train": 0.5})
+    n_null = out.where(F.col("split").isNull()).count()
+    n_train = out.where(F.col("split") == "train").count()
+    assert n_null + n_train == docs.count()
+    assert n_null > 0 and n_train > 0
