@@ -30,6 +30,33 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenization regex, restricted to the Java/RE2-common
+# subset: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual spaces. (The original's trailing-space
+# lookahead `\s+(?!\S)` is dropped — RE2 has no lookaround.)
+BPE_SPLIT_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\p{L}\\p{N} ]+"
+    "| +"
+)
+
+
+def bpe_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real BPE-style pre-tokenization (vs token_counts' chars/4
+    estimate): regexp_extract_all against the GPT-2 split pattern —
+    JVM-side, narrow, no Python boundary. Returns the token array plus
+    total/distinct counts per doc."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        toks.alias("bpe_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
     composite score in [0,1] (rounded for cross-engine comparison)."""

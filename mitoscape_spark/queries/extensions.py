@@ -1090,6 +1090,113 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE-style pre-tokenization (GPT-2 split regex, lookaround-
+    free subset) — token array + total/distinct counts, all JVM-side."""
+    from mitoscape_spark.operators.textstats import bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_tokens(docs).orderBy("doc_id")
+
+
+# TPC-H Q12 shape: conditional CASE aggregation over a fact-fact join.
+_SHIPMODE_PRIORITY_SQL = """
+    SELECT l.l_linestatus AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY l.l_linestatus
+    ORDER BY shipmode
+"""
+
+
+def ext_sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-based conditional counts ride the single
+    partial+final hash agg — one shuffle for both measures."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHIPMODE_PRIORITY_SQL)
+
+
+# TPC-H Q14 shape: conditional-revenue ratio, one row.
+_PROMO_REVENUE_SQL = """
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END)
+              / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+        AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def ext_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: both conditional and total revenue in ONE agg
+    pass (no second scan); part side broadcasts."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMO_REVENUE_SQL)
+
+
+# TPC-H Q16 shape: COUNT DISTINCT + NOT IN subquery.
+_PARTS_SUPPLIER_SQL = """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+
+
+def ext_sql_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN decorrelates to a broadcast null-aware
+    anti join; COUNT DISTINCT goes through the two-level Expand agg."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PARTS_SUPPLIER_SQL)
+
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact.
+_WAITING_SUPPLIER_SQL = """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+"""
+
+
+def ext_sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest decorrelation in the suite: a
+    semi AND an anti existence join against the same fact table, then
+    agg. Catalyst plans both as hash joins on l_orderkey."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WAITING_SUPPLIER_SQL)
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -1170,7 +1277,25 @@ QUERIES = {
     "ext_data_quality": ext_data_quality,
     "ext_merge_upsert": ext_merge_upsert,
     "ext_hash_split": ext_hash_split,
+    "ext_bpe_tokens": ext_bpe_tokens,
+    "ext_sql_shipmode_priority": ext_sql_shipmode_priority,
+    "ext_sql_promo_revenue": ext_sql_promo_revenue,
+    "ext_sql_parts_supplier": ext_sql_parts_supplier,
+    "ext_sql_waiting_supplier": ext_sql_waiting_supplier,
 }
+
+from mitoscape_spark.operators.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
+
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+_BPE_TOKENS_ORACLE = (
+    "SELECT doc_id,\n"
+    "       regexp_extract_all(text, '" + _BPE_PAT_SQL + "') AS bpe_tokens,\n"
+    "       len(regexp_extract_all(text, '" + _BPE_PAT_SQL + "'))\n"
+    "           AS n_bpe_tokens,\n"
+    "       len(list_distinct(regexp_extract_all(text, '" + _BPE_PAT_SQL
+    + "'))) AS n_bpe_distinct\n"
+    "FROM documents ORDER BY doc_id"
+)
 
 ORACLE = {
     "ext_window_rank": """
@@ -1845,6 +1970,11 @@ ORACLE = {
         SELECT split, lang, COUNT(*) AS n
         FROM s GROUP BY split, lang ORDER BY split, lang
     """,
+    "ext_bpe_tokens": _BPE_TOKENS_ORACLE,
+    "ext_sql_shipmode_priority": _SHIPMODE_PRIORITY_SQL,
+    "ext_sql_promo_revenue": _PROMO_REVENUE_SQL,
+    "ext_sql_parts_supplier": _PARTS_SUPPLIER_SQL,
+    "ext_sql_waiting_supplier": _WAITING_SUPPLIER_SQL,
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)
 }

@@ -65,3 +65,73 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API — typed state
+# variables (value/list/map) with per-state TTL, timers, and initial
+# state. Same state-store scaling story as above; richer surface.
+# Runtime deps: the RocksDB state store provider, and google.protobuf
+# in the Python env (the TWS driver worker imports it) — the test is
+# skipped where protobuf is absent.
+# ------------------------------------------------------------------
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Per-key running (count, sum) plus a bounded recent-values
+        list — exercises both ValueState and ListState. ``ttl_ms``
+        evicts state for keys idle longer than the TTL (the 100 TB
+        key-space budget knob)."""
+
+        def __init__(self, recent_keep: int = 3, ttl_ms: int | None = None):
+            self._keep = recent_keep
+            self._ttl = ttl_ms
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, s double", ttlDurationMs=self._ttl
+            )
+            self._recent = handle.getListState("recent", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            tail: list[float] = []
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                tail += [float(v) for v in pdf["value"].tail(self._keep)]
+            self._agg.update((n, s))
+            prev = [r[0] for r in self._recent.get()] if self._recent.exists() else []
+            window = (prev + tail)[-self._keep:]
+            self._recent.put([(v,) for v in window])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "recent": [window],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(
+        events: DataFrame, recent_keep: int = 3, ttl_ms: int | None = None
+    ) -> DataFrame:
+        """``running_user_stats`` on the transformWithStateInPandas API:
+        per-user running count/sum (ValueState) + last-N values
+        (ListState), optional state TTL."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(recent_keep, ttl_ms),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double,"
+                " recent array<double>"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    pass

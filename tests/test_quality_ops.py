@@ -162,3 +162,18 @@ def test_assign_splits_holdout_band(spark):
     n_train = out.where(F.col("split") == "train").count()
     assert n_null + n_train == docs.count()
     assert n_null > 0 and n_train > 0
+
+
+# ----------------------------------------------------------- bpe tokens
+def test_bpe_tokens_gpt2_style_split(spark):
+    from mitoscape_spark.operators.textstats import bpe_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "I'll pay 42 dollars, ok?")], "doc_id long, text string"
+    )
+    r = bpe_tokens(docs).first()
+    assert r.bpe_tokens == [
+        "I", "'ll", " pay", " 42", " dollars", ",", " ok", "?"
+    ]
+    assert r.n_bpe_tokens == 8
+    assert r.n_bpe_distinct == 8

@@ -222,3 +222,93 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     run_once()  # restart: must pick up ONLY b1
     got = spark.read.parquet(out).count()
     assert got == events.count()
+
+
+def _has_protobuf() -> bool:
+    try:  # TWS's Python driver worker imports google.protobuf at start
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas runner requires google.protobuf "
+    "(not installed in this container; operator code is API-complete, "
+    "exercised wherever protobuf is present)",
+)
+def test_transform_with_state_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState + ListState carry
+    across micro-batches; final per-user count/sum equals the batch agg."""
+    import os
+
+    from mitoscape_spark.streaming.stateful import running_user_stats_tws
+
+    events = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    stream_dir = str(tmp_path / "tws_stream")
+    half = events.count() // 2
+    first = events.limit(half)
+    second = events.subtract(first)
+    first.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_user_stats_tws(stream, recent_keep=3)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_smoke")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    updates = spark.sql("SELECT * FROM tws_smoke").collect()
+    final = {}
+    for r in updates:  # appended in batch order; highest count wins
+        prev_r = final.get(r.user_id)
+        if prev_r is None or r.n_events >= prev_r[0]:
+            final[r.user_id] = (r.n_events, r.sum_value, r.recent)
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    expected = {r.user_id: (r.n, r.s) for r in batch}
+    assert {u: v[0] for u, v in final.items()} == {
+        u: v[0] for u, v in expected.items()
+    }
+    all_values = {
+        u: {round(float(r.value), 6) for r in events.where(F.col("user_id") == u).collect()}
+        for u in list(expected)[:3]
+    }
+    for u, (n, s, recent) in final.items():
+        assert s == pytest.approx(expected[u][1], rel=1e-9)
+        assert 1 <= len(recent) <= 3
+        if u in all_values:
+            assert {round(v, 6) for v in recent} <= all_values[u]
