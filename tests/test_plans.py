@@ -60,3 +60,39 @@ def test_jvm_pipelines_have_no_python(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has Python in the hot path"
         )
+
+
+def test_waiting_supplier_plans_semi_and_anti(spark):
+    # Q21 shape: EXISTS -> semi join, NOT EXISTS -> anti join, both
+    # decorrelated to hash joins (no nested loop)
+    plan = plan_of(EXT["ext_sql_waiting_supplier"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merge_upsert_broadcasts_change_keys(spark):
+    # the anti-join side (change-set keys) must broadcast: the snapshot
+    # is never shuffled
+    plan = plan_of(EXT["ext_merge_upsert"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_new_text_ops_stay_jvm_side(spark):
+    for name in ["ext_redact", "ext_bpe_tokens", "ext_hash_split",
+                 "ext_sample_mix", "ext_decontaminate"]:
+        plan = plan_of(EXT[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has Python in the hot path"
+        )
+
+
+def test_profile_is_single_aggregation_pass(spark):
+    # one agg over the table: exactly one Exchange (the partial->final
+    # boundary); no join, no second scan
+    plan = plan_of(EXT["ext_profile"](spark, SF))
+    assert "Join" not in plan, plan
+    # exactly one scan (tree + detail each mention it once per scan node)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    # multi-COUNT-DISTINCT rides one pass via Expand
+    assert "Expand" in plan, plan
