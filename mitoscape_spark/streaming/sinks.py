@@ -1,0 +1,80 @@
+"""Streaming sinks beyond the memory/console built-ins: partitioned
+parquet append and a foreachBatch idempotent-upsert sink.
+
+``foreachBatch`` is Spark's escape hatch for sinks Structured Streaming
+doesn't ship (JDBC upsert, MERGE into a lake table, multi-sink fanout).
+The contract that makes it exactly-once: the batch function receives
+``(batch_df, batch_id)`` and must be *idempotent per batch_id* — on
+failure/restart the same micro-batch is re-delivered with the same id.
+
+``upsert_to_parquet`` composes the engine's own rewrite-merge
+(operators/merge.py::merge_upsert) inside foreachBatch: each micro-batch
+is merged into the snapshot by key, so replays converge to the same
+snapshot instead of duplicating appends — the plain-parquet stand-in
+for MERGE INTO on a table format.
+
+Scale: the snapshot rewrite is proportional to snapshot size, which is
+the plain-parquet cost of mutability (table formats buy you file-level
+pruning here); the merge join itself broadcasts the micro-batch side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from mitoscape_spark.operators.merge import merge_upsert
+
+
+def append_partitioned(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """Append-mode partitioned parquet sink — the default landing zone
+    for raw event streams (hive-style layout, prunable downstream)."""
+    w = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    return w.start()
+
+
+def upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+) -> StreamingQuery:
+    """foreachBatch upsert sink: each micro-batch is rewrite-merged into
+    the parquet snapshot at ``path`` by ``keys``. Idempotent per
+    batch_id replay: merging the same batch twice yields the same
+    snapshot (last write per key wins within a batch via dropDuplicates).
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, batch, keys)
+        except Exception:  # first batch: no snapshot yet
+            merged = batch
+        # rewrite snapshot: stage in memory (bench-scale) or to a temp
+        # dir then swap in production; localCheckpoint breaks the
+        # read-own-input cycle
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
