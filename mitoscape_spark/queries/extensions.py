@@ -1090,6 +1090,21 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine-similar document pairs via the fitted ml feature
+    pipeline + inverted-index join. Rows-only check (HashingTF's JVM
+    murmur hash has no DuckDB equivalent); ranking quality is asserted
+    in tests/test_quality_ops.py."""
+    from mitoscape_spark.operators.tfidf import tfidf_similar_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_similar_pairs(docs, threshold=0.85)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE-style pre-tokenization (GPT-2 split regex, lookaround-
     free subset) — token array + total/distinct counts, all JVM-side."""
@@ -1277,6 +1292,7 @@ QUERIES = {
     "ext_data_quality": ext_data_quality,
     "ext_merge_upsert": ext_merge_upsert,
     "ext_hash_split": ext_hash_split,
+    "ext_tfidf_pairs": ext_tfidf_pairs,
     "ext_bpe_tokens": ext_bpe_tokens,
     "ext_sql_shipmode_priority": ext_sql_shipmode_priority,
     "ext_sql_promo_revenue": ext_sql_promo_revenue,

@@ -177,3 +177,43 @@ def test_bpe_tokens_gpt2_style_split(spark):
     ]
     assert r.n_bpe_tokens == 8
     assert r.n_bpe_distinct == 8
+
+
+# --------------------------------------------------------------- tfidf
+def test_tfidf_similar_pairs_ranks_near_dups(spark, tmp_path):
+    from mitoscape_spark.operators.tfidf import (
+        fit_tfidf,
+        tfidf_similar_pairs,
+        tfidf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely unrelated text about spark and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_similar_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] > pairs.get((1, 3), 0.0)
+    assert pairs[(1, 2)] > 0.5
+    # unit-norm: self cosine == 1 -> vector norms are 1
+    model = fit_tfidf(docs)
+    vecs = tfidf_vectors(docs, model).collect()
+    import numpy as np
+
+    for r in vecs:
+        assert np.isclose(np.linalg.norm(r.tfidf.toArray()), 1.0)
+    # fitted corpus stats persist and reload
+    path = str(tmp_path / "tfidf_model")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    reloaded = PipelineModel.load(path)
+    a = model.transform(docs).select("tfidf").collect()
+    b = reloaded.transform(docs).select("tfidf").collect()
+    assert [r.tfidf for r in a] == [r.tfidf for r in b]
