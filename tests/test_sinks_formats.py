@@ -99,3 +99,19 @@ def test_append_partitioned_sink(spark, tmp_path):
         q.stop()
     assert any(d.startswith("v=") for d in os.listdir(out))
     assert spark.read.parquet(out).count() == 2
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from mitoscape_spark.sources.layout import compact_table
+
+    src = load_table(spark, SF, "lineitem")
+    many = str(tmp_path / "many")
+    src.repartition(40).write.parquet(many)
+    n_before = len([f for f in os.listdir(many) if f.endswith(".parquet")])
+    assert n_before == 40
+    out = str(tmp_path / "compacted")
+    n_req = compact_table(spark, many, out, target_file_mb=64)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_req == 1 and n_after == 1  # tiny input -> one target file
+    # content preserved
+    assert spark.read.parquet(out).count() == src.count()
