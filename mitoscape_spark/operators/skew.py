@@ -32,8 +32,25 @@ def salted_agg(
     we use a uniform random salt; aggregates listed here are
     merge-safe, so nondeterministic sharding does not change results.
     """
-    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    merge_fn = {
+        "sum": F.sum,
+        "count": F.sum,
+        "min": F.min,
+        "max": F.max,
+        # merge = concatenate the per-salt shards (order not guaranteed,
+        # same as unsalted collect_list). MEASURED SLOWER than unsalted
+        # for full-list materialization (PERF.md: the flatten
+        # re-concentrates the hot key onto one task) — use only when
+        # downstream consumes per-shard partials.
+        "collect_list": lambda c: F.flatten(F.collect_list(c)),
+    }
+    phase1_fn = {
+        "sum": F.sum,
+        "count": F.count,
+        "min": F.min,
+        "max": F.max,
+        "collect_list": F.collect_list,
+    }
     salted = df.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )

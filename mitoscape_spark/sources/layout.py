@@ -24,6 +24,76 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) layout: cluster rows so parquet row-group
+    min/max stats prune on ANY of ``cols``, not just the leading sort
+    key. This is what table formats call OPTIMIZE ZORDER BY, built from
+    primitives: rank each column to a bounded integer, interleave bits
+    JVM-side, then range-partition + sort by the z-value before write.
+
+    A plain ``orderBy(a, b)`` gives perfect pruning on ``a`` and none
+    on ``b``; the z-curve spreads locality across dimensions, so a
+    filter on ``b`` alone still skips most row groups. At 100 TB this
+    is the difference between scanning one dimension's slice and
+    scanning everything for the second predicate.
+
+    ``bits`` per dimension (default 16 → capped by bucket count below)
+    bounds rank resolution; ties within a quantile are fine — pruning
+    works at row-group granularity. Ranks come from QuantileDiscretizer
+    (distributed approxQuantile + Bucketizer): a scalar agg per column,
+    NO global single-partition window anywhere.
+    """
+    from pyspark.ml.feature import QuantileDiscretizer
+    from pyspark.sql import functions as F
+
+    bits = min(bits, 10)  # 1024 quantile buckets per dim is plenty
+    zparts = []
+    ranked = df
+    for i, c in enumerate(cols):
+        r = f"_rank_{i}"
+        disc = QuantileDiscretizer(
+            inputCol=c,
+            outputCol=r,
+            numBuckets=1 << bits,
+            relativeError=1.0 / (1 << (bits + 2)),
+            handleInvalid="keep",
+        )
+        ranked = disc.fit(ranked).transform(ranked)
+        ranked = ranked.withColumn(r, F.col(r).cast("long"))
+        zparts.append(r)
+
+    # Rescale every rank to the full bit width: a low-cardinality
+    # column fills fewer buckets than requested (duplicate splits
+    # collapse), and unscaled its high bits would be constant zero —
+    # the z-value would degenerate to highest-cardinality-column-first.
+    scale = (1 << bits) - 1
+    maxes = ranked.agg(*[F.max(r).alias(r) for r in zparts]).first()
+    for r in zparts:
+        ranked = ranked.withColumn(
+            r, (F.col(r) * scale / max(1, maxes[r])).cast("long")
+        )
+
+    # interleave bits of all rank columns into one long (JVM-side ops)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, r in enumerate(zparts):
+            src_bit = F.shiftright(F.col(r), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(src_bit, bit * len(zparts) + i).cast("long")
+            )
+    return (
+        ranked.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *zparts)
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -115,3 +115,50 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert n_req == 1 and n_after == 1  # tiny input -> one target file
     # content preserved
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_zorder_layout_multi_dim_skipping(spark, tmp_path):
+    """Z-order vs linear sort: per-file min/max spans of the SECOND
+    dimension must be tighter under z-order (that's the data-skipping
+    win); row content is unchanged."""
+    from mitoscape_spark.sources.layout import zorder_layout
+
+    src = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_layout(src, ["l_orderkey", "l_partkey"], n_files=8).write.parquet(
+        zpath
+    )
+    src.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(lpath)
+
+    # content preserved
+    assert (
+        sorted(map(tuple, spark.read.parquet(zpath).collect()))
+        == sorted(map(tuple, src.collect()))
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            r = (
+                spark.read.parquet(os.path.join(path, f))
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .first()
+            )
+            spans.append(r.hi - r.lo)
+        return spans
+
+    domain = (
+        src.agg((F.max("l_partkey") - F.min("l_partkey")).alias("d")).first().d
+    )
+    z_cover = sum(file_spans(zpath, "l_partkey")) / (8 * domain)
+    lin_cover = sum(file_spans(lpath, "l_partkey")) / (8 * domain)
+    # linear layout: every file spans ~the whole partkey domain (~1.0);
+    # z-order: files cover distinctly less
+    assert z_cover < lin_cover * 0.8, (z_cover, lin_cover)

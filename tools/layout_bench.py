@@ -71,6 +71,50 @@ def main() -> None:
         "files_compacted": n,
         "scan_compacted_s": round(timed_scan(spark, few), 3),
     }
+
+    # z-order vs linear sort: fraction of parquet row groups a range
+    # predicate on the SECOND clustering column must scan (footer
+    # min/max stats via pyarrow — deterministic, no timing noise)
+    from mitoscape_spark.sources.layout import zorder_layout
+
+    zpath = str(work / "li_zorder")
+    lpath = str(work / "li_linear")
+    zorder_layout(li, ["l_orderkey", "l_partkey"], n_files=8).write.option(
+        "parquet.block.size", 1 << 20
+    ).parquet(zpath)
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.option("parquet.block.size", 1 << 20).parquet(lpath)
+
+    import pyarrow.parquet as pq
+
+    lo, hi = li.selectExpr(
+        "min(l_partkey)", "max(l_partkey)"
+    ).first()
+    qlo, qhi = lo, lo + (hi - lo) * 0.1  # 10%-of-domain predicate
+
+    def groups_hit(path: str) -> tuple[int, int]:
+        hit = total = 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(len(md.schema))
+            }["l_partkey"]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= qhi and st.max >= qlo:
+                    hit += 1
+        return hit, total
+
+    zh, zt = groups_hit(zpath)
+    lh, lt = groups_hit(lpath)
+    results["zorder_rowgroup_pruning"] = {
+        "predicate": "l_partkey in lowest 10% of domain",
+        "zorder_groups_scanned": f"{zh}/{zt}",
+        "linear_groups_scanned": f"{lh}/{lt}",
+    }
     print(json.dumps(results))
 
 

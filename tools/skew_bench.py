@@ -22,10 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_session(skew_join: bool) -> SparkSession:
@@ -85,6 +89,35 @@ def run_variant(variant: str, n_rows: int, n_dim: int) -> dict:
         spark.stop()
 
 
+def run_agg_variant(variant: str, n_rows: int, n_dim: int) -> dict:
+    """Aggregation skew: collect_list on a 50%-hot key. Partial
+    aggregation can't reduce list buffers map-side, so the hot key's
+    values all shuffle to one task. Salting shards the SHUFFLE+BUILD
+    across n_salts tasks; the phase-2 flatten re-concentrates, so any
+    win is bounded — measured, either way, not assumed."""
+    spark = build_session(skew_join=False)
+    try:
+        fact, _ = synth(spark, n_rows, n_dim)
+        fact.count()
+        t0 = time.perf_counter()
+        if variant == "agg-salted":
+            from mitoscape_spark.operators.skew import salted_agg
+
+            agged = salted_agg(
+                fact, "k", {"vals": ("v", "collect_list")}, n_salts=32
+            )
+        else:
+            agged = fact.groupBy("k").agg(F.collect_list("v").alias("vals"))
+        n = (
+            agged.select(F.sum(F.size("vals")).alias("total"))
+            .collect()[0]["total"]
+        )
+        dt = time.perf_counter() - t0
+        return {"variant": variant, "sec": round(dt, 3), "rows": n}
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
@@ -94,10 +127,16 @@ def main() -> None:
         run_variant(v, args.rows, args.dim)
         for v in ("baseline", "aqe-skew", "salted")
     ]
+    results += [
+        run_agg_variant(v, args.rows, args.dim)
+        for v in ("agg-baseline", "agg-salted")
+    ]
     for r in results:
         print(json.dumps(r))
-    counts = {r["rows"] for r in results}
-    assert len(counts) == 1, f"row counts diverge: {results}"
+    counts = {r["rows"] for r in results[:3]}
+    assert len(counts) == 1, f"join row counts diverge: {results}"
+    agg_counts = {r["rows"] for r in results[3:]}
+    assert len(agg_counts) == 1, f"agg value counts diverge: {results}"
 
 
 if __name__ == "__main__":
