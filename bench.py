@@ -42,7 +42,17 @@ def main() -> int:
     os.environ.setdefault(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8" if sf <= 0.5 else "32"
     )
-    spark = get_spark("bench")
+    # AQE sized to the workload like the shuffle partitions above: its
+    # runtime re-planning costs a fixed per-stage materialization that
+    # only pays off when there is something to adapt (skew, mis-sized
+    # partitions). At bench SFs partitions are pre-sized and skew-free,
+    # so adaptive is off here (measured ~20% of wall-clock, PERF.md);
+    # the session default everywhere else stays ON — at 100 TB it is
+    # the skew-join and broadcast-conversion safety net.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false" if sf <= 0.5 else "true")
+    spark = get_spark(
+        "bench", extra_conf={"spark.sql.adaptive.enabled": aqe}
+    )
 
     def run_once(fn) -> None:
         df = fn(spark, sf_dir)
