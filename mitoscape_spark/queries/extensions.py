@@ -1105,6 +1105,44 @@ def ext_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: grouped-agg pandas UDF (geometric mean of
+    1+n_chars per lang). Python aggregates have no partial/merge phase —
+    the oracle's exp(avg(ln(1+x))) decomposition is what you'd ship for
+    hot keys (functions/aggregates.py docstring)."""
+    from mitoscape_spark.functions.aggregates import geometric_mean_1p
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(geometric_mean_1p("n_chars"), 4).alias("geomean_chars"))
+        .orderBy("lang")
+    )
+
+
+def ext_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, vs ext_sliding_sum's row-based):
+    per-user rolling 1-hour sum keyed on exact event-time microseconds.
+    One shuffle on user_id; WindowExec streams each sorted partition."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE-style pre-tokenization (GPT-2 split regex, lookaround-
     free subset) — token array + total/distinct counts, all JVM-side."""
@@ -1293,6 +1331,8 @@ QUERIES = {
     "ext_merge_upsert": ext_merge_upsert,
     "ext_hash_split": ext_hash_split,
     "ext_tfidf_pairs": ext_tfidf_pairs,
+    "ext_udaf_geomean": ext_udaf_geomean,
+    "ext_range_window": ext_range_window,
     "ext_bpe_tokens": ext_bpe_tokens,
     "ext_sql_shipmode_priority": ext_sql_shipmode_priority,
     "ext_sql_promo_revenue": ext_sql_promo_revenue,
@@ -1985,6 +2025,20 @@ ORACLE = {
         )
         SELECT split, lang, COUNT(*) AS n
         FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    "ext_udaf_geomean": """
+        SELECT lang,
+               ROUND(EXP(AVG(LN(1 + n_chars))), 4) AS geomean_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "ext_range_window": """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ), 4) AS hour_sum
+        FROM events ORDER BY user_id, event_id
     """,
     "ext_bpe_tokens": _BPE_TOKENS_ORACLE,
     "ext_sql_shipmode_priority": _SHIPMODE_PRIORITY_SQL,

@@ -4,6 +4,7 @@ profiling, constraint validation, merge/upsert, hash splits.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mitoscape_spark.catalog import load_table
@@ -217,3 +218,23 @@ def test_tfidf_similar_pairs_ranks_near_dups(spark, tmp_path):
     a = model.transform(docs).select("tfidf").collect()
     b = reloaded.transform(docs).select("tfidf").collect()
     assert [r.tfidf for r in a] == [r.tfidf for r in b]
+
+
+# ---------------------------------------------------------------- udaf
+def test_grouped_agg_pandas_udaf(spark):
+    import math
+
+    from mitoscape_spark.functions.aggregates import geometric_mean_1p
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 7), ("b", 3)], "g string, v long"
+    )
+    got = {
+        r.g: r.gm
+        for r in df.groupBy("g")
+        .agg(geometric_mean_1p("v").alias("gm"))
+        .collect()
+    }
+    exp_a = math.exp((math.log(1) + math.log(2) + math.log(8)) / 3)
+    assert got["a"] == pytest.approx(exp_a, rel=1e-12)
+    assert got["b"] == pytest.approx(4.0, rel=1e-12)
