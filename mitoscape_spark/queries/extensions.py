@@ -1130,7 +1130,9 @@ def ext_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # parquet may surface ts as TIMESTAMP_NTZ; unix_micros requires
+        # TIMESTAMP — with the session pinned to UTC the cast is exact
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-hour_us, 0)
     )
     return (
