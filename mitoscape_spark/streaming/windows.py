@@ -50,6 +50,10 @@ def events_stream(
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    # watermarks require TIMESTAMP (with local tz); parquet written by
+    # pyarrow lands as TIMESTAMP_NTZ, which EventTimeWatermark rejects
+    if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(batch.columns)
 
 
@@ -136,6 +140,10 @@ def dedup_stream(
     are evicted from the state store, so memory tracks the dedup window,
     not the whole stream history. The streaming twin of
     operators.dedup.exact_dedup."""
+    if dict(events.dtypes)[watermark_col] == "timestamp_ntz":
+        events = events.withColumn(
+            watermark_col, F.col(watermark_col).cast("timestamp")
+        )
     return events.withWatermark(watermark_col, watermark).dropDuplicates(
         [*keys, watermark_col]
     )
