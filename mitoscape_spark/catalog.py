@@ -35,9 +35,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Catalog metadata cache: `spark.read.parquet` pays a driver-side file
+# listing + footer schema read on every call (~0.1 s locally; a real
+# metastore round-trip on a cluster). The resolved DataFrame (analyzed
+# logical plan over an InMemoryFileIndex) is immutable and reusable, so
+# cache it per (application, path) — exactly what a metastore-backed
+# catalog does with table metadata. Scan partitioning is decided at
+# physical-planning time from the current session conf, so cached
+# entries still respect per-query maxPartitionBytes etc.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # parquet TIMESTAMP(NANOS) read as long (see session.py); truncate
@@ -46,6 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer DIV, not float /: ns-since-epoch (~1.7e18) exceeds the
         # double's exact-integer range, float division would corrupt µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
