@@ -63,6 +63,9 @@ def main() -> int:
         extra_conf={
             "spark.sql.adaptive.enabled": aqe,
             "spark.sql.files.maxPartitionBytes": mpb,
+            # fixed-size local cluster: tasks can't gain locality by
+            # waiting, so don't let the delay scheduler hold them
+            "spark.locality.wait": "0",
         },
     )
 

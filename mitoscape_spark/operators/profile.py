@@ -100,3 +100,26 @@ def quality_summary(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def observed_metrics(
+    df: DataFrame, name: str = "quality", exprs: dict[str, "F.Column"] | None = None
+):
+    """Attach one-pass observable metrics (Spark ``Observation``) to a
+    plan: counters ride the existing job as accumulator-backed
+    AggregatingAccumulator — NO extra pass over the data, unlike
+    ``quality_summary`` which launches one job per constraint.
+
+    The 100 TB shape: a pipeline stage that already writes its output
+    gets row counts / null counts / sum checks for free; alerting reads
+    the observation after the action completes.
+
+    Returns ``(observed_df, observation)``; run any action on
+    ``observed_df``, then read ``observation.get``.
+    """
+    from pyspark.sql import Observation
+
+    exprs = exprs or {"n_rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    observed = df.observe(obs, *[e.alias(k) for k, e in exprs.items()])
+    return observed, obs

@@ -149,6 +149,29 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup on business keys alone (no event-time column in
+    the key): ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival
+    of each key and guarantees suppression of duplicates arriving
+    within the watermark delay of it — the right tool when upstream
+    retries re-emit the same record with a *jittered* timestamp, where
+    ``dropDuplicates([key, ts])`` would pass both copies through.
+    State per key is evicted once the watermark passes its first-seen
+    event time, so memory tracks the dedup horizon, not history."""
+    if dict(events.dtypes)[watermark_col] == "timestamp_ntz":
+        events = events.withColumn(
+            watermark_col, F.col(watermark_col).cast("timestamp")
+        )
+    return events.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

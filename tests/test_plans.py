@@ -96,3 +96,44 @@ def test_profile_is_single_aggregation_pass(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     # multi-COUNT-DISTINCT rides one pass via Expand
     assert "Expand" in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Big-big join with a selective filter on one side: Catalyst's
+    runtime row-level filtering injects a bloom filter built from the
+    filtered (creation) side into the other side's scan, pruning shuffle
+    input before the join — the 100 TB lever when neither side
+    broadcasts. Thresholds are production-sized, so force-lower them
+    here to exercise the rewrite at test scale."""
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").where(
+            F.col("o_totalprice") > 150000
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = plan_of(joined)
+        # creation side: bloom_filter_agg over the filtered join keys;
+        # application side: a might_contain probe above the other scan
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -238,3 +238,32 @@ def test_grouped_agg_pandas_udaf(spark):
     exp_a = math.exp((math.log(1) + math.log(2) + math.log(8)) / 3)
     assert got["a"] == pytest.approx(exp_a, rel=1e-12)
     assert got["b"] == pytest.approx(4.0, rel=1e-12)
+
+
+def test_observed_metrics_one_pass(spark, sf_smoke):
+    """Observation counters ride the existing action — values must match
+    a separate aggregation, with no second job over the input."""
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.catalog import load_table
+    from mitoscape_spark.operators.profile import observed_metrics
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    observed, obs = observed_metrics(
+        li,
+        "liq",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_qty": F.count(F.when(F.col("l_quantity").isNull(), 1)),
+            "sum_qty": F.sum("l_quantity"),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s"),
+    ).head()
+    assert got["n_rows"] == exact["n"]
+    assert got["n_null_qty"] == 0
+    assert abs(got["sum_qty"] - exact["s"]) < 1e-6

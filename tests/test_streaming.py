@@ -312,3 +312,37 @@ def test_transform_with_state_across_batches(spark, tmp_path):
         assert 1 <= len(recent) <= 3
         if u in all_values:
             assert {round(v, 6) for v in recent} <= all_values[u]
+
+
+def test_dedup_within_watermark_collapses_jittered_retries(spark, tmp_path):
+    """Same event_id re-emitted with a jittered ts must dedup to one
+    row — dropDuplicates([key, ts]) would keep both copies."""
+    import os
+
+    from mitoscape_spark.streaming.windows import dedup_stream_within_watermark
+
+    events = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    jittered = events.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    doubled = events.unionAll(jittered)
+    stream_dir = str(tmp_path / "jitter")
+    doubled.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        dedup_stream_within_watermark(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddww_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n FROM ddww_smoke").head()["n"]
+    assert got == events.select("event_id").distinct().count()
