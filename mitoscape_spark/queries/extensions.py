@@ -1252,6 +1252,54 @@ def ext_sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_WAITING_SUPPLIER_SQL)
 
 
+def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` decodes events.props into the shredding-ready binary
+    variant encoding once, ``variant_get`` then extracts typed paths
+    without re-parsing — the modern columnar answer to heterogeneous
+    JSON at scale (vs ``from_json``, which needs a fixed schema up
+    front; see ext_json_extract for that path). All JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two order dimensions: all 4 grouping
+    combinations in ONE pass (Catalyst Expand: map-side row replication
+    ×4, still a single shuffle — no per-set rescans of the fact table).
+    Grouping nulls are coalesced to 'ALL' so both engines sort/hash
+    identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            "n",
+            "rev",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -1317,6 +1365,8 @@ QUERIES = {
     "ext_udtf_bigrams": ext_udtf_bigrams,
     "ext_robust_z": ext_robust_z,
     "ext_rollup": ext_rollup,
+    "ext_cube": ext_cube,
+    "ext_variant_json": ext_variant_json,
     "ext_quantiles": ext_quantiles,
     "ext_distinct_agg": ext_distinct_agg,
     "ext_interval_join": ext_interval_join,
@@ -1847,6 +1897,29 @@ ORACLE = {
         JOIN stats s ON e.user_id = s.user_id
         JOIN mads m ON e.user_id = m.user_id
         ORDER BY e.user_id, e.event_id
+    """,
+    "ext_cube": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    "ext_variant_json": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        WHERE k >= 50
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "ext_rollup": """
         SELECT COALESCE(n_name, 'ALL') AS n_name,

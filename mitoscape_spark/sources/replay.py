@@ -1,0 +1,177 @@
+"""Deterministic event-replay as a Spark 4 **Python streaming data
+source** (``DataSourceStreamReader``) — the streaming twin of the
+batch ``samtext`` source (sources/sam.py).
+
+``spark.readStream.format("eventreplay").option("path", events_parquet)
+.option("batchSize", 5000).load()`` replays a parquet snapshot through
+the Structured Streaming engine in fixed-size micro-batches, in stable
+file row order. This is the standard backfill/regression harness shape:
+the same windowed/session/stateful plans that run against live streams
+re-run against historical data with reproducible micro-batch
+boundaries (file-stream sources batch by *file*, so they can't split a
+single large snapshot deterministically).
+
+Offset model: ``{"row": n}`` — rows [start, end) of the snapshot per
+micro-batch; `partitions()` splits the range into row-group-aligned
+chunks when possible. Executors read ONLY their row slice: pyarrow
+row-group pruning skips whole groups outside the slice, so a replay of
+a 10k-row-group-sized snapshot never materializes the file per task.
+Arrow RecordBatches go straight into Spark (no per-row Python loop).
+
+Timestamps: parquet TIMESTAMP(NANOS) is cast to µs-precision UTC so the
+declared Spark type is TimestampType — watermarks work downstream
+(EventTimeWatermark rejects TIMESTAMP_NTZ).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+class _RowRangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _arrow_schema_to_spark(pa_schema) -> StructType:
+    import pyarrow as pa
+
+    fields = []
+    for f in pa_schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            spark_t = TimestampType()
+        elif pa.types.is_integer(t):
+            spark_t = LongType()
+        elif pa.types.is_floating(t):
+            spark_t = DoubleType()
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            spark_t = StringType()
+        else:
+            raise TypeError(f"eventreplay: unsupported column type {t}")
+        fields.append(StructField(f.name, spark_t, True))
+    return StructType(fields)
+
+
+def _normalize_batch(batch, target_names):
+    """Cast ns timestamps to µs UTC; int32→int64, float32→float64 so the
+    Arrow batch matches the declared Spark schema exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401  (kept for cast kernels)
+
+    cols = []
+    for name in target_names:
+        col = batch.column(batch.schema.get_field_index(name))
+        t = col.type
+        if pa.types.is_timestamp(t):
+            col = col.cast(pa.timestamp("us", tz="UTC"))
+        elif pa.types.is_integer(t) and t != pa.int64():
+            col = col.cast(pa.int64())
+        elif pa.types.is_floating(t) and t != pa.float64():
+            col = col.cast(pa.float64())
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, names=list(target_names))
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("eventreplay requires .option('path', ...)")
+        self._batch_size = int(options.get("batchsize", 10_000))
+        self._chunk_rows = int(options.get("chunkrows", self._batch_size))
+        self._names = schema.fieldNames()
+        import pyarrow.parquet as pq
+
+        self._total_rows = pq.ParquetFile(self._path).metadata.num_rows
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # admission control: advance one micro-batch of rows per trigger
+        # (the row-offset analog of maxFilesPerTrigger); the replay ends
+        # when the cursor reaches the snapshot size and the offset stops
+        # moving, which processAllAvailable() detects as caught-up
+        self._cursor = min(self._cursor + self._batch_size, self._total_rows)
+        return {"row": self._cursor}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            return [_RowRangePartition(self._path, lo, lo)]
+        out = []
+        pos = lo
+        while pos < hi:
+            nxt = min(pos + self._chunk_rows, hi)
+            out.append(_RowRangePartition(self._path, pos, nxt))
+            pos = nxt
+        return out
+
+    def read(self, partition: _RowRangePartition) -> Iterator:
+        if partition.end <= partition.start:
+            return
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        # row-group pruning: only groups overlapping [start, end)
+        row0 = 0
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            rg_lo, rg_hi = row0, row0 + n
+            row0 = rg_hi
+            if rg_hi <= partition.start or rg_lo >= partition.end:
+                continue
+            tbl = pf.read_row_group(rg, columns=list(self._names))
+            lo = max(partition.start - rg_lo, 0)
+            hi = min(partition.end - rg_lo, n)
+            sliced = tbl.slice(lo, hi - lo)
+            for batch in sliced.to_batches():
+                if batch.num_rows:
+                    yield _normalize_batch(batch, self._names)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class EventReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "eventreplay"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("eventreplay requires .option('path', ...)")
+        return _arrow_schema_to_spark(pq.read_schema(path))
+
+    def streamReader(self, schema: StructType) -> _ReplayStreamReader:
+        return _ReplayStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EventReplayDataSource)

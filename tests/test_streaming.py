@@ -346,3 +346,53 @@ def test_dedup_within_watermark_collapses_jittered_retries(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT COUNT(*) AS n FROM ddww_smoke").head()["n"]
     assert got == events.select("event_id").distinct().count()
+
+
+def test_event_replay_python_streaming_source(spark):
+    """Spark 4 Python streaming data source: a parquet snapshot replayed
+    in fixed-size micro-batches must produce the same windowed rollup as
+    the batch plan, across >1 micro-batch."""
+    from mitoscape_spark.sources.replay import register
+
+    register(spark)
+    path = f"{SF}/events.parquet"
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", path)
+        .option("batchSize", 300)
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n", "v"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("replay_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert n_batches > 1, "replay must split the snapshot into micro-batches"
+    got = {
+        (r.w_start, r.event_type): (r.n, r.v)
+        for r in spark.sql("SELECT * FROM replay_win").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n", "v")
+        .collect()
+    )
+    expected = {(r.w_start, r.event_type): (r.n, r.v) for r in batch}
+    assert got == expected
