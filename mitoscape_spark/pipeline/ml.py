@@ -114,3 +114,56 @@ def evaluate_accuracy(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     )
     return float(evaluator.evaluate(predictions))
+
+
+def tune_rf(
+    training: DataFrame,
+    num_trees_grid: list[int] | None = None,
+    max_depth_grid: list[int] | None = None,
+    n_folds: int = 3,
+    parallelism: int = 4,
+    seed: int = 42,
+):
+    """Hyperparameter search the reference lacks entirely (its 128-tree
+    setting is hard-coded, ``MTClassifierModel.scala:38``): k-fold
+    ``CrossValidator`` over (numTrees, maxDepth), accuracy-scored.
+
+    Scale shape: each fold's fit is a distributed job; ``parallelism``
+    fits that many param combinations concurrently — on a cluster this
+    multiplies executor utilization, not driver memory (models are
+    small; training data stays partitioned). Returns
+    (best PipelineModel, avg-accuracy per param map).
+    """
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    formula = RFormula(
+        formula=FORMULA, featuresCol="features", labelCol="label"
+    )
+    rf = RandomForestClassifier(
+        labelCol="label", featuresCol="features", seed=seed
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, num_trees_grid or [32, NUM_TREES])
+        .addGrid(rf.maxDepth, max_depth_grid or [5, 8])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=Pipeline(stages=[formula, rf]),
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", metricName="accuracy"
+        ),
+        numFolds=n_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    cv_model = cv.fit(training)
+    scores = [
+        (
+            {p.name: v for p, v in pm.items()},
+            float(m),
+        )
+        for pm, m in zip(grid, cv_model.avgMetrics)
+    ]
+    return cv_model.bestModel, scores

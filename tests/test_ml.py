@@ -99,3 +99,22 @@ def test_gbt_accuracy_threshold(spark):
     train, test = labeled.randomSplit([0.7, 0.3], seed=42)
     model = train_gbt(train, seed=42)
     assert evaluate_accuracy(model, test) >= 0.85
+
+
+def test_tune_rf_cross_validation(labeled):
+    """CV over a small grid: best model must clear the same accuracy
+    bound, and every grid point must report a finite fold-averaged
+    score."""
+    from mitoscape_spark.pipeline.ml import evaluate_accuracy, tune_rf
+
+    best, scores = tune_rf(
+        labeled,
+        num_trees_grid=[8, 16],
+        max_depth_grid=[3, 5],
+        n_folds=2,
+        parallelism=2,
+    )
+    assert len(scores) == 4
+    assert all(0.0 <= s <= 1.0 for _, s in scores)
+    acc = evaluate_accuracy(best, labeled)
+    assert acc >= 0.9
