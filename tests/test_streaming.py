@@ -396,3 +396,92 @@ def test_event_replay_python_streaming_source(spark):
     )
     expected = {(r.w_start, r.event_type): (r.n, r.v) for r in batch}
     assert got == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart a checkpointed file-stream query: rows that arrived
+    before the stop must not be reprocessed after restart — the parquet
+    sink ends up with each input row exactly once."""
+    import os
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    first, second = (
+        events.where(F.col("event_id") % 2 == 0),
+        events.where(F.col("event_id") % 2 == 1),
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    def run_until_caught_up():
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_caught_up()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+    second.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    run_until_caught_up()  # restart from the same checkpoint
+    result = spark.read.parquet(out)
+    assert result.count() == events.count()
+    # each event_id exactly once — no replays, no losses
+    assert result.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_python_streaming_sink_two_phase_commit(spark, tmp_path):
+    """auditlog sink: every input row lands exactly once across
+    micro-batches; readers see only committed batches; staging is
+    empty after the run."""
+    import os
+
+    from mitoscape_spark.sources.replay import register as reg_src
+    from mitoscape_spark.streaming.pysink import (
+        read_audit_log,
+        register as reg_sink,
+    )
+
+    reg_src(spark)
+    reg_sink(spark)
+    out = str(tmp_path / "audit")
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", f"{SF}/events.parquet")
+        .option("batchSize", 400)
+        .load()
+        .select("event_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.format("auditlog")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_audit_log(
+        spark, out, "event_id long, event_type string, value double"
+    )
+    events = load_table(spark, SF, "events")
+    assert got.count() == events.count()
+    assert got.groupBy("event_id").count().where("count > 1").count() == 0
+    staged = os.listdir(os.path.join(out, "_staging"))
+    assert staged == []
+    n_batches = len(os.listdir(os.path.join(out, "_commits")))
+    assert n_batches > 1
