@@ -274,6 +274,30 @@ def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def ext_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer. Catalyst
+    decorrelates the per-row LIMIT into a window-rank over one join (no
+    per-customer re-execution); the same SQL runs verbatim on DuckDB.
+    The declarative form of the top-n-per-group pattern every pipeline
+    reinvents."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
 
 _LOCAL_SUPPLIER_VOLUME_SQL = """
     SELECT n.n_name,
@@ -1343,6 +1367,7 @@ QUERIES = {
     "ext_prep_pipeline": ext_prep_pipeline,
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
+    "ext_sql_lateral_topn": ext_sql_lateral_topn,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
     "ext_sql_local_supplier_volume": ext_sql_local_supplier_volume,
     "ext_sql_returned_items": ext_sql_returned_items,
@@ -1737,6 +1762,7 @@ ORACLE = {
     """,
     # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
+    "ext_sql_lateral_topn": _LATERAL_TOPN_SQL,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "ext_sql_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "ext_sql_returned_items": _RETURNED_ITEM_SQL,

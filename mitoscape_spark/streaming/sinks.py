@@ -78,3 +78,40 @@ def upsert_to_parquet(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def run_incremental(
+    spark,
+    src_dir: str,
+    schema,
+    transform,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental batch over a growing file directory:
+    ``Trigger.AvailableNow`` drains everything NOT yet recorded in the
+    checkpoint, then stops — the recurring-batch-job pattern (hourly
+    cron over a landing zone) with streaming's bookkeeping instead of
+    hand-rolled "which files did I already process" manifests.
+
+    Each invocation processes only new files, exactly once, and appends
+    to the parquet sink; a crash mid-run resumes from the checkpoint.
+    At scale this replaces the fragile `ls | diff` incremental-load
+    scripts — the checkpoint's file log IS the manifest, and the work
+    distributes like any other structured-streaming micro-batch.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -485,3 +485,33 @@ def test_python_streaming_sink_two_phase_commit(spark, tmp_path):
     assert staged == []
     n_batches = len(os.listdir(os.path.join(out, "_commits")))
     assert n_batches > 1
+
+
+def test_incremental_available_now_processes_only_new_files(spark, tmp_path):
+    """Two invocations over a growing landing zone: the second must
+    process only the files added in between (no reprocessing, no loss)."""
+    import os
+
+    from mitoscape_spark.streaming.sinks import run_incremental
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    a, b = (
+        events.where(F.col("event_id") % 2 == 0),
+        events.where(F.col("event_id") % 2 == 1),
+    )
+    src, out, ckpt = (
+        str(tmp_path / "land"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    a.coalesce(1).write.parquet(os.path.join(src, "h0"))
+    transform = lambda df: df.withColumn("v2", F.col("value") * 2)  # noqa: E731
+    run_incremental(spark, src, events.schema, transform, out, ckpt)
+    assert spark.read.parquet(out).count() == a.count()
+    b.coalesce(1).write.parquet(os.path.join(src, "h1"))
+    run_incremental(spark, src, events.schema, transform, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == events.count()
+    assert result.groupBy("event_id").count().where("count > 1").count() == 0
