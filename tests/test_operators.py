@@ -684,3 +684,39 @@ def test_lsh_neardup_pairs_subset_with_recall(spark, emb):
     assert approx <= exact  # exact-cosine filter ⇒ no false positives
     recall = len(approx & exact) / max(len(exact), 1)
     assert recall >= 0.5, f"LSH near-dup recall {recall} too low"
+
+
+def test_grouped_minmax_scale_arrow_matches_window(spark, sf_smoke):
+    """applyInArrow grouped map must agree with the window-function
+    formulation of per-group min-max scaling."""
+    from pyspark.sql import Window
+
+    from mitoscape_spark.catalog import load_table
+    from mitoscape_spark.operators.grouped import grouped_minmax_scale_arrow
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "value"
+    )
+    got = {
+        r.event_id: r.scaled
+        for r in grouped_minmax_scale_arrow(ev, "user_id", "value").collect()
+    }
+    w = Window.partitionBy("user_id")
+    exp_df = ev.select(
+        "event_id",
+        F.when(
+            F.max("value").over(w) != F.min("value").over(w),
+            F.round(
+                (F.col("value") - F.min("value").over(w))
+                / (F.max("value").over(w) - F.min("value").over(w)),
+                4,
+            ),
+        ).alias("scaled"),
+    )
+    expected = {r.event_id: r.scaled for r in exp_df.collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        if expected[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(expected[k], abs=1e-9)
