@@ -44,6 +44,24 @@ def prepare_features(df: DataFrame) -> DataFrame:
     return formula.fit(df).transform(df)
 
 
+def _strip_summary(model: PipelineModel, model_path: str | None) -> PipelineModel:
+    """Persist + reload so the returned model carries NO trainingSummary.
+
+    A freshly-fit classification model holds a training summary that
+    references the SparkSession; scoring closures then try to serialize
+    the session into tasks, which breaks (Spark 4.1's session carries a
+    non-serializable ObservationManager once any Observation has been
+    used). Loaded models are summary-free — and they're what production
+    scoring uses anyway, so always return the loaded form.
+    """
+    import tempfile
+
+    if model_path is None:
+        model_path = tempfile.mkdtemp(prefix="mitoscape_model_")
+    model.write().overwrite().save(model_path)
+    return PipelineModel.load(model_path)
+
+
 def train_rf(
     training: DataFrame, model_path: str | None = None, seed: int = 42
 ) -> PipelineModel:
@@ -53,9 +71,7 @@ def train_rf(
         labelCol="label", featuresCol="features", numTrees=NUM_TREES, seed=seed
     )
     model = Pipeline(stages=[formula, rf]).fit(training)
-    if model_path:
-        model.write().overwrite().save(model_path)
-    return model
+    return _strip_summary(model, model_path)
 
 
 def train_gbt(
@@ -72,9 +88,7 @@ def train_gbt(
         seed=seed,
     )
     model = Pipeline(stages=[formula, gbt]).fit(training)
-    if model_path:
-        model.write().overwrite().save(model_path)
-    return model
+    return _strip_summary(model, model_path)
 
 
 def load_pipeline_model(model_path: str) -> PipelineModel:
@@ -166,4 +180,4 @@ def tune_rf(
         )
         for pm, m in zip(grid, cv_model.avgMetrics)
     ]
-    return cv_model.bestModel, scores
+    return _strip_summary(cv_model.bestModel, None), scores
