@@ -274,6 +274,58 @@ def ext_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT months.m,
+           COALESCE(o.n, 0) AS n,
+           COALESCE(o.rev, CAST(0 AS DOUBLE)) AS rev
+    FROM months
+    LEFT JOIN (
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS m,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        GROUP BY EXTRACT(MONTH FROM o_orderdate)
+    ) o ON months.m = o.m
+    ORDER BY months.m
+"""
+
+
+def ext_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1): a generated month spine LEFT-joined to
+    the monthly order rollup — gap-filled time series without a
+    calendar table, a shape every reporting pipeline needs. The spine
+    recursion is driver-cheap (12 iterations over 1 row); the rollup is
+    one ordinary hash agg. Same SQL verbatim on DuckDB."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+def ext_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): linear ``|>`` operator chaining — the
+    readable form of nested subqueries. Catalyst plans it identically
+    to the classic formulation (the oracle states the same query in
+    standard SQL and must hash-match)."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
+
+
 _LATERAL_TOPN_SQL = """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
     FROM customer c,
@@ -1368,6 +1420,8 @@ QUERIES = {
     "ext_session_window": ext_session_window,
     "ext_sql_pricing_summary": ext_sql_pricing_summary,
     "ext_sql_lateral_topn": ext_sql_lateral_topn,
+    "ext_sql_recursive_cte": ext_sql_recursive_cte,
+    "ext_sql_pipe_syntax": ext_sql_pipe_syntax,
     "ext_sql_shipping_priority": ext_sql_shipping_priority,
     "ext_sql_local_supplier_volume": ext_sql_local_supplier_volume,
     "ext_sql_returned_items": ext_sql_returned_items,
@@ -1763,6 +1817,15 @@ ORACLE = {
     # SQL-path queries: the oracle IS the same SQL (dialect-shared subset)
     "ext_sql_pricing_summary": _PRICING_SUMMARY_SQL,
     "ext_sql_lateral_topn": _LATERAL_TOPN_SQL,
+    "ext_sql_recursive_cte": _RECURSIVE_SPINE_SQL,
+    "ext_sql_pipe_syntax": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "ext_sql_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "ext_sql_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
     "ext_sql_returned_items": _RETURNED_ITEM_SQL,
