@@ -63,3 +63,61 @@ def read_table(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+):
+    """Ingest text data without letting bad records kill the job OR
+    silently vanish: PERMISSIVE parse with a corrupt-record column,
+    split into (clean_rows, quarantined_raw_lines).
+
+    The 100 TB posture: a landing zone always contains malformed lines;
+    FAILFAST aborts hours into a backfill, DROPMALFORMED silently
+    loses data. Capturing the raw text of failed rows into a
+    quarantine output keeps ingest total and auditable — count it,
+    alert on it, reprocess it after the upstream fix.
+
+    Returns (clean DataFrame in the declared schema, quarantine
+    DataFrame of raw lines).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    df = getattr(reader, fmt)(path)
+    # caching rule from the Spark docs: the corrupt-record split must
+    # not re-trigger two divergent scans of a lazily parsed source
+    df = df.cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return clean, quarantine
+
+
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: parquet files written at different times
+    with added/removed columns resolve to the union schema
+    (``mergeSchema``), missing fields null-filled.
+
+    Costly footer merge at planning (reads every file's footer) — at
+    100 TB prefer a declared evolved schema once known; this is the
+    discovery/migration tool.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -162,3 +162,43 @@ def test_zorder_layout_multi_dim_skipping(spark, tmp_path):
     # linear layout: every file spans ~the whole partkey domain (~1.0);
     # z-order: files cover distinctly less
     assert z_cover < lin_cover * 0.8, (z_cover, lin_cover)
+
+
+def test_read_with_quarantine_splits_bad_json(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.sources.formats import read_with_quarantine
+
+    p = str(tmp_path / "land")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.json"), "w") as f:
+        f.write('{"id": 1, "v": 2.5}\n')
+        f.write("this is not json at all\n")
+        f.write('{"id": 2, "v": 3.5}\n')
+        f.write('{"id": "NOT_A_NUMBER", "v": }\n')
+    clean, quarantine = read_with_quarantine(
+        spark, p, "id long, v double", fmt="json"
+    )
+    assert {r.id for r in clean.collect()} == {1, 2}
+    bad = [r.raw for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+
+
+def test_parquet_merge_schema_unions_columns(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.sources.formats import read_parquet_merged_schema
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(
+        os.path.join(p, "batch=0")
+    )
+    spark.range(3, 6).selectExpr("id", "id * 3 AS b").write.parquet(
+        os.path.join(p, "batch=1")
+    )
+    df = read_parquet_merged_schema(spark, p)
+    assert {"id", "a", "b"}.issubset(set(df.columns))
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows[0] == (0, None)
+    assert rows[5] == (None, 15)
