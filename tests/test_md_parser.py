@@ -125,3 +125,17 @@ def test_parse_md_inverts_generated_model(lead, body, offset):
         emit_match(seg)
 
     assert parse_md("".join(md_parts), "".join(seq_parts), offset) == expected
+
+
+def test_md_variants_available_from_sql(spark):
+    """The SQL frontend can call the registered pandas UDF."""
+    from mitoscape_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [("10A5", "==========A=====", 0)], "md string, seq string, off long"
+    ).createOrReplaceTempView("md_smoke")
+    row = spark.sql(
+        "SELECT md_variants(md, seq, off) AS v FROM md_smoke"
+    ).head()
+    assert row.v == ["11A"]

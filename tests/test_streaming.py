@@ -515,3 +515,32 @@ def test_incremental_available_now_processes_only_new_files(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == events.count()
     assert result.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_event_replay_chunked_partitions(spark):
+    """chunkrows < batchSize must split each micro-batch into several
+    row-range partitions without losing or duplicating rows."""
+    from mitoscape_spark.sources.replay import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", f"{SF}/events.parquet")
+        .option("batchSize", 700)
+        .option("chunkrows", 150)
+        .load()
+    )
+    q = (
+        stream.groupBy()
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("replay_chunks")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM replay_chunks").head()["count"]
+    assert got == load_table(spark, SF, "events").count()
