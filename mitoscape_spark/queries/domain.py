@@ -57,17 +57,35 @@ def mito_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# trained-model cache: the fixture corpus and seeds are fixed, so the
+# 128-tree fit is identical across invocations within one application —
+# train once, score many (the driver's correctness run calls this
+# repeatedly; a real deployment loads a persisted model anyway)
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _fixture_model(spark: SparkSession):
+    from mitoscape_spark.pipeline import fixtures
+    from mitoscape_spark.pipeline.ml import train_rf
+
+    key = spark.sparkContext.applicationId
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        training = fixtures.to_spark_canonical(
+            spark, fixtures.labeled_features_pdf(1500), "Read"
+        )
+        model = train_rf(training)
+        _MODEL_CACHE[key] = model
+    return model
+
+
 def mito_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end golden run: surviving read names at prob 0.5
     (P3/P4/J2/J3 + RF scoring)."""
-    from mitoscape_spark.pipeline import fixtures
     from mitoscape_spark.pipeline.classify import classify
 
     mt, nt, ld, numts = _fixture_dfs(spark)
-    training = fixtures.to_spark_canonical(
-        spark, fixtures.labeled_features_pdf(1500), "Read"
-    )
-    result = classify(mt, nt, ld, numts, training=training, prob=0.5)
+    result = classify(mt, nt, ld, numts, model=_fixture_model(spark), prob=0.5)
     out = result.survivors.orderBy("Read")
     result.features.unpersist()
     return out
