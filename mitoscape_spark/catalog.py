@@ -43,13 +43,60 @@ def table_path(sf_dir: str, name: str) -> str:
 # catalog does with table metadata. Scan partitioning is decided at
 # physical-planning time from the current session conf, so cached
 # entries still respect per-query maxPartitionBytes etc.
+#
+# ASSUMPTION: the parquet inputs are immutable for the lifetime of the
+# application (true for the read-only test corpus; true at 100 TB for
+# immutable landing-zone snapshots). Callers that rewrite a table path
+# in-place must call ``invalidate_cache(path)`` (or no-arg for all) —
+# otherwise the memoized InMemoryFileIndex serves stale file listings.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# Physical-layout overrides: maps a logical table to a session-catalog
+# table (e.g. a bucketed rewrite produced at ingest). Queries keep
+# addressing logical names via load_table; ingest/bench register the
+# better layout and every downstream plan picks it up — the engine
+# analog of pointing a metastore table at a re-clustered location.
+_LAYOUT_OVERRIDES: dict[tuple[str, str, str], str] = {}
+
+
+def register_layout_override(
+    spark: SparkSession, sf_dir: str, name: str, table: str
+) -> None:
+    """Serve ``name`` from session-catalog ``table`` instead of parquet."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    _LAYOUT_OVERRIDES[key] = table
+    _TABLE_CACHE.pop(key, None)
+
+
+def layout_override(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """The overriding catalog table for (sf_dir, name), if registered."""
+    return _LAYOUT_OVERRIDES.get(
+        (spark.sparkContext.applicationId, sf_dir, name)
+    )
+
+
+def invalidate_cache(path: str | None = None) -> None:
+    """Drop memoized table metadata (all entries, or one sf_dir/path).
+
+    Call after rewriting parquet under a previously-loaded path; see the
+    immutability note on ``_TABLE_CACHE``.
+    """
+    if path is None:
+        _TABLE_CACHE.clear()
+        return
+    for key in [k for k in _TABLE_CACHE if k[1] == path]:
+        _TABLE_CACHE.pop(key, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    override = _LAYOUT_OVERRIDES.get(key)
+    if override is not None:
+        # session-catalog metadata is already cached JVM-side; bucketed
+        # scans additionally expose outputPartitioning to the planner
+        return spark.table(override)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

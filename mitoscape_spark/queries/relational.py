@@ -210,11 +210,17 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integral (≤50) so every product/sum stays in double's exact-integer
 # range; hash-verified against the join-form oracle.
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .repartition("l_orderkey")
+    from mitoscape_spark.catalog import layout_override
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
     )
+    if layout_override(spark, sf_dir, "lineitem") is None:
+        # unbucketed source: pin ONE hash exchange on l_orderkey that
+        # satisfies both aggregations' distribution requirements
+        li = li.repartition("l_orderkey")
+    # bucketed source: the scan itself is hash-partitioned on
+    # l_orderkey, so the whole cascade plans ZERO exchanges
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("l_quantity").alias("sq"),
