@@ -54,12 +54,20 @@ def _strip_summary(model: PipelineModel, model_path: str | None) -> PipelineMode
     used). Loaded models are summary-free — and they're what production
     scoring uses anyway, so always return the loaded form.
     """
+    import shutil
     import tempfile
 
-    if model_path is None:
+    scratch = model_path is None
+    if scratch:
         model_path = tempfile.mkdtemp(prefix="mitoscape_model_")
     model.write().overwrite().save(model_path)
-    return PipelineModel.load(model_path)
+    loaded = PipelineModel.load(model_path)
+    if scratch:
+        # load is eager (metadata + stage parquet are read during
+        # load), so the scratch dir is safe to drop immediately —
+        # callers who want persistence pass model_path explicitly
+        shutil.rmtree(model_path, ignore_errors=True)
+    return loaded
 
 
 def train_rf(

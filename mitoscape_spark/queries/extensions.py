@@ -132,7 +132,12 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    # the keep-set only depends on bucket CONNECTIVITY, so the hot-
+    # bucket guard (star pairs for oversized buckets) is safe here —
+    # duplicate-heavy corpora stay linear per cluster
+    pairs = minhash_candidate_pairs(
+        minhash_signatures(docs), max_bucket_size=64
+    )
     return (
         dedup_keep_canonical(docs, pairs)
         .select("doc_id")

@@ -25,8 +25,17 @@ uncommitted batch dirs are invisible to readers) — readers never see a
 torn batch.
 
 Scale: each executor partition writes its own part file (no driver
-funnel); commit is a per-batch O(#partitions) driver rename, the same
-cost class as Spark's own file-sink manifest.
+funnel); commit is a per-batch O(#partitions) driver rename.
+
+DEPLOYMENT ASSUMPTION: ``commit()`` runs on the driver and
+``os.replace``s files that ``write()`` staged on executors, so driver
+and executors must share one POSIX filesystem (local mode, or a shared
+mount like NFS/EFS). On a cluster without a shared mount, stage to an
+object store / DFS instead and make commit() a metadata operation
+(rename or manifest write) against that store — the protocol is
+unchanged, only the path layer differs. Spark's own file sink makes
+the same assumption via Hadoop FileSystem paths; this sink keeps plain
+``os`` calls for stdlib-only portability in this repo.
 """
 
 from __future__ import annotations

@@ -720,3 +720,118 @@ def test_grouped_minmax_scale_arrow_matches_window(spark, sf_smoke):
             assert got[k] is None
         else:
             assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+# ------------------------------------------------------- round-2 guards
+
+
+def test_minhash_hot_bucket_guard_star_semantics(spark):
+    """Duplicate-heavy corpus: 1000 identical docs all share one
+    (band, band_key) bucket per band — uncapped, that self-join is
+    499,500 pairs in ONE task. With the cap, the oversized bucket emits
+    a star (999 pairs) whose connectivity — the thing the dedup
+    keep-set consumes — is identical."""
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    dup_text = "the same exact duplicated body of text repeated verbatim"
+    rows = [(i, dup_text) for i in range(1000)]
+    # token-disjoint singletons (shared shingles could legitimately
+    # collide a band and add pairs, which isn't what this test probes)
+    rows += [
+        (2000 + i, " ".join(f"w{i}{j}" for j in range(8))) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(
+        minhash_signatures(docs), max_bucket_size=16
+    )
+    # star topology: linear in cluster size (999), not quadratic (499500)
+    assert pairs.count() == 999
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert kept == [0] + [2000 + i for i in range(5)]
+
+
+def test_minhash_bucket_cap_keeps_exact_keep_set(spark):
+    """Capped and uncapped pair generation must yield the same dedup
+    keep-set (star pairs preserve components)."""
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "cluster one text shared by this group") for i in range(20)]
+    rows += [(100 + i, "another cluster of equal documents here") for i in range(20)]
+    rows += [(500, "a lone document unlike any other in this corpus set")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    keep = lambda pairs: sorted(  # noqa: E731
+        r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert keep(
+        minhash_candidate_pairs(sigs, max_bucket_size=4)
+    ) == keep(minhash_candidate_pairs(sigs))
+
+
+def test_blocked_gemm_rejects_non_integral_ids(spark):
+    """String ids previously cast to NULL in the block modulo and the
+    operators returned an EMPTY result with no error — now they raise."""
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.dedup import (
+        embedding_near_duplicates,
+        sparse_near_duplicates,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with _pytest.raises(TypeError, match="integral id"):
+        embedding_near_duplicates(emb, threshold=0.9)
+    postings = spark.createDataFrame(
+        [("a", 0, 1.0), ("b", 0, 1.0)], "id string, idx int, w double"
+    )
+    with _pytest.raises(TypeError, match="integral id"):
+        sparse_near_duplicates(postings, n_dims=4, threshold=0.9)
+
+
+def test_blocked_gemm_negative_ids_pmod(spark):
+    """pmod blocking: negative ids (e.g. from xxhash64) land in valid
+    blocks and every qualifying pair is still found."""
+    from mitoscape_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.createDataFrame(
+        [(-7, [1.0, 0.0]), (-3, [1.0, 0.01]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            emb, threshold=0.99, n_blocks=4
+        ).collect()
+    }
+    assert got == {(-7, -3)}
+
+
+def test_auto_n_blocks_bounded():
+    """Derived block count keeps per-block bytes at/under target as the
+    corpus grows (until the hard cap), and never drops below the
+    parallelism floor."""
+    from mitoscape_spark.operators.dedup import _auto_n_blocks
+
+    target = 64 << 20
+    for total in [0, 1, 10**6, 10**9, 10**10, 10**11, 5 * 10**13]:
+        b = _auto_n_blocks(total, target_block_bytes=target)
+        assert b >= 4
+        if b < 1024:  # below the cap the target must hold
+            assert total / b <= target
+    # monotone non-decreasing in corpus size
+    sizes = [10**6, 10**8, 10**9, 10**10, 10**11]
+    blocks = [_auto_n_blocks(s) for s in sizes]
+    assert blocks == sorted(blocks)
