@@ -87,7 +87,14 @@ def cmd_classify(args: argparse.Namespace, spark: SparkSession) -> int:
         prob=args.prob,
         genome_relative=not args.read_relative,
     )
-    result.alignments.write.mode("overwrite").parquet(args.out)
+    if args.out.endswith(".bam"):
+        # reference parity: saveAsSam(out, asSingleFile=true)
+        # (MTClassify.scala:204) — single-file BAM writeback
+        from mitoscape_spark.sources.bam import write_alignments_bam
+
+        write_alignments_bam(result.alignments, args.out)
+    else:
+        result.alignments.write.mode("overwrite").parquet(args.out)
     n = result.survivors.count()
     print(f"classify: {n} surviving reads -> {args.out}")
     result.features.unpersist()
@@ -135,7 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--ld", required=True, help="LD score file (tab)")
     c.add_argument("--numt", help="NUMT interval file (tab)")
     c.add_argument("--model", required=True, help="fitted PipelineModel dir")
-    c.add_argument("--out", required=True, help="output parquet path")
+    c.add_argument("--out", required=True,
+                   help="output path (*.bam -> single-file BAM writeback, "
+                        "else parquet)")
     c.add_argument("--prob", type=float, default=0.5)  # MTClassify.scala:115
     c.add_argument("--read-relative", action="store_true",
                    help="compat: read-relative variant positions (SURVEY §8 Q3)")

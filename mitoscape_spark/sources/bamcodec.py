@@ -99,6 +99,46 @@ def write_bam(
     write_bgzf(path, encode_header(refs) + b"".join(records), block_payload)
 
 
+def encode_row(row: dict, ref_index: dict[str, int]) -> bytes:
+    """Encode one engine alignment row (ALIGNMENT_SCHEMA field names,
+    i.e. exactly what ``decode_record`` produces) back to BAM bytes —
+    the inverse used by the single-file sink. Integer tags come from
+    the ``attributes`` string ("XX:i:N ..."), MD from its own column;
+    flags from the boolean columns."""
+    tags: dict[str, int | str] = {}
+    for item in (row.get("attributes") or "").split():
+        tag, typ, val = item.split(":", 2)
+        if typ == "i":
+            tags[tag] = int(val)
+    if row.get("md") is not None:
+        tags["MD"] = row["md"]
+    flag = 0
+    if row.get("read_paired"):
+        flag |= FLAG_PAIRED
+    if row.get("proper_pair"):
+        flag |= FLAG_PROPER_PAIR
+    if not row.get("mate_mapped", True):
+        flag |= FLAG_MATE_UNMAPPED
+    if not row.get("primary_alignment", True):
+        flag |= FLAG_SECONDARY
+    if row.get("supplementary"):
+        flag |= FLAG_SUPPLEMENTARY
+    chrom = row.get("chrom")
+    ref_id = ref_index[chrom] if chrom in ref_index else -1
+    start = row.get("start")
+    pos0 = int(start) - 1 if start is not None else -1
+    mapq = row.get("mapq")
+    return encode_record(
+        row["read_name"],
+        ref_id,
+        pos0,
+        int(mapq) if mapq is not None else 0,
+        flag,
+        row.get("seq") or "",
+        tags,
+    )
+
+
 # --------------------------------------------------------------- decode
 def _decode_tags(buf: bytes) -> tuple[dict[str, int], str | None]:
     """(int tags, MD string). Skips other tag types at spec'd widths."""

@@ -40,12 +40,25 @@ def _block(payload: bytes) -> bytes:
     return header + extra + deflated + footer
 
 
+def compress_fragment(data: bytes, block_payload: int = MAX_PAYLOAD) -> bytes:
+    """``data`` as complete BGZF blocks WITHOUT the EOF marker.
+
+    gzip members are self-delimiting, so fragments produced by
+    independent tasks concatenate byte-for-byte into one valid BGZF
+    stream — the property the single-file BAM sink builds on (parallel
+    encode, serial stitch; same trick as Hadoop-BAM/Disq shard files).
+    """
+    assert 0 < block_payload <= MAX_PAYLOAD
+    return b"".join(
+        _block(data[i : i + block_payload])
+        for i in range(0, len(data), block_payload)
+    )
+
+
 def write_bgzf(path: str, data: bytes, block_payload: int = MAX_PAYLOAD) -> None:
     """Write ``data`` as a BGZF file of ``block_payload``-sized blocks."""
-    assert 0 < block_payload <= MAX_PAYLOAD
     with open(path, "wb") as f:
-        for i in range(0, len(data), block_payload):
-            f.write(_block(data[i : i + block_payload]))
+        f.write(compress_fragment(data, block_payload))
         f.write(BGZF_EOF)
 
 

@@ -140,3 +140,68 @@ def test_bam_bad_magic_raises(tmp_path):
     write_bgzf(path, b"NOTBAM_________", 4096)
     with pytest.raises(ValueError, match="magic"):
         read_refs(path)
+
+
+def test_single_file_bam_sink_roundtrip(spark, tmp_path):
+    """S7 parity: DataFrame -> write_alignments_bam (parallel shard
+    encode + driver stitch) -> splittable read -> identical records.
+    Multiple input partitions so the concatenation path is exercised."""
+    from mitoscape_spark.sources.bam import (
+        read_alignments_bam,
+        write_alignments_bam,
+    )
+    from mitoscape_spark.sources.bamcodec import write_bam
+
+    # source of truth: a synthesized BAM read through the scan
+    recs, names = _mk_records(400)
+    src = str(tmp_path / "src.bam")
+    write_bam(src, [("chrM", 16569), ("chr1", 248956422)], recs, 512)
+    df = read_alignments_bam(spark, src, records_per_split=100)
+
+    out = str(tmp_path / "out.bam")
+    n = write_alignments_bam(
+        df.repartition(7),
+        out,
+        refs=[("chrM", 16569), ("chr1", 248956422)],
+    )
+    assert n == 400
+
+    back = read_alignments_bam(spark, out, records_per_split=100)
+    key = [f.name for f in df.schema.fields]
+    orig = {tuple(r[k] for k in key) for r in df.collect()}
+    got = {tuple(r[k] for k in key) for r in back.collect()}
+    assert got == orig
+    # single file on disk, valid EOF (readable to the end)
+    import os
+
+    assert os.path.isfile(out)
+    assert not [
+        p for p in os.listdir(tmp_path) if p.startswith("_bam_staging_")
+    ]
+
+
+def test_single_file_bam_sink_derives_refs_and_nulls(spark, tmp_path):
+    """refs=None derives the reference dictionary from the data; null
+    chrom/seq/md columns survive the encode/decode roundtrip."""
+    from mitoscape_spark.sources.bam import (
+        ALIGNMENT_SCHEMA,
+        read_alignments_bam,
+        write_alignments_bam,
+    )
+
+    rows = [
+        ("r1", "chrM", 10, 60, "NM:i:1", "=A=C", "1A2", True, True, True, True, False),
+        ("r2", "chrM", 200, 0, "", None, None, True, False, False, False, True),
+        ("r3", None, None, None, "", None, None, False, False, False, True, False),
+    ]
+    df = spark.createDataFrame(rows, ALIGNMENT_SCHEMA)
+    out = str(tmp_path / "tiny.bam")
+    assert write_alignments_bam(df, out) == 3
+    back = {r["read_name"]: r for r in read_alignments_bam(spark, out).collect()}
+    assert set(back) == {"r1", "r2", "r3"}
+    assert back["r1"]["chrom"] == "chrM" and back["r1"]["start"] == 10
+    assert back["r1"]["md"] == "1A2" and back["r1"]["seq"] == "=A=C"
+    assert back["r1"]["attributes"] == "NM:i:1"
+    assert back["r2"]["seq"] is None and back["r2"]["md"] is None
+    assert back["r3"]["chrom"] is None
+    assert back["r3"]["supplementary"] is False and back["r3"]["mate_mapped"]

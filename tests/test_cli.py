@@ -95,6 +95,38 @@ def test_cli_train_then_classify(spark, cli_inputs):
     assert {r.read_name: r["count"] for r in per_read_src} == per_read_out
 
 
+def test_cli_classify_single_file_bam_out(spark, cli_inputs):
+    """--out *.bam triggers the single-file BAM writeback (reference's
+    saveAsSam asSingleFile parity); output is one valid BAM whose
+    surviving read set matches the parquet sink's."""
+    import os
+
+    from mitoscape_spark.sources.bam import read_alignments_bam
+
+    root = cli_inputs
+    assert os.path.isdir(root / "model"), "train test must run first"
+    rc = main(
+        [
+            "classify",
+            "--prefix", str(root / "sample"),
+            "--ld", str(root / "ld.tsv"),
+            "--numt", str(root / "numts.tsv"),
+            "--model", str(root / "model"),
+            "--out", str(root / "survivors.bam"),
+            "--prob", "0.5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert os.path.isfile(root / "survivors.bam")
+    bam = read_alignments_bam(spark, str(root / "survivors.bam"))
+    pq = spark.read.parquet(str(root / "survivors.parquet"))
+    assert bam.count() == pq.count()
+    assert {r.read_name for r in bam.select("read_name").collect()} == {
+        r.read_name for r in pq.select("read_name").collect()
+    }
+
+
 def test_cli_evaluate_accuracy_threshold(spark, cli_inputs):
     rc = main(
         [
