@@ -1013,20 +1013,21 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column + typed metadata →
-    Arrow-batched byte-histogram features via mapInPandas. The codec
-    step is environment-gated (sources.multimodal); the Spark plumbing
-    (schema, batching, UDF shape) is fully exercised. Rows-only check
-    (binary columns aren't in the DuckDB corpus)."""
+    """Multimodal pipeline, real decode: binary payload column + typed
+    metadata → stdlib codecs (WAV via ``wave``, binary PPM, 24-bit BMP)
+    → Arrow-batched feature histograms via mapInPandas. Media is
+    generated distributed as REAL format bytes (deterministic function
+    of doc_id), decoded distributed. Rows-only check (binary columns
+    aren't in the DuckDB corpus)."""
     from mitoscape_spark.sources.multimodal import (
-        extract_features,
-        synthetic_media,
+        decode_media,
+        synthetic_decodable_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthetic_media(spark, docs)
+    media = synthetic_decodable_media(spark, docs)
     return (
-        extract_features(media)
+        decode_media(media)
         .select(
             "media_id",
             "modality",

@@ -3,11 +3,12 @@ with typed metadata, processed batch-wise via mapInPandas.
 
 The Spark-side plumbing is real: explicit schema (binary + metadata
 struct), Arrow-batched UDF signatures, deterministic partition-friendly
-feature extraction. The *codec* step is stubbed — image/audio libraries
-are not in this container — behind ``decode_media`` which raises
-``NotImplementedError`` unless a codec callback is injected. The
-default feature extractor is a byte histogram: a real, deterministic
-computation with the exact batch shape a decoder would have.
+feature extraction. Decoding is real too for the stdlib-expressible
+formats — WAV (``wave`` module), binary PPM (P6), and uncompressed
+24-bit BMP — via ``stdlib_codec``, the default codec of
+``decode_media``. Formats that genuinely need external libraries
+(JPEG/PNG/MP3/video codecs) raise a clear ValueError; inject
+``codec=`` (e.g. PIL/librosa-backed) to handle them.
 
 Scale notes: payloads stay columnar (parquet BYTE_ARRAY); metadata
 filters (modality/size) push down without touching bytes; feature
@@ -75,20 +76,222 @@ def synthetic_media(
     )
 
 
+def synthetic_decodable_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media derived from doc ids: WAV for
+    doc_id % 3 == 0, PPM for 1, BMP for 2 — every payload decodes with
+    ``stdlib_codec``. Generation runs inside mapInPandas (distributed,
+    no driver materialization); content is a pure function of doc_id so
+    downstream features are golden across runs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "modality": [], "payload": [],
+                "width": [], "height": [], "sample_rate": [],
+                "n_frames": [], "format": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    samples = (
+                        (np.arange(256, dtype=np.int64) * (doc_id * 2 + 1))
+                        % 65536
+                    ) - 32768
+                    payload = encode_wav(samples.astype("<i2"), 8000)
+                    vals = ("audio", payload, None, None, 8000, None, "wav")
+                else:
+                    px = (
+                        (np.arange(8 * 8 * 3, dtype=np.int64) * (doc_id + 7))
+                        % 256
+                    ).astype(np.uint8).tobytes()
+                    if kind == 1:
+                        vals = ("image", encode_ppm(8, 8, px), 8, 8, None, 1, "ppm")
+                    else:
+                        vals = ("image", encode_bmp(8, 8, px), 8, 8, None, 1, "bmp")
+                modality, payload, w, h, sr, nf, fmt = vals
+                out["media_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["payload"].append(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(nf)
+                out["format"].append(fmt)
+            yield pd.DataFrame(out)
+
+    flat = docs.select("doc_id").mapInPandas(
+        gen,
+        "media_id long, modality string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int, format string",
+    )
+    return flat.select(
+        "media_id",
+        "modality",
+        "payload",
+        F.struct("width", "height", "sample_rate", "n_frames", "format").alias(
+            "meta"
+        ),
+    )
+
+
+# ------------------------------------------------------ stdlib codecs
+#
+# Real decoders for the formats the standard library can express:
+# WAV (RIFF PCM via `wave`), binary PPM (P6), uncompressed 24-bit BMP.
+# Each returns a uint8 ndarray (audio samples rescaled to 0..255, image
+# pixels as stored) so every modality feeds the same histogram/feature
+# pipeline. Encoders live alongside for fixtures and the synthetic
+# decodable corpus — both sides stdlib-only.
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV bytes from an int16 sample array."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """uint8-rescaled mono samples (frames averaged across channels)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n, width, channels = w.getnframes(), w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        if channels > 1:
+            samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int32)
+        return ((samples + 32768) >> 8).astype(np.uint8)
+    if width == 1:  # 8-bit WAV is already unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8)
+        if channels > 1:
+            samples = samples.reshape(-1, channels).mean(axis=1)
+        return samples.astype(np.uint8)
+    raise ValueError(f"unsupported WAV sample width {width}")
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from packed RGB bytes."""
+    assert len(rgb) == width * height * 3
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 pixels from a binary P6 PPM."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6)")
+    # header = magic, width, height, maxval as whitespace/comment-
+    # separated ASCII tokens, then a single whitespace before pixels
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            i = data.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=width * height * 3, offset=i)
+    return px.reshape(height, width, 3)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding, BGR byte order) from packed RGB bytes."""
+    import struct
+
+    assert len(rgb) == width * height * 3
+    row_stride = (width * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_stride - len(row))
+        img += row
+    header_size = 14 + 40
+    file_size = header_size + len(img)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0
+        )
+        + bytes(img)
+    )
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 RGB pixels from an uncompressed 24-bit
+    BMP (top-down or bottom-up)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hsize, width, height = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hsize < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(height):
+        y = (height - 1 - r) if bottom_up else r
+        off = pixel_off + y * row_stride
+        row = np.frombuffer(data, dtype=np.uint8, count=width * 3, offset=off)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR -> RGB
+    return np.stack(rows)
+
+
+def stdlib_codec(payload: bytes, modality: str) -> np.ndarray:
+    """Format-sniffing decoder over the stdlib-expressible formats.
+
+    Raises ValueError for formats that genuinely need external codec
+    libraries (JPEG/PNG/MP3/video containers) — inject a richer codec
+    into ``decode_media`` for those.
+    """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload).reshape(-1)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload).reshape(-1)
+    raise ValueError(
+        f"no stdlib codec for this {modality} payload "
+        f"(magic={payload[:4]!r}); supported: WAV/PPM/BMP. Inject "
+        "codec= for library-backed formats."
+    )
+
+
 def decode_media(
     media: DataFrame,
     codec: Callable[[bytes, str], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Decode payloads via an injected codec (e.g. PIL/librosa when
-    available). Without one, raises — decoding genuinely needs a codec
-    library that is not in this container."""
-    if codec is None:
-        raise NotImplementedError(
-            "no media codec available in this environment; inject "
-            "codec=callable(payload_bytes, modality) -> np.ndarray, or "
-            "use extract_features() whose byte-level path needs no codec"
-        )
-    return _feature_map(media, codec)
+    """Decode payloads → features. Default codec handles WAV/PPM/BMP
+    with stdlib-only decoders; inject ``codec`` (e.g. PIL/librosa-
+    backed) for formats beyond them."""
+    return _feature_map(media, codec if codec is not None else stdlib_codec)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -139,9 +342,58 @@ def _feature_map(
     return media.mapInPandas(run, out_schema)
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize for the stdlib-decodable image formats: decode
+    (PPM/BMP) → nearest-neighbor resample in numpy → re-encode as PPM,
+    with metadata updated to match. Non-image rows and non-decodable
+    payloads pass through unchanged (resizing them is someone else's
+    codec). Arrow-batched mapInPandas, one pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for modality, payload, meta in zip(
+                pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                if modality == "image" and payload is not None:
+                    raw = bytes(payload)
+                    try:
+                        if raw[:2] == b"P6":
+                            px = decode_ppm(raw)
+                        elif raw[:2] == b"BM":
+                            px = decode_bmp(raw)
+                        else:
+                            raise ValueError("not stdlib-decodable")
+                    except ValueError:
+                        payloads.append(raw)
+                        metas.append(meta)
+                        continue
+                    h0, w0 = px.shape[:2]
+                    ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    resized = px[ys][:, xs]
+                    payloads.append(
+                        encode_ppm(width, height, resized.tobytes())
+                    )
+                    meta.update(width=width, height=height, format="ppm")
+                    metas.append(meta)
+                else:
+                    payloads.append(
+                        bytes(payload) if payload is not None else None
+                    )
+                    metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(run, media.schema)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize is decode-dependent → metadata-only update here, payload
-    untouched; a codec-backed implementation swaps _feature_map in."""
+    """Metadata-only resize (payload untouched) — kept for opaque
+    formats; ``resize_images`` above really resamples PPM/BMP."""
     return media.withColumn(
         "meta",
         F.struct(

@@ -217,11 +217,89 @@ def test_multimodal_features_deterministic(spark, docs):
     )
 
 
-def test_multimodal_decode_requires_codec(spark, docs):
+def test_stdlib_codecs_roundtrip():
+    """WAV/PPM/BMP encode → decode is exact (pure-Python, no Spark)."""
+    import numpy as np
+
+    from mitoscape_spark.sources.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        stdlib_codec,
+    )
+
+    samples = ((np.arange(300, dtype=np.int64) * 977) % 65536 - 32768).astype(
+        "<i2"
+    )
+    wav = encode_wav(samples, 8000)
+    assert np.array_equal(
+        decode_wav(wav), ((samples.astype(np.int32) + 32768) >> 8).astype("u1")
+    )
+
+    rgb = bytes((i * 31) % 256 for i in range(5 * 3 * 3))  # 5x3 image
+    ppm = encode_ppm(5, 3, rgb)
+    assert decode_ppm(ppm).shape == (3, 5, 3)
+    assert decode_ppm(ppm).tobytes() == rgb
+    bmp = encode_bmp(5, 3, rgb)
+    assert decode_bmp(bmp).shape == (3, 5, 3)
+    assert decode_bmp(bmp).tobytes() == rgb  # BGR+padding round back to RGB
+
+    # sniffing dispatch agrees with the direct decoders
+    assert np.array_equal(stdlib_codec(wav, "audio"), decode_wav(wav))
+    assert np.array_equal(
+        stdlib_codec(ppm, "image"), decode_ppm(ppm).reshape(-1)
+    )
+    with pytest.raises(ValueError, match="no stdlib codec"):
+        stdlib_codec(b"\x89PNG1234", "image")
+
+
+def test_decode_media_stdlib_end_to_end(spark, docs):
+    """decode_media's default codec really decodes: WAV/PPM/BMP media
+    generated distributed, decoded distributed, features deterministic
+    and distinct from the raw byte-histogram of the payload."""
+    import numpy as np
+
+    from mitoscape_spark.sources.multimodal import (
+        decode_media,
+        extract_features,
+        stdlib_codec,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, docs.limit(21))
+    decoded = decode_media(media).collect()
+    assert len(decoded) == 21
+    assert {r.modality for r in decoded} == {"audio", "image"}
+    for r in decoded:
+        assert len(r.features) == 16
+        assert sum(r.features) == pytest.approx(1.0, abs=1e-9)
+    # decoded features differ from the raw container-byte histogram
+    # (headers/padding/BGR shuffle the bytes) for the image formats
+    raw = {r.media_id: r.features for r in extract_features(media).collect()}
+    diffs = sum(
+        1 for r in decoded if not np.allclose(r.features, raw[r.media_id])
+    )
+    assert diffs > 0
+    # deterministic across re-generation
+    again = decode_media(
+        synthetic_decodable_media(spark, docs.limit(21))
+    ).collect()
+    assert sorted((r.media_id, tuple(r.features)) for r in decoded) == sorted(
+        (r.media_id, tuple(r.features)) for r in again
+    )
+
+
+def test_decode_media_unsupported_format_fails_loudly(spark, docs):
+    from pyspark.errors.exceptions.captured import PythonException
+
     from mitoscape_spark.sources.multimodal import decode_media, synthetic_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(synthetic_media(spark, docs.limit(1)))
+    # synthetic_media payloads are md5-derived bytes, not a real format
+    with pytest.raises(PythonException, match="no stdlib codec"):
+        decode_media(synthetic_media(spark, docs.limit(1))).collect()
 
 
 def test_alignment_parquet_roundtrip(spark, tmp_path):
@@ -835,3 +913,38 @@ def test_auto_n_blocks_bounded():
     sizes = [10**6, 10**8, 10**9, 10**10, 10**11]
     blocks = [_auto_n_blocks(s) for s in sizes]
     assert blocks == sorted(blocks)
+
+
+def test_resize_images_real_resample(spark, docs):
+    """resize_images decodes PPM/BMP, nearest-neighbor resamples, and
+    re-encodes; audio rows pass through byte-identical."""
+    from mitoscape_spark.sources.multimodal import (
+        decode_ppm,
+        resize_images,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, docs.limit(9))
+    out = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        if r.modality == "image":
+            px = decode_ppm(bytes(r.payload))
+            assert px.shape == (4, 4, 3)
+            assert r.meta.width == 4 and r.meta.height == 4
+            # nearest-neighbor: every output pixel exists in the source
+            src_px = {
+                tuple(p)
+                for row in _decode_any(bytes(src[mid].payload))
+                for p in row
+            }
+            assert {tuple(p) for row in px for p in row} <= src_px
+        else:
+            assert bytes(r.payload) == bytes(src[mid].payload)
+
+
+def _decode_any(raw: bytes):
+    from mitoscape_spark.sources.multimodal import decode_bmp, decode_ppm
+
+    return decode_ppm(raw) if raw[:2] == b"P6" else decode_bmp(raw)
