@@ -31,6 +31,13 @@ def token_prefix_block(col: Column | str, n_tokens: int = 2) -> Column:
     return F.array_join(F.slice(F.split(c, " "), 1, n_tokens), " ")
 
 
+def fuzzy_partitions(n_blocks: int, n_salts: int) -> int:
+    """Join parallelism for the salted blocked self-join: one task per
+    (block, salt) cell is the natural grain — that is exactly the set
+    of independent pair-generation units."""
+    return max(n_blocks, 1) * n_salts
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -39,6 +46,7 @@ def fuzzy_pairs(
     max_distance: int = 3,
     block: Column | None = None,
     n_salts: int = 16,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, dist): pairs within the same block whose edit
     distance lies in [min_distance, max_distance] (min_distance=1
@@ -71,17 +79,35 @@ def fuzzy_pairs(
     # and the pre-join rows are tiny — it would coalesce them into one
     # partition, unaware each row explodes into thousands of pairs
     # downstream. A user-specified count is exempt from coalescing.
+    # The count tracks actual block cardinality (one cheap distinct
+    # count; pass n_partitions to skip it), not a hard-coded constant.
+    # BOTH join sides get the explicit exchange: with only one side
+    # pinned, EnsureRequirements re-shuffles it to match the other
+    # side's default shuffle-partition count and the pinned number
+    # silently loses. (Even pinned on both sides the planner floors
+    # the count at spark.sql.shuffle.partitions — observed
+    # max(user, conf) — which only ever ADDS parallelism.)
+    if n_partitions is None:
+        n_partitions = fuzzy_partitions(
+            keyed.select("blk").distinct().count(), n_salts
+        )
     a = (
         keyed.withColumn(
             "salt", F.pmod(F.hash("id"), F.lit(n_salts)).cast("int")
         )
-        .repartition(8 * n_salts, "blk", "salt")
+        .repartition(n_partitions, "blk", "salt")
         .alias("a")
     )
-    b = keyed.withColumn(
-        "salt",
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
-    ).alias("b")
+    b = (
+        keyed.withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")
+            ),
+        )
+        .repartition(n_partitions, "blk", "salt")
+        .alias("b")
+    )
     return (
         a.join(
             b,

@@ -27,8 +27,23 @@ from pyspark.sql import functions as F
 from mitoscape_spark.catalog import load_table
 
 
+# When True (default — the declared-query harness collects every row
+# at the driver), _present uses a single-partition presentation sort.
+# Pipelines that embed these query functions as stages feeding
+# DISTRIBUTED sinks must flip this off to get a scalable range sort.
+PRESENTATION_SORT = True
+
+
+def set_presentation_sort(enabled: bool) -> None:
+    """Gate for _present: True = driver-presentation plan (single-
+    partition sort, no sampling job), False = distributed orderBy
+    (range-partitioned global sort) for pipeline/sink consumers."""
+    global PRESENTATION_SORT
+    PRESENTATION_SORT = enabled
+
+
 def _present(df: DataFrame, *cols) -> DataFrame:
-    """Deterministic presentation ordering for a driver-collected result.
+    """Deterministic final ordering, consumer-aware (see the flag).
 
     ``orderBy`` runs a range-partitioned global sort: one extra sampling
     job + a range exchange — the right plan for writing a large sorted
@@ -37,10 +52,11 @@ def _present(df: DataFrame, *cols) -> DataFrame:
     everything upstream; the final ordering is presentation. A single-
     partition exchange + in-partition sort skips the sampling job
     (measured ~0.2–0.3 s/query fixed cost at any SF — PERF.md) while
-    keeping the upstream aggregation/join fully parallel. Swap back to
-    ``orderBy`` when the consumer is a distributed sink, not a client.
+    keeping the upstream aggregation/join fully parallel.
     """
-    return df.repartition(1).sortWithinPartitions(*cols)
+    if PRESENTATION_SORT:
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
 
 
 # --------------------------------------------------------------------------

@@ -137,3 +137,35 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_presentation_sort_flag_switches_plan(spark):
+    """_present gates on PRESENTATION_SORT: driver mode = single-
+    partition sort (no range sampling), pipeline mode = distributed
+    range-partitioned orderBy."""
+    from mitoscape_spark.queries import relational
+
+    try:
+        driver_plan = plan_of(REL["q05"](spark, SF))
+        assert "rangepartitioning" not in driver_plan.lower(), driver_plan
+        relational.set_presentation_sort(False)
+        sink_plan = plan_of(REL["q05"](spark, SF))
+        assert "rangepartitioning" in sink_plan.lower(), sink_plan
+    finally:
+        relational.set_presentation_sort(True)
+
+
+def test_fuzzy_partition_count_tracks_block_cardinality(spark):
+    """fuzzy_pairs derives join parallelism from actual distinct-block
+    count × salts (no hard-coded constant)."""
+    from mitoscape_spark.operators.fuzzy import fuzzy_pairs, fuzzy_partitions
+
+    rows = [(i, f"blk{i % 5} tail word {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # expected count must exceed spark.sql.shuffle.partitions: for
+    # co-partitioned joins EnsureRequirements floors the explicit
+    # count at the session conf (observed: max(user, conf))
+    plan = plan_of(fuzzy_pairs(df, "id", "name", n_salts=16))
+    expected = fuzzy_partitions(5, 16)  # 5 distinct first-token blocks
+    assert expected > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert "hashpartitioning(blk" in plan and f", {expected})" in plan, plan
