@@ -1387,6 +1387,117 @@ def ext_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- round-2 TPC-H shapes
+
+_PROFIT_BY_NATION_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    ORDER BY nation, o_year DESC
+"""
+
+
+def ext_sql_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way star join (fact ⋈ 2 dims ⋈ fact ⋈ dim)
+    with a LIKE filter on the part dim and a (nation, year) rollup.
+    Catalyst pushes the LIKE into the part scan, broadcasts the small
+    dims, and reorders the join chain; at 100 TB the only big-big edge
+    is lineitem⋈orders on the key both are naturally clustered by."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PROFIT_BY_NATION_SQL)
+
+
+_CUST_ORDER_DISTRIBUTION_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def ext_sql_cust_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: outer-join histogram — per-customer order count
+    (LEFT OUTER keeps zero-order customers), then the distribution of
+    those counts. Two cascaded aggregations; the second input is one
+    row per customer, so the heavy shuffle happens exactly once."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CUST_ORDER_DISTRIBUTION_SQL)
+
+
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+def ext_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE revenue view + scalar-MAX subquery over the
+    same CTE. Revenue is rounded INSIDE the CTE so the max-equality
+    compares identically across engines. The CTE is computed twice
+    (once per reference) unless the engine reuses it — the rollup is
+    one reduced row per supplier either way."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+_SMALL_QTY_REVENUE_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%bolt%'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+def ext_sql_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-AVG subquery against the SAME
+    fact table. Catalyst decorrelates into a per-partkey AVG aggregate
+    joined back — the fact table is scanned twice but never per-row;
+    the naive interpretation (subquery per row) would be O(n²)."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_REVENUE_SQL)
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -1480,6 +1591,10 @@ QUERIES = {
     "ext_sql_promo_revenue": ext_sql_promo_revenue,
     "ext_sql_parts_supplier": ext_sql_parts_supplier,
     "ext_sql_waiting_supplier": ext_sql_waiting_supplier,
+    "ext_sql_profit_by_nation": ext_sql_profit_by_nation,
+    "ext_sql_cust_order_distribution": ext_sql_cust_order_distribution,
+    "ext_sql_top_supplier": ext_sql_top_supplier,
+    "ext_sql_small_quantity_revenue": ext_sql_small_quantity_revenue,
 }
 
 from mitoscape_spark.operators.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
@@ -2220,6 +2335,10 @@ ORACLE = {
     "ext_sql_promo_revenue": _PROMO_REVENUE_SQL,
     "ext_sql_parts_supplier": _PARTS_SUPPLIER_SQL,
     "ext_sql_waiting_supplier": _WAITING_SUPPLIER_SQL,
+    "ext_sql_profit_by_nation": _PROFIT_BY_NATION_SQL,
+    "ext_sql_cust_order_distribution": _CUST_ORDER_DISTRIBUTION_SQL,
+    "ext_sql_top_supplier": _TOP_SUPPLIER_SQL,
+    "ext_sql_small_quantity_revenue": _SMALL_QTY_REVENUE_SQL,
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)
 }

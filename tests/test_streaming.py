@@ -443,6 +443,78 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert result.groupBy("event_id").count().where("count > 1").count() == 0
 
 
+def test_tws_processor_logic_without_runner():
+    """RunningStatsProcessor semantics, engine-independent: the TWS
+    Spark runner needs google.protobuf (absent in this container, and
+    installing packages is out of scope), so the ValueState/ListState
+    update logic is driven directly through fake state handles across
+    three simulated micro-batches. The engine-integrated twin
+    (test_transform_with_state below) runs wherever protobuf exists."""
+    import pandas as pd
+
+    from mitoscape_spark.streaming.stateful import RunningStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeListState:
+        def __init__(self):
+            self._rows = None
+
+        def exists(self):
+            return self._rows is not None
+
+        def get(self):
+            return list(self._rows)
+
+        def put(self, rows):
+            self._rows = list(rows)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl = ttlDurationMs
+            return self.states.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema):
+            return self.states.setdefault(name, FakeListState())
+
+    proc = RunningStatsProcessor(recent_keep=3, ttl_ms=60_000)
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttl == 60_000  # TTL plumbed through to the state var
+
+    def feed(values):
+        [out] = list(
+            proc.handleInputRows(
+                (7,), iter([pd.DataFrame({"value": values})]), None
+            )
+        )
+        return out.iloc[0]
+
+    r1 = feed([1.0, 2.0])
+    assert (r1.n_events, r1.sum_value, r1.recent) == (2, 3.0, [1.0, 2.0])
+    r2 = feed([10.0])
+    assert (r2.n_events, r2.sum_value) == (3, 13.0)
+    assert r2.recent == [1.0, 2.0, 10.0]
+    r3 = feed([4.0, 5.0, 6.0, 7.0])  # recent window stays bounded at 3
+    assert (r3.n_events, r3.sum_value) == (7, 35.0)
+    assert r3.recent == [5.0, 6.0, 7.0]
+    proc.close()
+
+
 def test_event_replay_restart_from_checkpoint_no_duplicates(
     spark, tmp_path
 ):
