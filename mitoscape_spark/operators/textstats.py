@@ -178,6 +178,46 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp): winnowing fingerprint SET — the min k-gram hash of
+    every sliding window of ``window`` consecutive k-gram hashes
+    (Schleimer/Wilkerson/Aiken's MOSS scheme, distinct-set variant).
+
+    Unlike the single-min ``fingerprints`` above (one value per doc),
+    winnowing guarantees LOCAL matches: any shared token run of length
+    ≥ k + window − 1 yields at least one shared fingerprint, so
+    plagiarism-style partial overlap is detectable, not just whole-doc
+    similarity. Docs shorter than k + window − 1 tokens emit nothing.
+
+    Entirely JVM higher-order functions (sequence → transform →
+    slice → array_min → array_distinct → explode): a generator +
+    project per row, no shuffle until the consumer aggregates; hashes
+    are md5 hex strings whose lexicographic min is engine-portable, so
+    the operator is oracle-checkable verbatim.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams_h = F.expr(
+        f"transform(sequence(0, size(toks) - {k}),"
+        f" i -> md5(concat_ws(' ', slice(toks, i + 1, {k}))))"
+    )
+    wins = F.expr(
+        f"transform(sequence(0, size(h) - {window}),"
+        f" i -> array_min(slice(h, i + 1, {window})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= k)
+        .select("doc_id", grams_h.alias("h"))
+        .where(F.size("h") >= window)
+        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 64,

@@ -212,6 +212,15 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs).orderBy("doc_id")
 
 
+def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set (MOSS scheme): min 3-gram hash per
+    4-window — local-match document fingerprinting, all JVM HOFs."""
+    from mitoscape_spark.operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fp")
+
+
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows, stride 48
     (generator + project, no shuffle, no Python)."""
@@ -1536,6 +1545,7 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_repetition": ext_repetition,
     "ext_fingerprint": ext_fingerprint,
+    "ext_winnow_fingerprint": ext_winnow_fingerprint,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
     "ext_prep_pipeline": ext_prep_pipeline,
@@ -1857,6 +1867,25 @@ ORACLE = {
         )
         SELECT doc_id, MIN(md5(shingle)) AS fingerprint
         FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_winnow_fingerprint": f"""
+        WITH {_TOKS},
+        grams AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(t[i:i+2], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 3
+        ),
+        hs AS (
+            SELECT doc_id, list(h ORDER BY i) AS hl
+            FROM grams GROUP BY doc_id
+        ),
+        wins AS (
+            SELECT doc_id, list_min(hl[i:i+3]) AS fp
+            FROM hs, UNNEST(range(1, len(hl) - 2)) AS r(i)
+            WHERE len(hl) >= 4
+        )
+        SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
     """,
     "ext_prep_pipeline": f"""
         WITH q AS (

@@ -948,3 +948,33 @@ def _decode_any(raw: bytes):
     from mitoscape_spark.sources.multimodal import decode_bmp, decode_ppm
 
     return decode_ppm(raw) if raw[:2] == b"P6" else decode_bmp(raw)
+
+
+def test_winnow_fingerprints_local_match_guarantee(spark):
+    """Winnowing guarantee: any shared token run of length >= k+w-1
+    (here 6) produces at least one shared fingerprint, even when the
+    rest of the documents are completely different; docs with no
+    overlap share nothing."""
+    from mitoscape_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "totally unrelated words without any common tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        d: {r.fp for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(
+                winnow_fingerprints(docs, k=3, window=4).collect(),
+                key=lambda r: r.doc_id,
+            ),
+            key=lambda r: r.doc_id,
+        )
+    }
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not fps[1] & fps[3] and not fps[2] & fps[3]
