@@ -218,6 +218,67 @@ def winnow_fingerprints(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", smoothing: float = 0.5
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll): per-document mean negative log
+    likelihood under an add-k-smoothed bigram LM trained on the corpus
+    itself — the CCNet-style perplexity quality signal (documents
+    whose word transitions are atypical for the corpus score high).
+
+    Shape, all relational:
+      1. bigrams per doc from the token array (generator, no shuffle,
+         no self-join: transform over an index sequence);
+      2. corpus model = two hash aggs (bigram counts, context counts)
+         + one scalar vocab count;
+      3. score = doc bigrams ⋈ bigram counts ⋈ context counts →
+         per-doc AVG of −ln((c(w1,w2)+k)/(c(w1·)+k·V)).
+
+    Scale: the model tables are vocabulary-sized (broadcastable for
+    real vocabularies: V² bigram space is sparse, observed bigrams ≪
+    corpus tokens); the only fact-sized shuffle is the per-doc
+    aggregation. Hot function words skew the w1 join key — AQE
+    skew-split handles it (session default).
+
+    Docs with < 2 tokens emit nothing (no transitions to score).
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("nv")
+    )
+    k = F.lit(smoothing)
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.ln((F.col("cb") + k) / (F.col("cu") + k * F.col("nv")))),
+                4,
+            ).alias("nll"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 64,

@@ -221,6 +221,16 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fp")
 
 
+def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-doc mean NLL under an add-0.5
+    bigram LM trained on the corpus itself (atypical word transitions
+    score high)."""
+    from mitoscape_spark.operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows, stride 48
     (generator + project, no shuffle, no Python)."""
@@ -1546,6 +1556,7 @@ QUERIES = {
     "ext_repetition": ext_repetition,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
+    "ext_lm_score": ext_lm_score,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
     "ext_prep_pipeline": ext_prep_pipeline,
@@ -1886,6 +1897,30 @@ ORACLE = {
             WHERE len(hl) >= 4
         )
         SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
+    """,
+    "ext_lm_score": f"""
+        WITH {_TOKS},
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2
+        ),
+        bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+        uc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+        v AS (
+            SELECT COUNT(DISTINCT x) AS nv
+            FROM toks, UNNEST(t) AS u(x)
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-LN((bc.cb + 0.5) / (uc.cu + 0.5 * v.nv))), 4)
+                   AS nll
+        FROM bg g
+        JOIN bc USING (w1, w2)
+        JOIN uc USING (w1)
+        CROSS JOIN v
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
     """,
     "ext_prep_pipeline": f"""
         WITH q AS (

@@ -978,3 +978,21 @@ def test_winnow_fingerprints_local_match_guarantee(spark):
     }
     assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
     assert not fps[1] & fps[3] and not fps[2] & fps[3]
+
+
+def test_bigram_lm_scores_rank_typical_below_atypical(spark):
+    """A document made of corpus-frequent transitions must score lower
+    NLL than one whose transitions appear nowhere else; docs with < 2
+    tokens emit no row."""
+    from mitoscape_spark.operators.textstats import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(100, common), (200, "zq xv qqk wpl zzt ykm"), (300, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert 300 not in out  # single token: no transitions
+    assert out[100].n_bigrams == 5 and out[200].n_bigrams == 5
+    assert out[100].nll < out[200].nll
