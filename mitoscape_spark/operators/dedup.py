@@ -460,21 +460,119 @@ def embedding_near_duplicates(
 
 def connected_components(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 30,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
 ) -> DataFrame:
     """(id, component): connected components over candidate-pair edges —
-    the step that turns near-dup PAIRS into dedup GROUPS. Min-label
-    propagation: every node repeatedly adopts the smallest id reachable
-    over one hop until a fixpoint (checked with a distributed count, no
-    driver-side collect of the edge set).
+    the step that turns near-dup PAIRS into dedup GROUPS. Alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): converges in O(log n) rounds regardless of
+    component DIAMETER, unlike min-label propagation whose round count
+    grows with the longest chain (a 1500-link transitive near-dup
+    chain needs 1500 propagation rounds but ~11 star rounds — the
+    difference between a job and a hang at 100 TB).
 
-    Scale: each iteration is one self-equi-join + min-agg (shuffle on
-    node id); iterations grow with component *diameter*, not graph
-    size — near-dup clusters are shallow (stars/cliques), so 2-3
-    iterations in practice. For adversarial long chains, switch to the
-    large-star/small-star variant (same join primitive).
+    Each round is two grouped min-aggregations + joins on node id (no
+    driver-side edge materialization); the per-round edge set is
+    localCheckpoint-ed — iterative plans MUST truncate lineage, or the
+    logical plan (and Catalyst analysis time) grows with every round
+    even when execution is cached (measured: un-truncated rounds turn
+    an 11-round chain into minutes of pure planning). Convergence is
+    an edge-set checksum (count + hash sum — two scalars); raises if
+    the round budget is exhausted rather than returning silently-wrong
+    labels. Cluster note: localCheckpoint trades executor-loss
+    recovery for speed; set a reliable checkpoint dir and switch to
+    ``checkpoint()`` where jobs outlive executors.
+
+    ``connected_components_propagation`` below keeps the simple
+    min-label variant for comparison/tests.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iterations):
+        # ---- large-star: every neighbor larger than u links to the
+        # minimum of u's closed neighborhood
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient (big, small); everything in the
+        # group links to the minimum
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        small_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(small_min, "u")
+        edges_new = (
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(small_min.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = edges_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps the sum far from long overflow (ANSI mode
+            # would throw on it); collision odds are a non-issue for
+            # fixpoint detection
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias(
+                "h"
+            ),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        edges = edges_new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} "
+            "star rounds (needs ~log2(n); raise max_iterations)"
+        )
+    # final state is a star forest: every row is (node, component-min);
+    # roots label themselves
+    node_labels = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("component")
+    )
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .join(node_labels, "id", "left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    return node_labels.unionAll(roots)
+
+
+def connected_components_propagation(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Min-label propagation variant: every node repeatedly adopts the
+    smallest id reachable over one hop until a fixpoint (checked with a
+    distributed count, no driver-side collect of the edge set).
+
+    Rounds grow with component *diameter* — fine for shallow near-dup
+    clusters (2-3 rounds), pathological for long chains; the star
+    variant above is the default for that reason. Labels are
+    localCheckpoint-ed per round (same lineage-truncation requirement
+    as the star variant — plans of iterative algorithms grow per round
+    otherwise, and Catalyst analysis time with them).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -505,7 +603,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -513,7 +611,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = updated
         if changed == 0:
             break

@@ -996,3 +996,47 @@ def test_bigram_lm_scores_rank_typical_below_atypical(spark):
     assert 300 not in out  # single token: no transitions
     assert out[100].n_bigrams == 5 and out[200].n_bigrams == 5
     assert out[100].nll < out[200].nll
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star-based CC must label a seeded random graph identically to
+    min-label propagation (shallow components, both converge)."""
+    import random
+
+    from mitoscape_spark.operators.dedup import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    # dense enough that component diameters stay well under
+    # propagation's 20-round budget (sparse graphs are exactly where
+    # propagation fails — test_connected_components_long_chain covers
+    # that regime for the star variant)
+    rng = random.Random(42)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    star = {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+    prop = {
+        (r.id, r.component)
+        for r in connected_components_propagation(df).collect()
+    }
+    assert star == prop and star
+
+
+def test_connected_components_long_chain(spark):
+    """A 1500-link path: diameter-bound propagation cannot converge in
+    a sane round budget, the O(log n) star variant labels the whole
+    chain with its minimum in ~11 rounds."""
+    from mitoscape_spark.operators.dedup import connected_components
+
+    n = 1500
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(chain, max_iterations=30).collect()
+    assert len(labels) == n + 1
+    assert {r.component for r in labels} == {0}
