@@ -98,3 +98,36 @@ def weighted_mix(
             F.col(stratum_col) == value, F.lit(hex_threshold(fraction))
         ).otherwise(thr)
     return df.where(_hash_prefix(key_col, salt) < thr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-key row cap — the "max N documents per domain/source" corpus
+    primitive (dominant sources otherwise drown the mixture no matter
+    how good the per-document quality filter is).
+
+    Deterministic and engine-portable: rows rank within their key by
+    ``md5(salt || id)`` (a stable pseudo-random order — no RNG state,
+    identical across engines and reruns), ties broken by id; only rank
+    ≤ ``max_rows`` survives. One window over (key, hash-order) = one
+    shuffle partitioned by key; skew note: a single enormous key sorts
+    within one partition — cap such keys in two passes (pre-filter by
+    hash threshold ≈ max_rows/count) if one key exceeds a partition.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order, F.col(id_col))
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= max_rows)
+        .drop("_rank")
+    )

@@ -221,6 +221,41 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fp")
 
 
+def ext_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (max 20 docs/source): deterministic
+    md5-order rank within source — the mixture-balance primitive that
+    stops dominant sources drowning the corpus."""
+    from mitoscape_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_key(docs, "source", 20, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup END-TO-END: blocked-GEMM cosine pairs
+    (≥ 0.35) → large-star/small-star connected components → keep the
+    smallest vec_id per cluster. Oracle: recursive-CTE transitive
+    closure over the same cosine pairs."""
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        embedding_near_duplicates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return (
+        dedup_keep_canonical(emb, pairs, id_col="vec_id")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: per-doc mean NLL under an add-0.5
     bigram LM trained on the corpus itself (atypical word transitions
@@ -1556,6 +1591,8 @@ QUERIES = {
     "ext_repetition": ext_repetition,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
+    "ext_cap_per_source": ext_cap_per_source,
+    "ext_dedup_embedding": ext_dedup_embedding,
     "ext_lm_score": ext_lm_score,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
@@ -1897,6 +1934,44 @@ ORACLE = {
             WHERE len(hl) >= 4
         )
         SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
+    """,
+    "ext_cap_per_source": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS r
+            FROM documents
+        ) t WHERE r <= 20 ORDER BY doc_id
+    """,
+    "ext_dedup_embedding": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            WHERE r.s != e.d
+        ),
+        comp AS (
+            SELECT s AS id, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        SELECT vec_id FROM embeddings e
+        LEFT JOIN comp c ON e.vec_id = c.id AND c.id != c.component
+        WHERE c.id IS NULL
+        ORDER BY vec_id
     """,
     "ext_lm_score": f"""
         WITH {_TOKS},

@@ -1040,3 +1040,23 @@ def test_connected_components_long_chain(spark):
     labels = connected_components(chain, max_iterations=30).collect()
     assert len(labels) == n + 1
     assert {r.component for r in labels} == {0}
+
+
+def test_cap_per_key_deterministic_cap(spark):
+    """cap_per_key keeps at most N rows per key, keeps small keys
+    whole, and is deterministic across invocations."""
+    from mitoscape_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"src{i % 3}") for i in range(40)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_key(df, "source", 5, "doc_id")
+    got = capped.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts == {"src0": 5, "src1": 5, "src2": 5, "rare": 1}
+    again = cap_per_key(df, "source", 5, "doc_id")
+    assert {r.doc_id for r in capped.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+    # different salt = different (still deterministic) selection
+    other = cap_per_key(df, "source", 5, "doc_id", salt="x")
+    assert {r.doc_id for r in other.collect()} != set() 
