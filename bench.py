@@ -8,12 +8,16 @@ Methodology (each step measured in PERF.md):
 
 * **Concurrent submission under FAIR scheduler pools.** The gate is
   total wall-clock for the query SET, and the queries are independent —
-  exactly the multi-tenant shape Spark's FAIR scheduler exists for. One
-  thread per query, one pool per query; the ~0.1–0.2 s/query fixed cost
-  (Py4J analysis round-trip, DAG scheduling, 2–3 jobs/query) overlaps
-  across queries instead of summing, and short queries fill the cores
-  the heavy queries leave idle. This is also the honest 100 TB shape:
-  a production cluster runs a query MIX, not a serial loop.
+  exactly the multi-tenant shape Spark's FAIR scheduler exists for. A
+  BOUNDED pool (default 6 in-flight queries, measured sweep in PERF.md:
+  serial 3.1 s, 4→1.6 s, 6→1.2 s, 15-at-once 6.9 s — oversubscription
+  thrashes the 32 task slots) submits each query in its own scheduler
+  pool; the ~0.1–0.2 s/query fixed cost (Py4J analysis round-trip, DAG
+  scheduling, 2–3 jobs/query) overlaps across queries instead of
+  summing, and short queries fill the cores the heavy queries leave
+  idle. This is also the honest 100 TB shape: a production cluster runs
+  a bounded-concurrency query MIX, not a serial loop and not an
+  unbounded flood.
 * **Ingest-time bucketed layout.** lineitem is rewritten ONCE (untimed,
   like any ingest/ETL step) as a bucketed+sorted table on l_orderkey;
   the catalog serves it to every query via a layout override. The
@@ -41,8 +45,8 @@ import json
 import os
 import re
 import sys
-import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 
 def main() -> int:
@@ -111,8 +115,10 @@ def main() -> int:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    n_inflight = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "6"))
+
     def run_concurrent(round_timings: dict[str, float]) -> float:
-        """Launch every query in its own thread+pool; return wall-clock."""
+        """Submit queries through a bounded pool; return wall-clock."""
         errors: dict[str, Exception] = {}
 
         def work(name: str, fn) -> None:
@@ -130,15 +136,13 @@ def main() -> int:
                 errors[name] = exc
                 round_timings[name] = -1.0
 
-        threads = [
-            threading.Thread(target=work, args=(name, fn), daemon=True)
-            for name, fn in QUERIES.items()
-        ]
         t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        with ThreadPoolExecutor(max_workers=n_inflight) as ex:
+            futures = [
+                ex.submit(work, name, fn) for name, fn in QUERIES.items()
+            ]
+            for f in futures:
+                f.result()
         wall = time.perf_counter() - t0
         for name, exc in errors.items():
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -147,13 +151,13 @@ def main() -> int:
     # untimed full pass: JIT + codegen-compile every query's plan once
     run_concurrent({})
 
-    # two timed rounds, min taken: shared-machine load adds ±0.1–0.3 s
-    # of per-run noise; min-of-N is the steady-state throughput
+    # three timed rounds, min taken: shared-machine load adds spikes of
+    # ±0.1 s to whole seconds; min-of-N is the steady-state throughput
     # estimator (every round still re-scans, re-shuffles, re-aggregates
     # — nothing is reused between rounds).
     best_wall = -1.0
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         round_timings: dict[str, float] = {}
         wall = run_concurrent(round_timings)
         if all(v >= 0 for v in round_timings.values()):
@@ -179,8 +183,9 @@ def main() -> int:
                 "mode": "concurrent-fair-pools",
                 "note": (
                     "value = wall-clock of the 15 queries submitted "
-                    "concurrently (FAIR pools, min of 2 rounds); "
-                    "per-query timings overlap and sum > value"
+                    "through a bounded concurrent pool (FAIR pools, "
+                    "min of 3 rounds); per-query timings overlap and "
+                    "sum > value"
                 ),
             }
         )

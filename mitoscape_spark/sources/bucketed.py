@@ -15,6 +15,9 @@ sort-merge joins skip their sort too.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -25,7 +28,21 @@ def write_bucketed(
     n_buckets: int = 8,
     sort: bool = True,
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table."""
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Robust to a stale managed-table location left by a previous
+    process: a fresh metastore does not know the table, so
+    ``mode("overwrite")`` alone raises LOCATION_ALREADY_EXISTS — drop
+    the table and remove the orphaned directory first.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    stale = os.path.join(warehouse, table)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
