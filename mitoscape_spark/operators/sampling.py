@@ -131,3 +131,73 @@ def cap_per_key(
         .where(F.col("_rank") <= max_rows)
         .drop("_rank")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted stratum sampling — the multilingual-corpus
+    balancing rule (sample stratum s with probability ∝ n_s^alpha;
+    alpha < 1 flattens the head, boosts the tail — the exponent-
+    smoothed sampling popularized by multilingual pretraining recipes).
+
+    Per-stratum budget k_s = floor(total * n_s^alpha / Σ n^alpha),
+    filled by the deterministic md5 order (same primitive as
+    cap_per_key). The stratum-count table is tiny (one row per source/
+    language), so the budget join broadcasts; the only real shuffle is
+    the per-stratum ranking window — identical cost to cap_per_key at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    wsum = Window.partitionBy()  # strata table is tiny; global sum OK
+    budgets = counts.select(
+        stratum_col,
+        F.floor(
+            F.lit(float(total))
+            * F.pow("_n", alpha)
+            / F.sum(F.pow("_n", alpha)).over(wsum)
+        ).alias("_budget"),
+    )
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    return (
+        df.join(F.broadcast(budgets), stratum_col)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= F.col("_budget"))
+        .drop("_rank", "_budget")
+    )
+
+
+def top_fraction_per_key(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Keep the top ``fraction`` of each key's rows by score — the
+    per-source quality-percentile filter (a global score cutoff would
+    empty low-scoring sources entirely; per-source percentiles preserve
+    the mixture while dropping each source's worst tail).
+
+    percent_rank (deterministic: score desc, id tiebreak) <= fraction.
+    One window shuffle partitioned by key; same skew caveat as
+    cap_per_key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") <= fraction)
+        .drop("_pr")
+    )

@@ -266,6 +266,51 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
+def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring removal (ExactSubstr dedup re-expressed
+    relationally, Lee et al. 2022): every 4-token span occurring in
+    >= 2 documents is excised; surviving tokens re-assemble in order.
+    All shuffle-partitioned joins/aggs — no suffix array, no driver
+    state (operators/substrings.py)."""
+    from mitoscape_spark.operators.substrings import common_span_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return common_span_removal(docs, n=4, min_docs=2).orderBy("doc_id")
+
+
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (n_s^0.5 budget, 100-doc
+    total): the multilingual-recipe sampler — head sources flattened,
+    tail boosted; deterministic md5 fill order."""
+    from mitoscape_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, "source", "doc_id", total=100, alpha=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gate: keep each source's top half
+    by composite quality score (percent_rank window) — drops every
+    source's worst tail without emptying weak sources the way a global
+    cutoff would."""
+    from mitoscape_spark.operators.sampling import top_fraction_per_key
+    from mitoscape_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source").join(
+        quality_scores(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return (
+        top_fraction_per_key(scored, "source", "quality", 0.5, "doc_id")
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows, stride 48
     (generator + project, no shuffle, no Python)."""
@@ -1594,6 +1639,9 @@ QUERIES = {
     "ext_cap_per_source": ext_cap_per_source,
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_lm_score": ext_lm_score,
+    "ext_substring_dedup": ext_substring_dedup,
+    "ext_temperature_mix": ext_temperature_mix,
+    "ext_quality_filter": ext_quality_filter,
     "ext_chunk_documents": ext_chunk_documents,
     "ext_term_freq": ext_term_freq,
     "ext_prep_pipeline": ext_prep_pipeline,
@@ -2039,6 +2087,98 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_substring_dedup": f"""
+        WITH {_TOKS},
+        grams AS (
+            SELECT doc_id, CAST(i AS INT) AS i,
+                   array_to_string(t[i:i+3], ' ') AS g
+            FROM toks, UNNEST(range(1, greatest(len(t) - 3, 0) + 1)) AS r(i)
+        ),
+        common AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, i + CAST(o AS INT) AS tokpos
+            FROM grams JOIN common USING (g)
+            CROSS JOIN UNNEST(range(4)) AS u(o)
+        ),
+        alltoks AS (
+            SELECT doc_id, CAST(j AS INT) AS tokpos, t[j] AS tok
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS rr(j)
+        ),
+        kept AS (
+            SELECT a.doc_id, a.tokpos, a.tok FROM alltoks a
+            ANTI JOIN covered c
+            ON a.doc_id = c.doc_id AND a.tokpos = c.tokpos
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(string_split(lower(d.text), ' '))
+                    - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "ext_temperature_mix": """
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        bud AS (
+            SELECT source,
+                   CAST(FLOOR(100.0 * POW(n, 0.5)
+                        / SUM(POW(n, 0.5)) OVER ()) AS BIGINT) AS b
+            FROM counts
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source
+        FROM ranked JOIN bud USING (source)
+        WHERE rk <= b ORDER BY doc_id
+    """,
+    "ext_quality_filter": f"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   length(text) - length(
+                       regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')
+                   ) AS n_punct,
+                   len(list_intersect(
+                       string_split(lower(text), ' '),
+                       {_STOP_SQL['en']})) AS n_stopwords
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   ROUND(
+                       LEAST(n_tokens / 50.0, 1.0) * 0.4
+                       + (1 - LEAST(n_punct / GREATEST(length(text), 1) * 1.0,
+                                    1.0)) * 0.3
+                       + LEAST(n_stopwords / 5.0, 1.0) * 0.3, 4) AS quality
+            FROM base
+        ),
+        ranked AS (
+            SELECT doc_id, source, quality,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id
+                   ) AS pr
+            FROM scored
+        )
+        SELECT doc_id, source, quality FROM ranked
+        WHERE pr <= 0.5 ORDER BY doc_id
     """,
     "ext_chunk_documents": """
         WITH nc AS (
