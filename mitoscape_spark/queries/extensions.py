@@ -311,6 +311,46 @@ def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table transaction layer end-to-end: three REAL commits
+    (append, append, overwrite) into a fresh table, then one
+    time-travel read per version. Versioned manifests + atomic
+    publish (sources/snapshots.py) — the lakehouse primitive that
+    makes 100 TB parquet safely writable. Oracle reproduces each
+    version's membership predicate directly."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="snap_tt_") as root:
+        t = f"{root}/docs"
+        snap.commit(docs.where(F.col("doc_id") % 5 < 2), t)
+        snap.commit(docs.where((F.col("doc_id") % 5).isin(2, 3)), t)
+        snap.commit(
+            docs.where(F.col("doc_id") % 5 == 4), t, mode="overwrite"
+        )
+        per_version = [
+            snap.read(spark, t, version=v)
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            for v in (1, 2, 3)
+        ]
+        out = per_version[0]
+        for df in per_version[1:]:
+            out = out.unionByName(df)
+        # materialize before the TemporaryDirectory vanishes
+        rows = out.orderBy("version").collect()
+    return spark.createDataFrame(
+        rows, "version int, n_docs bigint, sum_doc_id bigint"
+    )
+
+
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows, stride 48
     (generator + project, no shuffle, no Python)."""
@@ -1640,6 +1680,7 @@ QUERIES = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_lm_score": ext_lm_score,
     "ext_substring_dedup": ext_substring_dedup,
+    "ext_time_travel": ext_time_travel,
     "ext_temperature_mix": ext_temperature_mix,
     "ext_quality_filter": ext_quality_filter,
     "ext_chunk_documents": ext_chunk_documents,
@@ -2087,6 +2128,20 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_time_travel": """
+        WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 2),
+        v2 AS (
+            SELECT doc_id FROM documents WHERE doc_id % 5 < 4
+        ),
+        v3 AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4)
+        SELECT 1 AS version, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM v2
+        UNION ALL
+        SELECT 3, COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM v3
+        ORDER BY version
     """,
     "ext_substring_dedup": f"""
         WITH {_TOKS},

@@ -1,0 +1,171 @@
+"""Snapshot tables: versioned parquet with atomic commits and
+time travel (a minimal lakehouse transaction layer, stdlib + Spark).
+
+The pattern every serious 100 TB deployment needs and plain parquet
+directories lack: writers publish IMMUTABLE data files, then make them
+visible with one atomic manifest commit; readers resolve a manifest
+version to a file list and never observe half-written state. This is
+the public Delta/Iceberg design re-expressed minimally:
+
+* data files: each commit writes a fresh parquet directory under
+  ``data/`` (never mutated, never reused across commits);
+* manifests: ``_manifests/v%012d.json`` records the FULL directory
+  list for that version (append = parent list + new dir, overwrite =
+  new dir only) — reads need exactly one manifest, no log replay;
+* atomicity: the manifest is staged to a temp name and published with
+  an exclusive-create hard link; two racing writers targeting the same
+  version get exactly one winner, the loser retries at version+1
+  (optimistic concurrency). On an object store without atomic create,
+  swap the publish step for a conditional PUT — the rest is unchanged;
+* time travel: ``read(version=...)`` resolves any retained manifest;
+  ``history()`` lists them; ``vacuum()`` deletes data directories no
+  retained manifest references (crash-orphaned or overwritten-away).
+
+Scale notes: manifests hold directory paths, not per-row state — a
+commit is O(1) metadata regardless of data size; reads hand Spark the
+resolved directory list so normal parquet pruning/pushdown applies
+unchanged. Like streaming/pysink, the local implementation assumes
+driver and executors share a filesystem; the commit protocol itself is
+storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_FMT = "v%012d.json"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, _FMT % version)
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest committed version, or 0 if the table is empty/new."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(name[1:13])
+        for name in os.listdir(mdir)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"snapshot version {version} not found in {table_dir} "
+            f"(latest = {latest_version(table_dir)})"
+        )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 20,
+) -> int:
+    """Write ``df`` and atomically publish it; returns the new version.
+
+    ``mode='append'`` adds to the current snapshot; ``'overwrite'``
+    replaces it. The data write happens BEFORE any manifest exists, so
+    a crash mid-write leaves only an orphaned directory (reclaimed by
+    ``vacuum``), never a corrupt table. Publication is an exclusive
+    create: racing writers serialize by version number.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+
+    rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    df.write.parquet(os.path.join(table_dir, rel_dir))
+
+    for _ in range(max_retries):
+        parent = latest_version(table_dir)
+        if mode == "append" and parent > 0:
+            dirs = _load_manifest(table_dir, parent)["dirs"] + [rel_dir]
+        else:
+            dirs = [rel_dir]
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "dirs": dirs,
+            "committed_at": time.time(),
+        }
+        staged = os.path.join(
+            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(staged, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # hard link = atomic create-exclusive publish on POSIX
+            os.link(staged, _manifest_path(table_dir, version))
+            return version
+        except FileExistsError:
+            continue  # lost the race — recompute against the new parent
+        finally:
+            os.unlink(staged)
+    raise RuntimeError(
+        f"commit to {table_dir} lost {max_retries} optimistic-concurrency "
+        "races; raise max_retries or reduce writer contention"
+    )
+
+
+def read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read — latest by default, any retained version for
+    time travel. Hands Spark the resolved directory list, so partition
+    pruning / predicate pushdown behave exactly as on raw parquet."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        raise ValueError(f"snapshot table {table_dir} has no commits")
+    dirs = _load_manifest(table_dir, v)["dirs"]
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+
+
+def history(table_dir: str) -> list[dict]:
+    """All retained manifests, oldest first (version/mode/#dirs/time)."""
+    return [
+        _load_manifest(table_dir, v)
+        for v in range(1, latest_version(table_dir) + 1)
+        if os.path.exists(_manifest_path(table_dir, v))
+    ]
+
+
+def vacuum(table_dir: str, keep_versions: int | None = None) -> list[str]:
+    """Delete data directories referenced by NO retained manifest;
+    optionally first drop all but the newest ``keep_versions``
+    manifests. Returns the removed directory names. Safe by
+    construction: current-version files are always referenced."""
+    latest = latest_version(table_dir)
+    if keep_versions is not None:
+        for v in range(1, max(latest - keep_versions + 1, 1)):
+            path = _manifest_path(table_dir, v)
+            if os.path.exists(path):
+                os.unlink(path)
+    referenced = {d for m in history(table_dir) for d in m["dirs"]}
+    data_root = os.path.join(table_dir, _DATA_DIR)
+    removed = []
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+    return sorted(removed)
