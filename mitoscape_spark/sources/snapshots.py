@@ -77,6 +77,7 @@ def commit(
     table_dir: str,
     mode: str = "append",
     max_retries: int = 20,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` and atomically publish it; returns the new version.
 
@@ -106,6 +107,7 @@ def commit(
             "mode": mode,
             "dirs": dirs,
             "committed_at": time.time(),
+            "meta": meta or {},
         }
         staged = os.path.join(
             table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"

@@ -115,3 +115,51 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def append_stream_to_snapshot(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Exactly-once streaming append into a snapshot table
+    (sources/snapshots.py) — transactional landing zone instead of
+    bare-directory parquet append.
+
+    foreachBatch delivers (batch_df, batch_id) at-least-once with a
+    STABLE batch_id; the snapshot manifest records that id, so a
+    replayed batch whose id is already committed becomes a no-op —
+    idempotence lives in the TABLE's commit log, not in sink-side
+    state that a restart could lose. Readers meanwhile get atomic
+    visibility: a crash mid-write leaves an orphaned data directory
+    (vacuumable), never a torn snapshot — strictly stronger than the
+    file-sink's _spark_metadata contract because ANY engine reading
+    manifests sees consistent versions, not just Spark.
+
+    The already-committed check scans the manifest chain (O(versions));
+    a long-lived deployment stores the high-water batch_id in the
+    latest manifest instead — same protocol, one read.
+    """
+    return (
+        stream.writeStream.foreachBatch(snapshot_batch_committer(table_dir))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def snapshot_batch_committer(table_dir: str):
+    """The idempotent (batch_df, batch_id) function behind
+    ``append_stream_to_snapshot`` — module-level so replay semantics
+    are testable without driving a StreamingQuery."""
+    from mitoscape_spark.sources import snapshots as snap
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {
+            m.get("meta", {}).get("batch_id") for m in snap.history(table_dir)
+        }
+        if batch_id in committed:
+            return
+        snap.commit(batch_df, table_dir, meta={"batch_id": batch_id})
+
+    return commit_batch

@@ -86,3 +86,53 @@ def test_vacuum_keep_versions_reclaims_overwritten_data(spark, tmp_path):
 def test_commit_mode_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="append|overwrite"):
         snap.commit(_df(spark, 0, 1), str(tmp_path / "t"), mode="merge")
+
+
+def test_stream_append_exactly_once_with_replayed_batch(spark, tmp_path):
+    """foreachBatch re-delivery of a committed batch_id must be a
+    no-op: the manifest chain is the idempotence ledger."""
+    import os
+
+    from mitoscape_spark.streaming.sinks import append_stream_to_snapshot
+
+    src = str(tmp_path / "land")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    base = _df(spark, 0, 50)
+    base.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = append_stream_to_snapshot(stream, t, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snap.read(spark, t).count() == 50
+    committed_versions = len(snap.history(t))
+
+    # at-least-once re-delivery: invoke the sink's actual batch
+    # function again with an already-committed batch_id — must no-op
+    from mitoscape_spark.streaming.sinks import snapshot_batch_committer
+
+    replay_id = snap.history(t)[-1]["meta"]["batch_id"]
+    snapshot_batch_committer(t)(base, replay_id)
+    assert len(snap.history(t)) == committed_versions
+    assert snap.read(spark, t).count() == 50
+
+    # a genuinely new batch lands as the next version
+    _df(spark, 50, 60).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream2 = (
+        spark.readStream.schema(base.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q2 = append_stream_to_snapshot(stream2, t, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert snap.read(spark, t).count() == 60
+    assert snap.read(spark, t, version=committed_versions).count() == 50
