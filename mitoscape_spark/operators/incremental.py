@@ -1,0 +1,77 @@
+"""Incremental aggregate maintenance — update a materialized
+aggregate from a CDC delta without rescanning the base facts.
+
+The materialized-view primitive every 100 TB deployment ends up
+needing: a grouped (count, sum) table is self-maintainable — inserts
+add, deletes subtract — so refreshing it costs O(|delta|) + one small
+join instead of an O(|facts|) rescan. avg/ratio metrics derive from the
+maintained (sum, count) pair. min/max are deliberately NOT offered:
+they are not delta-maintainable under deletes (a deleted row that held
+the min forces a rescan of its group) — callers needing them refresh
+those groups explicitly.
+
+Plan shape: the delta aggregates FIRST (map-side partial agg over the
+small batch), then full-outer-joins the base aggregate on the group
+key. The base table has one row per group — orders of magnitude
+smaller than the facts — and never re-shuffles its source data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_signed(
+    delta: DataFrame,
+    value_col: str,
+    op_col: str = "op",
+    insert_op: str = "insert",
+    delete_op: str = "delete",
+):
+    """Signed (value, weight) expressions for a CDC batch: inserts
+    contribute (+value, +1), deletes (-value, -1). An UPDATE arrives as
+    delete-of-old + insert-of-new — the standard CDC decomposition."""
+    sign = (
+        F.when(F.col(op_col) == insert_op, F.lit(1))
+        .when(F.col(op_col) == delete_op, F.lit(-1))
+        .otherwise(F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col))))
+    )
+    return sign * F.col(value_col), sign
+
+
+def maintain_sum_count(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sum_col: str = "sum_value",
+    count_col: str = "n",
+    op_col: str = "op",
+) -> DataFrame:
+    """New aggregate state = base ⊕ delta.
+
+    ``base_agg``: one row per key with ``sum_col``/``count_col`` (the
+    previously materialized state). ``delta``: raw CDC rows with
+    ``op_col`` ∈ {insert, delete} and ``value_col``. Groups whose
+    maintained count reaches zero disappear (exactly what a direct
+    re-aggregation would produce); groups seen only in the delta are
+    born with their delta totals.
+    """
+    signed_value, signed_weight = delta_signed(delta, value_col, op_col)
+    delta_agg = delta.groupBy(*keys).agg(
+        F.sum(signed_value).alias("_d_sum"),
+        F.sum(signed_weight).alias("_d_n"),
+    )
+    merged = base_agg.join(delta_agg, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("_d_sum"), F.lit(0))
+        ).alias(sum_col),
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).alias(count_col),
+    )
+    return merged.where(F.col(count_col) > 0)

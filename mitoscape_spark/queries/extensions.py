@@ -351,6 +351,43 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: base agg (orders with
+    o_orderkey % 10 != 0, per priority) updated by a CDC delta
+    (inserts = the held-out %10 rows, deletes = base rows with
+    o_orderkey % 7 == 0) — O(|delta|) + a one-row-per-group join, no
+    fact rescan. Oracle re-aggregates the final fact set directly:
+    maintained state must equal the from-scratch answer."""
+    from mitoscape_spark.operators.incremental import maintain_sum_count
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_facts = orders.where(F.col("o_orderkey") % 10 != 0)
+    base_agg = base_facts.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    delta = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("op", F.lit("insert"))
+        .unionByName(
+            base_facts.where(F.col("o_orderkey") % 7 == 0).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    return maintain_sum_count(
+        base_agg,
+        delta,
+        ["o_orderpriority"],
+        "cents",
+        sum_col="sum_cents",
+        count_col="n",
+    ).orderBy("o_orderpriority")
+
+
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: overlapping 64-token windows, stride 48
     (generator + project, no shuffle, no Python)."""
@@ -1681,6 +1718,7 @@ QUERIES = {
     "ext_lm_score": ext_lm_score,
     "ext_substring_dedup": ext_substring_dedup,
     "ext_time_travel": ext_time_travel,
+    "ext_incremental_agg": ext_incremental_agg,
     "ext_temperature_mix": ext_temperature_mix,
     "ext_quality_filter": ext_quality_filter,
     "ext_chunk_documents": ext_chunk_documents,
@@ -2128,6 +2166,18 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_incremental_agg": """
+        WITH facts AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE NOT (o_orderkey % 10 != 0 AND o_orderkey % 7 = 0)
+        )
+        SELECT o_orderpriority,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               COUNT(*) AS n
+        FROM facts GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "ext_time_travel": """
         WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 2),
