@@ -351,6 +351,35 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (o_custkey, o_totalprice):
+    the multi-column data-skipping layout key, computed entirely as
+    JVM bit-arithmetic expressions (sources/layout.py). Returned in
+    curve order — the exact order a layout rewrite would range-
+    partition on."""
+    from mitoscape_spark.sources.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        zorder_key(orders, ["o_custkey", "o_totalprice"], n_bits=8)
+        .select("o_orderkey", "zval")
+        .orderBy("zval", "o_orderkey")
+        .limit(1000)
+    )
+
+
+def _zorder_oracle_expr(n_bits: int = 8) -> str:
+    """DuckDB bit-interleave expression mirroring layout.interleave_bits
+    (b1 = first column's bucket → odd bit positions)."""
+    terms = []
+    for i in range(n_bits):
+        terms.append(f"(((b1 >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((b2 >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
 def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance: base agg (orders with
     o_orderkey % 10 != 0, per priority) updated by a CDC delta
@@ -1719,6 +1748,7 @@ QUERIES = {
     "ext_substring_dedup": ext_substring_dedup,
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
+    "ext_zorder": ext_zorder,
     "ext_temperature_mix": ext_temperature_mix,
     "ext_quality_filter": ext_quality_filter,
     "ext_chunk_documents": ext_chunk_documents,
@@ -2166,6 +2196,30 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_zorder": f"""
+        WITH stats AS (
+            SELECT MIN(o_custkey) AS min1, MAX(o_custkey) AS max1,
+                   MIN(o_totalprice) AS min2, MAX(o_totalprice) AS max2
+            FROM orders
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(o_custkey AS DOUBLE) - min1)
+                       / (CASE WHEN max1 - min1 > 0
+                               THEN CAST(max1 - min1 AS DOUBLE)
+                               ELSE 1.0 END) * 256) AS BIGINT),
+                       0), 255) AS b1,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (o_totalprice - min2)
+                       / (CASE WHEN max2 - min2 > 0
+                               THEN max2 - min2 ELSE 1.0 END) * 256)
+                       AS BIGINT), 0), 255) AS b2
+            FROM orders, stats
+        )
+        SELECT o_orderkey, CAST({_zorder_oracle_expr(8)} AS BIGINT) AS zval
+        FROM b ORDER BY zval, o_orderkey LIMIT 1000
     """,
     "ext_incremental_agg": """
         WITH facts AS (
