@@ -171,3 +171,51 @@ def vacuum(table_dir: str, keep_versions: int | None = None) -> list[str]:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(rel)
     return sorted(removed)
+
+
+def compact(
+    spark: SparkSession, table_dir: str, target_partitions: int | None = None
+) -> int:
+    """Rewrite the current snapshot's many data directories into one
+    (coalesced) directory and commit it as an overwrite — the
+    small-files compaction every append-heavy table eventually needs
+    (N streaming micro-batches = N directories of tiny parquet files;
+    scan planning cost grows with file count, not data size).
+
+    Readers are never disturbed: the compacted files land under a new
+    version, prior versions stay time-travelable until ``vacuum``.
+    """
+    current = read(spark, table_dir)
+    if target_partitions:
+        current = current.coalesce(target_partitions)
+    return commit(
+        current, table_dir, mode="overwrite", meta={"compaction": True}
+    )
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> tuple[int, int]:
+    """Row-level delete: commit a snapshot without rows matching
+    ``predicate`` (a SQL boolean expression). Returns
+    (new_version, rows_deleted).
+
+    Copy-on-write semantics, like the table formats' default: the
+    surviving rows rewrite, the old version remains for time travel /
+    audit. Parquet predicate pushdown prunes files with no matches
+    during the rewrite scan; a deletion-vector variant (mark, don't
+    rewrite) is the upgrade path when deletes are tiny fractions of
+    huge tables.
+    """
+    from pyspark.sql import functions as F
+
+    current = read(spark, table_dir)
+    survivors = current.where(~F.expr(predicate))
+    n_deleted = current.count() - survivors.count()
+    version = commit(
+        survivors,
+        table_dir,
+        mode="overwrite",
+        meta={"delete_where": predicate, "rows_deleted": n_deleted},
+    )
+    return version, n_deleted

@@ -136,3 +136,35 @@ def test_stream_append_exactly_once_with_replayed_batch(spark, tmp_path):
         q2.stop()
     assert snap.read(spark, t).count() == 60
     assert snap.read(spark, t, version=committed_versions).count() == 50
+
+
+def test_compact_merges_dirs_preserves_rows_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 50, 10):
+        snap.commit(_df(spark, lo, lo + 10), t)
+    assert len(snap._load_manifest(t, 5)["dirs"]) == 5
+    v = snap.compact(spark, t, target_partitions=1)
+    m = snap._load_manifest(t, v)
+    assert len(m["dirs"]) == 1 and m["meta"] == {"compaction": True}
+    assert snap.read(spark, t).count() == 50
+    assert sorted(
+        r["k"] for r in snap.read(spark, t).collect()
+    ) == list(range(50))
+    # pre-compaction versions still time-travel until vacuumed
+    assert snap.read(spark, t, version=3).count() == 30
+    removed = snap.vacuum(t, keep_versions=1)
+    assert len(removed) == 5  # the five tiny pre-compaction dirs
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 100), t)
+    version, n_deleted = snap.delete_where(spark, t, "k % 2 = 0")
+    assert (version, n_deleted) == (2, 50)
+    remaining = snap.read(spark, t)
+    assert remaining.count() == 50
+    assert remaining.where("k % 2 = 0").count() == 0
+    # audit trail in the manifest + old version intact
+    m = snap._load_manifest(t, 2)["meta"]
+    assert m == {"delete_where": "k % 2 = 0", "rows_deleted": 50}
+    assert snap.read(spark, t, version=1).count() == 100
