@@ -75,3 +75,44 @@ def maintain_sum_count(
         ).alias(count_col),
     )
     return merged.where(F.col(count_col) > 0)
+
+
+def refresh_snapshot_aggregate(
+    spark,
+    table_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sum_col: str = "sum_value",
+    count_col: str = "n",
+    op_col: str = "op",
+) -> int:
+    """Materialized view end-to-end: the aggregate STATE lives in a
+    snapshot table (sources/snapshots.py), each refresh folds a CDC
+    delta into it and commits a new version — so the view is
+    refreshable in O(|delta|), atomically visible to readers, and
+    every historical state remains time-travelable for audit
+    ("what did the dashboard say yesterday" is a version read).
+
+    First refresh bootstraps from an empty state with the delta's
+    grouped schema. Returns the committed version.
+    """
+    from mitoscape_spark.sources import snapshots as snap
+
+    try:
+        base = snap.read(spark, table_dir)
+    except ValueError:  # no commits yet — empty state, correct schema
+        base = (
+            delta.limit(0)
+            .groupBy(*keys)
+            .agg(
+                F.sum(value_col).alias(sum_col),
+                F.count(F.lit(1)).alias(count_col),
+            )
+        )
+    state = maintain_sum_count(
+        base, delta, keys, value_col, sum_col, count_col, op_col
+    )
+    return snap.commit(
+        state, table_dir, mode="overwrite", meta={"refresh": True}
+    )
