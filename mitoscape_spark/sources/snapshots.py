@@ -72,12 +72,17 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _json_scalar(v):
+    return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     max_retries: int = 20,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` and atomically publish it; returns the new version.
 
@@ -86,6 +91,13 @@ def commit(
     a crash mid-write leaves only an orphaned directory (reclaimed by
     ``vacuum``), never a corrupt table. Publication is an exclusive
     create: racing writers serialize by version number.
+
+    ``stats_cols``: record per-directory min/max of these columns in
+    the manifest (one tiny aggregate on the committed batch). Appended
+    directories keep the parent's stats, so ``read_pruned`` can skip
+    whole directories without opening a single parquet footer — the
+    manifest-level data skipping that makes an append-heavy table
+    scannable at 100 TB.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -94,12 +106,30 @@ def commit(
     rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.parquet(os.path.join(table_dir, rel_dir))
 
+    dir_stats: dict[str, list] = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            *[F.min(c).alias(f"_min_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"_max_{c}") for c in stats_cols],
+        ).head()
+        dir_stats = {
+            c: [_json_scalar(row[f"_min_{c}"]), _json_scalar(row[f"_max_{c}"])]
+            for c in stats_cols
+        }
+
     for _ in range(max_retries):
         parent = latest_version(table_dir)
+        stats: dict[str, dict] = {}
         if mode == "append" and parent > 0:
-            dirs = _load_manifest(table_dir, parent)["dirs"] + [rel_dir]
+            parent_manifest = _load_manifest(table_dir, parent)
+            dirs = parent_manifest["dirs"] + [rel_dir]
+            stats = dict(parent_manifest.get("stats", {}))
         else:
             dirs = [rel_dir]
+        if dir_stats:
+            stats[rel_dir] = dir_stats
         version = parent + 1
         manifest = {
             "version": version,
@@ -108,6 +138,7 @@ def commit(
             "dirs": dirs,
             "committed_at": time.time(),
             "meta": meta or {},
+            "stats": stats,
         }
         staged = os.path.join(
             table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
@@ -219,3 +250,60 @@ def delete_where(
         meta={"delete_where": predicate, "rows_deleted": n_deleted},
     )
     return version, n_deleted
+
+
+def prune_dirs(
+    table_dir: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Directories whose manifest stats MAY intersect every queried
+    range — (surviving dirs, total dirs). A directory with no recorded
+    stats for a queried column is kept (conservative, like a parquet
+    file with missing column statistics)."""
+    v = latest_version(table_dir) if version is None else version
+    m = _load_manifest(table_dir, v)
+    stats = m.get("stats", {})
+    kept = []
+    for d in m["dirs"]:
+        dstats = stats.get(d, {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            if col not in dstats:
+                continue
+            cmin, cmax = dstats[col]
+            if cmin is None or cmax is None:
+                continue
+            if (hi is not None and cmin > hi) or (
+                lo is not None and cmax < lo
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(d)
+    return kept, len(m["dirs"])
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that skips directories via manifest min/max stats,
+    THEN applies the same range predicates row-exactly (pruning is an
+    optimization, never a semantic change). At scale this is the
+    two-level skip every table format gives you: manifest stats drop
+    whole directories before parquet footer stats drop row groups."""
+    from pyspark.sql import functions as F
+
+    kept, _total = prune_dirs(table_dir, ranges, version)
+    if not kept:
+        return read(spark, table_dir, version).where(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(table_dir, d) for d in kept])
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+    return df

@@ -168,3 +168,41 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     m = snap._load_manifest(t, 2)["meta"]
     assert m == {"delete_where": "k % 2 = 0", "rows_deleted": 50}
     assert snap.read(spark, t, version=1).count() == 100
+
+
+def test_manifest_stats_prune_directories(spark, tmp_path):
+    """Disjoint-range appends: a range read must skip non-intersecting
+    directories at the MANIFEST level and still return exact rows."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        snap.commit(
+            _df(spark, lo, lo + 100), t, stats_cols=["k"]
+        )
+    kept, total = snap.prune_dirs(t, {"k": (150, 160)})
+    assert (len(kept), total) == (1, 4)  # only the [100,200) directory
+    got = sorted(
+        r["k"] for r in snap.read_pruned(spark, t, {"k": (150, 160)}).collect()
+    )
+    assert got == list(range(150, 161))
+    # open-ended ranges: >= 250
+    kept, _ = snap.prune_dirs(t, {"k": (250, None)})
+    assert len(kept) == 2
+    assert snap.read_pruned(spark, t, {"k": (250, None)}).count() == 150
+
+
+def test_prune_keeps_dirs_without_stats(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 10), t)  # no stats recorded
+    snap.commit(_df(spark, 100, 110), t, stats_cols=["k"])
+    kept, total = snap.prune_dirs(t, {"k": (0, 5)})
+    # stats-less dir conservatively kept; stats dir provably disjoint
+    assert (len(kept), total) == (1, 2)
+    assert snap.read_pruned(spark, t, {"k": (0, 5)}).count() == 6
+
+
+def test_prune_empty_result_still_correct_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 10), t, stats_cols=["k"])
+    df = snap.read_pruned(spark, t, {"k": (500, 600)})
+    assert df.count() == 0
+    assert df.columns == ["k"]
