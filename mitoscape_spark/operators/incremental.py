@@ -86,6 +86,7 @@ def refresh_snapshot_aggregate(
     sum_col: str = "sum_value",
     count_col: str = "n",
     op_col: str = "op",
+    meta: dict | None = None,
 ) -> int:
     """Materialized view end-to-end: the aggregate STATE lives in a
     snapshot table (sources/snapshots.py), each refresh folds a CDC
@@ -95,7 +96,8 @@ def refresh_snapshot_aggregate(
     ("what did the dashboard say yesterday" is a version read).
 
     First refresh bootstraps from an empty state with the delta's
-    grouped schema. Returns the committed version.
+    grouped schema. Returns the committed version. ``meta`` augments
+    the manifest record (e.g. a streaming batch_id ledger entry).
     """
     from mitoscape_spark.sources import snapshots as snap
 
@@ -114,5 +116,8 @@ def refresh_snapshot_aggregate(
         base, delta, keys, value_col, sum_col, count_col, op_col
     )
     return snap.commit(
-        state, table_dir, mode="overwrite", meta={"refresh": True}
+        state,
+        table_dir,
+        mode="overwrite",
+        meta={"refresh": True, **(meta or {})},
     )

@@ -163,3 +163,70 @@ def snapshot_batch_committer(table_dir: str):
         snap.commit(batch_df, table_dir, meta={"batch_id": batch_id})
 
     return commit_batch
+
+
+def stream_refresh_aggregate(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    sum_col: str = "sum_value",
+    count_col: str = "n",
+) -> StreamingQuery:
+    """Streaming materialized view: every micro-batch folds into a
+    snapshot-backed (sum, count) aggregate exactly once.
+
+    Composition of three engine pieces — incremental maintenance
+    (operators/incremental.py, O(|batch|) per refresh), snapshot
+    commits (atomic reader visibility + time travel over past view
+    states), and the manifest batch_id ledger (replayed micro-batches
+    no-op). Dashboards read the view table; the fact stream is never
+    rescanned."""
+    return (
+        stream.writeStream.foreachBatch(
+            aggregate_refresh_committer(
+                table_dir, keys, value_col, sum_col, count_col
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def aggregate_refresh_committer(
+    table_dir: str,
+    keys: list[str],
+    value_col: str,
+    sum_col: str = "sum_value",
+    count_col: str = "n",
+):
+    """(batch_df, batch_id) function behind ``stream_refresh_aggregate``
+    — module-level so replay idempotence is directly testable."""
+    from mitoscape_spark.operators.incremental import (
+        refresh_snapshot_aggregate,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+
+    def refresh_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        committed = {
+            m.get("meta", {}).get("batch_id") for m in snap.history(table_dir)
+        }
+        if batch_id in committed:
+            return
+        delta = batch_df.withColumn("op", F.lit("insert"))
+        refresh_snapshot_aggregate(
+            batch_df.sparkSession,
+            table_dir,
+            delta,
+            keys,
+            value_col,
+            sum_col,
+            count_col,
+            meta={"batch_id": batch_id},
+        )
+
+    return refresh_batch

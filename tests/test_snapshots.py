@@ -206,3 +206,62 @@ def test_prune_empty_result_still_correct_schema(spark, tmp_path):
     df = snap.read_pruned(spark, t, {"k": (500, 600)})
     assert df.count() == 0
     assert df.columns == ["k"]
+
+
+def test_streaming_materialized_view_matches_batch_agg(spark, tmp_path):
+    """Two micro-batches maintained into the snapshot view must equal
+    the from-scratch aggregate; replaying a batch_id must no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.streaming.sinks import (
+        aggregate_refresh_committer,
+        stream_refresh_aggregate,
+    )
+
+    src, t, ckpt = (
+        str(tmp_path / "land"),
+        str(tmp_path / "view"),
+        str(tmp_path / "ck"),
+    )
+    b0 = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = stream_refresh_aggregate(stream, t, ckpt, ["k"], "v")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    state = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in snap.read(spark, t).collect()
+    }
+    assert state == {"a": (30, 2), "b": (5, 1)}
+
+    # replay the committed batch — the ledger must reject it
+    replay_id = snap.history(t)[-1]["meta"]["batch_id"]
+    versions_before = snap.latest_version(t)
+    aggregate_refresh_committer(t, ["k"], "v")(b0, replay_id)
+    assert snap.latest_version(t) == versions_before
+
+    # second micro-batch folds in incrementally
+    spark.createDataFrame([("b", 5), ("c", 1)], "k string, v long").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b1"))
+    run_stream()
+    state = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in snap.read(spark, t).collect()
+    }
+    assert state == {"a": (30, 2), "b": (10, 2), "c": (1, 1)}
