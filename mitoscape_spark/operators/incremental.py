@@ -121,3 +121,73 @@ def refresh_snapshot_aggregate(
         mode="overwrite",
         meta={"refresh": True, **(meta or {})},
     )
+
+
+def maintain_distinct_sketch(
+    base_state: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch_col: str = "nd_sketch",
+) -> DataFrame:
+    """Incrementally-maintained DISTINCT counts via mergeable HLL
+    sketches (Spark's DataSketches surface: ``hll_sketch_agg`` /
+    ``hll_union_agg``).
+
+    COUNT(DISTINCT x) is the aggregate naive delta maintenance cannot
+    touch — a new row may or may not be a new distinct value, and only
+    the full history knows. The sketch solves it: per-key HLL state is
+    a few KB, unions are associative/commutative, so refresh cost is
+    O(|delta|) + a small-state merge, at ~2% standard error regardless
+    of cardinality. Insert-only by construction (HLL cannot unvote a
+    value); workloads with deletes re-sketch the affected keys.
+
+    ``base_state``: (keys..., sketch binary) or None to bootstrap.
+    """
+    delta_state = delta.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col).alias(sketch_col)
+    )
+    if base_state is None:
+        return delta_state
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+    )
+
+
+def estimate_distinct(
+    state: DataFrame, keys: list[str], sketch_col: str = "nd_sketch"
+) -> DataFrame:
+    """(keys..., n_distinct) estimates from maintained sketch state."""
+    return state.select(
+        *keys,
+        F.hll_sketch_estimate(F.col(sketch_col)).alias("n_distinct"),
+    )
+
+
+def refresh_snapshot_distinct(
+    spark,
+    table_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch_col: str = "nd_sketch",
+    meta: dict | None = None,
+) -> int:
+    """Distinct-count materialized view: HLL state persisted in a
+    snapshot table (binary sketch column in parquet), each refresh
+    union-merges the delta's sketches and commits a new version."""
+    from mitoscape_spark.sources import snapshots as snap
+
+    try:
+        base = snap.read(spark, table_dir)
+    except ValueError:
+        base = None
+    state = maintain_distinct_sketch(base, delta, keys, value_col, sketch_col)
+    return snap.commit(
+        state,
+        table_dir,
+        mode="overwrite",
+        meta={"refresh": "distinct-sketch", **(meta or {})},
+    )

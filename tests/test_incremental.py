@@ -106,3 +106,86 @@ def test_materialized_view_refresh_lifecycle(spark, tmp_path):
         for r in snap.read(spark, t, version=1).collect()
     }
     assert old == s1
+
+
+def test_distinct_sketch_incremental_equals_oneshot(spark):
+    """Union of per-delta sketches must estimate the same as one
+    sketch over all rows (HLL is exact at these cardinalities)."""
+    from mitoscape_spark.operators.incremental import (
+        estimate_distinct,
+        maintain_distinct_sketch,
+    )
+
+    all_rows = [("a", i % 50) for i in range(500)] + [
+        ("b", i % 7) for i in range(100)
+    ]
+    df = spark.createDataFrame(all_rows, "k string, v long")
+    d1 = df.where("v % 2 = 0")
+    d2 = df.where("v % 2 = 1")
+
+    s = maintain_distinct_sketch(None, d1, ["k"], "v")
+    s = maintain_distinct_sketch(s, d2, ["k"], "v")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in estimate_distinct(s, ["k"]).collect()
+    }
+    assert got == {"a": 50, "b": 7}
+
+
+def test_distinct_sketch_new_key_birth(spark):
+    from mitoscape_spark.operators.incremental import (
+        estimate_distinct,
+        maintain_distinct_sketch,
+    )
+
+    base = maintain_distinct_sketch(
+        None,
+        spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long"),
+        ["k"],
+        "v",
+    )
+    s = maintain_distinct_sketch(
+        base,
+        spark.createDataFrame([("z", 9)], "k string, v long"),
+        ["k"],
+        "v",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in estimate_distinct(s, ["k"]).collect()
+    }
+    assert got == {"a": 2, "z": 1}
+
+
+def test_snapshot_backed_distinct_view(spark, tmp_path):
+    """Sketch state survives the parquet round-trip and keeps merging
+    across refreshes; old view states remain time-travelable."""
+    from mitoscape_spark.operators.incremental import (
+        estimate_distinct,
+        refresh_snapshot_distinct,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "ndview")
+    d1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "k string, v long"
+    )
+    assert refresh_snapshot_distinct(spark, t, d1, ["k"], "v") == 1
+    d2 = spark.createDataFrame(
+        [("a", 2), ("a", 3)], "k string, v long"  # one dup, one new
+    )
+    assert refresh_snapshot_distinct(spark, t, d2, ["k"], "v") == 2
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in estimate_distinct(
+            snap.read(spark, t), ["k"]
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 1}
+    old = {
+        r["k"]: r["n_distinct"]
+        for r in estimate_distinct(
+            snap.read(spark, t, version=1), ["k"]
+        ).collect()
+    }
+    assert old == {"a": 2, "b": 1}
