@@ -1,0 +1,106 @@
+"""Behavioral analytics: ordered-funnel conversion and cohort
+retention — the product-analytics operators every event warehouse
+(Amplitude/Mixpanel-class) runs at scale.
+
+Both are pure relational compositions — no UDFs, no per-user Python:
+
+* ``funnel_counts``: k ordered steps resolve as k cascaded
+  per-user min-timestamp aggregations, each constrained to strictly
+  follow the previous step's time. State after each stage is ONE row
+  per converted user — the joins are user-keyed and shrink
+  monotonically, so the whole funnel is k small hash joins against a
+  fact scan, never a per-user sort or session reconstruction.
+* ``cohort_retention``: cohort = week of first event (one per-user
+  agg), retention cell = distinct users from cohort c active in week
+  c+k (one join + one distinct agg). Classic triangle matrix.
+
+Scale: both key every shuffle on user_id; the per-user state tables
+are |users| rows (orders smaller than events), and Spark broadcasts
+them automatically when small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users, frac_of_first): users completing each
+    ordered prefix of ``steps`` (strictly increasing timestamps).
+
+    Stage i keeps, per user, the EARLIEST time they completed steps
+    0..i in order — the greedy choice is optimal for pure ordering
+    constraints (an earlier step-i completion can only admit more
+    step-i+1 events), so the result equals the exists-an-ordered-
+    subsequence semantics.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("s"),
+    )
+    # stage 0: earliest occurrence of the first step per user
+    state = (
+        ev.where(F.col("s") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t_prev"))
+    )
+    counts = [state.count()]
+    for step in steps[1:]:
+        state = (
+            ev.where(F.col("s") == step)
+            .join(state, "u")
+            .where(F.col("t") > F.col("t_prev"))
+            .groupBy("u")
+            .agg(F.min("t").alias("t_prev"))
+        )
+        counts.append(state.count())
+    spark = events.sparkSession
+    first = counts[0] or 1
+    rows = [
+        (i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))
+    ]
+    out = spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint"
+    )
+    # frac via engine ROUND (HALF_UP) so external SQL oracles match
+    # bit-for-bit; Python's round() is banker's and would diverge
+    return out.withColumn(
+        "frac_of_first",
+        F.round(F.col("n_users") / F.lit(float(first)), 6),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): distinct users from each
+    first-seen-week cohort active ``week_offset`` weeks later."""
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("w"),
+    )
+    cohorts = ev.groupBy("u").agg(F.min("w").alias("cohort_week"))
+    return (
+        ev.join(cohorts, "u")
+        .select(
+            "u",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

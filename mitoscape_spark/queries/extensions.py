@@ -380,6 +380,29 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (signup → view → click → purchase):
+    k cascaded per-user min-timestamp stages, strictly-increasing
+    times; per-stage state is one row per converted user
+    (operators/funnel.py)."""
+    from mitoscape_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        events, ["signup", "view", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted distinct in each later week — two user-keyed shuffles
+    total."""
+    from mitoscape_spark.operators.funnel import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events).orderBy("cohort_week", "week_offset")
+
+
 def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance: base agg (orders with
     o_orderkey % 10 != 0, per priority) updated by a CDC delta
@@ -1749,6 +1772,8 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_funnel": ext_funnel,
+    "ext_cohort_retention": ext_cohort_retention,
     "ext_temperature_mix": ext_temperature_mix,
     "ext_quality_filter": ext_quality_filter,
     "ext_chunk_documents": ext_chunk_documents,
@@ -2196,6 +2221,54 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_funnel": """
+        WITH e AS (
+            SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, event_type AS s
+            FROM events
+        ),
+        s0 AS (SELECT u, MIN(t) AS tp FROM e WHERE s = 'signup' GROUP BY u),
+        s1 AS (
+            SELECT e.u, MIN(e.t) AS tp FROM e JOIN s0 ON e.u = s0.u
+            WHERE e.s = 'view' AND e.t > s0.tp GROUP BY e.u
+        ),
+        s2 AS (
+            SELECT e.u, MIN(e.t) AS tp FROM e JOIN s1 ON e.u = s1.u
+            WHERE e.s = 'click' AND e.t > s1.tp GROUP BY e.u
+        ),
+        s3 AS (
+            SELECT e.u, MIN(e.t) AS tp FROM e JOIN s2 ON e.u = s2.u
+            WHERE e.s = 'purchase' AND e.t > s2.tp GROUP BY e.u
+        ),
+        counts AS (
+            SELECT 0 AS step_idx, 'signup' AS step,
+                   (SELECT COUNT(*) FROM s0) AS n_users
+            UNION ALL SELECT 1, 'view', (SELECT COUNT(*) FROM s1)
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step_idx, step, n_users,
+               ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
+                     OVER (ORDER BY step_idx), 6) AS frac_of_first
+        FROM counts ORDER BY step_idx
+    """,
+    "ext_cohort_retention": """
+        WITH e AS (
+            SELECT user_id AS u,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS w
+            FROM events
+        ),
+        cohorts AS (
+            SELECT u, MIN(w) AS cohort_week FROM e GROUP BY u
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, w) // 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT e.u) AS BIGINT) AS n_users
+        FROM e JOIN cohorts ON e.u = cohorts.u
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
     """,
     "ext_zorder": f"""
         WITH stats AS (

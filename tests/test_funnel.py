@@ -1,0 +1,88 @@
+"""Funnel + cohort retention (operators/funnel.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from mitoscape_spark.operators.funnel import cohort_retention, funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, d, h), s) for u, d, h, s in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "c"),  # full a<b<c
+            (2, 1, 0, "a"), (2, 1, 1, "b"),                   # stops at b
+            (3, 1, 5, "b"), (3, 1, 6, "a"),                   # b BEFORE a
+            (4, 2, 0, "c"),                                   # never did a
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["a", "b", "c"]).collect()
+    }
+    assert out == {"a": 3, "b": 2, "c": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strictly-increasing: b at the same instant as a does not convert
+    ev = _ev(spark, [(1, 1, 0, "a"), (1, 1, 0, "b")])
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["a", "b"]).collect()
+    }
+    assert out == {"a": 1, "b": 0}
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # a@0, b@1, a@2, c@3: greedy picks a@0 -> b@1 -> c@3 (converts);
+    # a later 'a' must not reset the chain
+    ev = _ev(spark, [(1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "a"),
+                     (1, 1, 3, "c")])
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["a", "b", "c"]).collect()
+    }
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_funnel_frac_of_first(spark):
+    ev = _ev(spark, [(u, 1, 0, "a") for u in range(4)] + [(0, 1, 1, "b")])
+    rows = {r["step"]: r for r in funnel_counts(ev, ["a", "b"]).collect()}
+    assert rows["a"]["frac_of_first"] == 1.0
+    assert rows["b"]["frac_of_first"] == 0.25
+
+
+def test_funnel_empty_steps_raises(spark):
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_counts(_ev(spark, []), [])
+
+
+def test_cohort_retention_triangle(spark):
+    # user 1 first week W0, active W0 and W1; user 2 only W1
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 0, "x"),   # Jan 1 2024 (Mon) -> cohort W0
+            (1, 9, 0, "x"),   # Jan 9 -> W1 for cohort W0
+            (2, 10, 0, "x"),  # Jan 10 -> cohort W1
+        ],
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mitoscape_spark.sources.layout import zorder_key, zorder_layout
+from mitoscape_spark.sources.layout import zorder_key, zorder_layout_minmax
 
 
 def _morton2(x: int, y: int, n_bits: int) -> int:
@@ -57,7 +57,7 @@ def test_zorder_files_are_tight_in_both_dimensions(spark, tmp_path):
         )
         return spread
 
-    z = zorder_layout(df, ["a", "b"], n_bits=8, n_partitions=16)
+    z = zorder_layout_minmax(df, ["a", "b"], n_bits=8, n_partitions=16)
     lin = df.repartitionByRange(16, "a").sortWithinPartitions("a")
 
     # single-column sort: b is unclustered, spread ~ full 10k range
