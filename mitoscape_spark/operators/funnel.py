@@ -80,6 +80,37 @@ def funnel_counts(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, p): first-order Markov transition matrix
+    of per-user event sequences — the path-analysis primitive behind
+    "what do users do after X". One lead() window partitioned by user
+    (ordered by ts with the id as the deterministic tiebreak), then a
+    tiny (|types|²) aggregate; per-from probabilities via a second
+    window over that tiny matrix, not the facts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), 6)
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -393,6 +393,16 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov matrix of per-user event paths: one lead()
+    window over the facts, probabilities computed on the tiny
+    |types|² matrix."""
+    from mitoscape_spark.operators.funnel import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transitions(events).orderBy("from_type", "to_type")
+
+
 def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen week,
     counted distinct in each later week — two user-keyed shuffles
@@ -1773,6 +1783,7 @@ QUERIES = {
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
     "ext_funnel": ext_funnel,
+    "ext_event_transitions": ext_event_transitions,
     "ext_cohort_retention": ext_cohort_retention,
     "ext_temperature_mix": ext_temperature_mix,
     "ext_quality_filter": ext_quality_filter,
@@ -2251,6 +2262,24 @@ ORACLE = {
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
                      OVER (ORDER BY step_idx), 6) AS frac_of_first
         FROM counts ORDER BY step_idx
+    """,
+    "ext_event_transitions": """
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS to_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM pairs ORDER BY from_type, to_type
     """,
     "ext_cohort_retention": """
         WITH e AS (

@@ -86,3 +86,44 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from mitoscape_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "a"), (1, 1, 3, "c"),
+        (2, 1, 0, "a"), (2, 1, 1, "b"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, u, __import__("datetime").datetime(2024, 1, d, h), s)
+            for i, (u, d, h, s) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # user1: a->b, b->a, a->c; user2: a->b  ==> a->b:2, a->c:1, b->a:1
+    assert out == {
+        ("a", "b"): (2, 0.666667),
+        ("a", "c"): (1, 0.333333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_event_transitions_no_cross_user_leak(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.funnel import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1, dt.datetime(2024, 1, 1), "a"),
+            (1, 2, dt.datetime(2024, 1, 2), "b"),  # different user
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    assert event_transitions(ev).count() == 0
