@@ -380,6 +380,30 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: WAV payloads (generated distributed,
+    deterministic per doc_id) → framed rFFT → log band energies via
+    Arrow-batched mapInPandas. Rows-only check (FFT isn't
+    SQL-expressible); the sine-peak localization property is pinned in
+    tests/test_operators.py."""
+    from mitoscape_spark.sources.multimodal import (
+        audio_spectral_features,
+        synthetic_decodable_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_decodable_media(spark, docs).where(
+        F.col("modality") == "audio"
+    )
+    feats = audio_spectral_features(media)
+    return feats.select(
+        "media_id",
+        "n_frames",
+        F.round(F.element_at("band_energy", 1), 4).alias("band0"),
+        F.size("band_energy").alias("n_bands"),
+    ).orderBy("media_id")
+
+
 def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (signup → view → click → purchase):
     k cascaded per-user min-timestamp stages, strictly-increasing
@@ -1782,6 +1806,7 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_event_transitions": ext_event_transitions,
     "ext_cohort_retention": ext_cohort_retention,

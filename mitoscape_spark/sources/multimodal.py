@@ -449,3 +449,63 @@ def frame_sample(
             )
 
     return media.mapInPandas(run, out_schema)
+
+
+def audio_spectral_features(
+    media: DataFrame, n_bands: int = 8, frame_len: int = 256
+) -> DataFrame:
+    """(media_id, n_frames, band_energy array<double>): log-band power
+    spectrum of WAV payloads — the audio-side feature extractor
+    (mel-filterbank shape without the mel warp, numpy only).
+
+    Per payload: decode (stdlib ``wave``), split into ``frame_len``
+    windows, rFFT per window (numpy, vectorized across frames), average
+    power into ``n_bands`` linear bands, log10. Arrow-batched
+    mapInPandas — executor memory is bounded by the Arrow batch size,
+    and each payload's work is independent (embarrassingly parallel
+    across the cluster). Non-audio / undecodable payloads yield null
+    features rather than failing the batch.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField(
+                "band_energy", T.ArrayType(T.DoubleType()), True
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    samples = decode_wav(bytes(payload)).astype(np.float64)
+                except Exception:
+                    nfs.append(None)
+                    feats.append(None)
+                    continue
+                # decode_wav rescales to uint8 (DC offset 128): center
+                # so band 0 measures low-frequency content, not the bias
+                samples = samples - samples.mean()
+                n = (len(samples) // frame_len) * frame_len
+                if n == 0:
+                    nfs.append(0)
+                    feats.append([0.0] * n_bands)
+                    continue
+                frames = samples[:n].reshape(-1, frame_len)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                # average power per linear band, all frames at once
+                bands = np.array_split(spec, n_bands, axis=1)
+                energy = [
+                    float(np.log10(b.mean() + 1e-12)) for b in bands
+                ]
+                nfs.append(frames.shape[0])
+                feats.append([round(e, 6) for e in energy])
+            yield pd.DataFrame(
+                {"media_id": ids, "n_frames": nfs, "band_energy": feats}
+            )
+
+    return media.mapInPandas(run, out_schema)

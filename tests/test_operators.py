@@ -1060,3 +1060,48 @@ def test_cap_per_key_deterministic_cap(spark):
     # different salt = different (still deterministic) selection
     other = cap_per_key(df, "source", 5, "doc_id", salt="x")
     assert {r.doc_id for r in other.collect()} != set() 
+
+
+def test_audio_spectral_features_sine_peak(spark):
+    """A pure sine concentrates energy in the band containing its
+    frequency; spectral features must find it there and be
+    deterministic across runs."""
+    import numpy as np
+
+    from mitoscape_spark.sources.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    sr, n = 8000, 2048
+    t = np.arange(n) / sr
+    # 2000 Hz = Nyquist/2 -> rFFT bin 64 of 129 -> band 3 of 8 (linear)
+    sine = (np.sin(2 * np.pi * 2000 * t) * 30000).astype(np.int16)
+    quiet = (np.sin(2 * np.pi * 125 * t) * 3000).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(encode_wav(sine, sr))),
+        (2, "audio", bytearray(encode_wav(quiet, sr))),
+        (3, "audio", bytearray(b"notawav")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    out = {
+        r["media_id"]: r for r in audio_spectral_features(media).collect()
+    }
+    assert out[1]["n_frames"] == 2048 // 256
+    e1 = out[1]["band_energy"]
+    # 2000 Hz -> rFFT bin 64 of 129 -> linear band 3 of 8
+    assert len(e1) == 8 and e1.index(max(e1)) == 3
+    # 125 Hz -> bin 4 -> band 0
+    e2 = out[2]["band_energy"]
+    assert e2.index(max(e2)) == 0
+    # undecodable payload -> nulls, batch survives
+    assert out[3]["band_energy"] is None
+
+    # determinism
+    again = {
+        r["media_id"]: r["band_energy"]
+        for r in audio_spectral_features(media).collect()
+    }
+    assert again[1] == e1
