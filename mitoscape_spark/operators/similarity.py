@@ -346,3 +346,127 @@ def lsh_near_duplicate_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+class PQIndex:
+    """Product-quantization ANN: vectors compress to ``m`` uint8 codes
+    (one per subspace, ``k`` centroids each); queries score candidates
+    with an asymmetric-distance table — ``m`` lookups + adds per
+    vector instead of a full d-dim dot product.
+
+    The memory-side scale path: a 64-dim float corpus shrinks ~64× (m
+    bytes/vector), so a 100 TB embedding set's codes fit the cluster's
+    page cache and the scan is bandwidth-, not FLOP-, bound. Standard
+    composition: IVF cells for partition pruning × PQ codes inside the
+    cell; here PQ stands alone so its recall is measurable in
+    isolation.
+
+    Training follows the same sample-based convention as IVFFlatIndex
+    (a quantizer needs thousands of vectors, not the corpus); vectors
+    are unit-normalized so the inner-product ADC ranks by cosine.
+    """
+
+    def __init__(
+        self,
+        m: int = 8,
+        k: int = 16,
+        train_sample: int = 4096,
+        n_iter: int = 12,
+        seed: int = 7,
+    ):
+        self.m, self.k = m, k
+        self.train_sample, self.n_iter, self.seed = train_sample, n_iter, seed
+        self.codebooks: np.ndarray | None = None  # (m, k, d_sub)
+
+    @staticmethod
+    def _unit(x: np.ndarray) -> np.ndarray:
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    def fit(self, embeddings: DataFrame, vec_col: str = "embedding") -> "PQIndex":
+        sample = [
+            row[0]
+            for row in embeddings.select(vec_col)
+            .limit(self.train_sample)
+            .collect()
+        ]
+        x = self._unit(np.asarray(sample, dtype=np.float64))
+        d = x.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        d_sub = d // self.m
+        rng = np.random.default_rng(self.seed)
+        books = []
+        for j in range(self.m):
+            xs = x[:, j * d_sub : (j + 1) * d_sub]
+            cent = xs[rng.choice(len(xs), self.k, replace=False)]
+            for _ in range(self.n_iter):
+                d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(self.k):
+                    members = xs[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books.append(cent)
+        self.codebooks = np.stack(books)  # (m, k, d_sub)
+        return self
+
+    def encode(
+        self,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(id, codes array<int>): per-subspace nearest-centroid codes,
+        computed batch-vectorized in mapInPandas (no shuffle)."""
+        books = self.codebooks
+        m, k, d_sub = books.shape
+
+        def run(batches):
+            for pdf in batches:
+                vecs = self._unit(
+                    np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                )
+                codes = np.empty((len(vecs), m), dtype=np.int64)
+                for j in range(m):
+                    xs = vecs[:, j * d_sub : (j + 1) * d_sub]
+                    d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "codes": list(codes)}
+                )
+
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            run, "id long, codes array<long>"
+        )
+
+    def topk(
+        self,
+        codes: DataFrame,
+        query: list[float],
+        k: int = 10,
+    ) -> DataFrame:
+        """(id, score): top-k by the asymmetric inner-product estimate
+        Σ_j <q_j, centroid_j[code_j]> — the distance TABLE (m×k floats)
+        broadcasts by closure; scoring is m gathers + a sum per row,
+        then per-partition top-k (TakeOrderedAndProject, no global
+        sort)."""
+        books = self.codebooks
+        m, _k, d_sub = books.shape
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        table = np.stack(
+            [books[j] @ q[j * d_sub : (j + 1) * d_sub] for j in range(m)]
+        )  # (m, k)
+
+        def run(batches):
+            for pdf in batches:
+                c = np.asarray(list(pdf["codes"]), dtype=np.int64)
+                score = table[np.arange(m)[None, :], c].sum(axis=1)
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "score": np.round(score, 6)}
+                )
+
+        scored = codes.mapInPandas(run, "id long, score double")
+        return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)

@@ -1258,6 +1258,20 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.topk(emb.where(F.col("vec_id") != 0), list(query), k=10)
 
 
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine via product quantization: m uint8
+    codes per vector (≈64× memory shrink), asymmetric-distance-table
+    scoring. Approximate ⇒ rows-only; recall vs brute force pinned in
+    tests/test_operators.py."""
+    from mitoscape_spark.operators.similarity import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    pq = PQIndex(m=16, k=32, n_iter=8).fit(emb)
+    codes = pq.encode(emb.where(F.col("vec_id") != 0))
+    return pq.topk(codes, list(query), k=10)
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via sign-random-projection LSH.
 
@@ -1850,6 +1864,7 @@ QUERIES = {
     "ext_sketch_stats": ext_sketch_stats,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
+    "ext_ann_pq": ext_ann_pq,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_decontaminate": ext_decontaminate,
     "ext_pack_sequences": ext_pack_sequences,

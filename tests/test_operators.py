@@ -1105,3 +1105,40 @@ def test_audio_spectral_features_sine_peak(spark):
         for r in audio_spectral_features(media).collect()
     }
     assert again[1] == e1
+
+
+def test_pq_recall_against_bruteforce(spark, emb):
+    from mitoscape_spark.operators.similarity import PQIndex, topk_cosine
+
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    exact = {r.id for r in topk_cosine(corpus, query, k=10).collect()}
+
+    pq = PQIndex(m=16, k=32, n_iter=8).fit(emb)
+    codes = pq.encode(corpus)
+    approx = pq.topk(codes, query, k=10).collect()
+    recall = len(exact & {r.id for r in approx}) / len(exact)
+    # 16 subspaces x 32 centroids on 64-dim: coarse but localizing
+    assert recall >= 0.5, f"PQ recall {recall} too low"
+    # scores are descending and rounded
+    assert all(
+        approx[i]["score"] >= approx[i + 1]["score"]
+        for i in range(len(approx) - 1)
+    )
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    from mitoscape_spark.operators.similarity import PQIndex
+
+    pq = PQIndex(m=8, k=16).fit(emb)
+    a = {r["id"]: r["codes"] for r in pq.encode(emb).collect()}
+    b = {r["id"]: r["codes"] for r in pq.encode(emb).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_rejects_indivisible_dim(spark, emb):
+    from mitoscape_spark.operators.similarity import PQIndex
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PQIndex(m=7).fit(emb)
