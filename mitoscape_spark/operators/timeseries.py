@@ -1,0 +1,75 @@
+"""Time-series regularization: gap-filling and forward-fill — the
+hypertable rollup primitives (time_bucket + gapfill + locf in the
+TimescaleDB vocabulary), built as pure relational compositions.
+
+Scale shape: the date spine is |keys| × |days| rows built from one
+1-row min/max aggregate (broadcast) — never a per-row explosion of the
+facts; the fill join keys on (key, day) and shuffles the DAILY rollup
+(already reduced), not the raw events. Forward-fill is one window over
+the spine, partitioned by key — bounded by days-per-key, not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, day, total): per-key daily sums (one partial+final agg)."""
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .agg(F.round(F.sum(value_col), 4).alias("total"))
+    )
+
+
+def daily_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fill: str = "zero",
+) -> DataFrame:
+    """(key, day, total) over the FULL global date span per key —
+    missing days appear with ``fill='zero'`` → 0.0, or
+    ``fill='ffill'`` → the last observed day's total (locf; null until
+    a key's first observation)."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"fill must be zero|ffill, got {fill!r}")
+    daily = daily_rollup(events, key_col, ts_col, value_col)
+    bounds = events.agg(
+        F.to_date(F.min(ts_col)).alias("_lo"),
+        F.to_date(F.max(ts_col)).alias("_hi"),
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["key", "day"], "left")
+    if fill == "zero":
+        return joined.select(
+            "key", "day", F.coalesce("total", F.lit(0.0)).alias("total")
+        )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        "day",
+        F.last("total", ignorenulls=True).over(w).alias("total"),
+    )

@@ -380,6 +380,21 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style daily rollup with gap filling: per-user daily
+    sums over the global date span, missing days zero-filled. The
+    spine comes from one broadcast min/max agg; the join shuffles the
+    reduced rollup, not raw events (operators/timeseries.py)."""
+    from mitoscape_spark.operators.timeseries import daily_gapfill
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        daily_gapfill(events, fill="zero")
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "day")
+    )
+
+
 def ext_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: WAV payloads (generated distributed,
     deterministic per doc_id) → framed rFFT → log band energies via
@@ -1820,6 +1835,7 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_gapfill": ext_gapfill,
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_event_transitions": ext_event_transitions,
@@ -2272,6 +2288,30 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_gapfill": """
+        WITH bounds AS (
+            SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS lo,
+                   CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT u.user_id, CAST(g.d AS DATE) AS day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN bounds
+            CROSS JOIN UNNEST(generate_series(
+                CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS g(d)
+        ),
+        daily AS (
+            SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT s.user_id, s.day, COALESCE(d.total, 0.0) AS total
+        FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY s.user_id, s.day
     """,
     "ext_funnel": """
         WITH e AS (

@@ -307,3 +307,36 @@ def read_pruned(
         if hi is not None:
             df = df.where(F.col(col) <= hi)
     return df
+
+
+def restore(table_dir: str, version: int) -> int:
+    """Roll the table back to ``version``'s contents by committing its
+    directory list (and stats) as a NEW version — history is never
+    rewritten, so the bad versions remain auditable and the rollback
+    itself is one O(1) manifest publish (no data movement at all)."""
+    src = _load_manifest(table_dir, version)
+    for _ in range(20):
+        parent = latest_version(table_dir)
+        new_version = parent + 1
+        manifest = {
+            "version": new_version,
+            "parent": parent,
+            "mode": "overwrite",
+            "dirs": src["dirs"],
+            "committed_at": time.time(),
+            "meta": {"restored_from": version},
+            "stats": src.get("stats", {}),
+        }
+        staged = os.path.join(
+            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(staged, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(staged, _manifest_path(table_dir, new_version))
+            return new_version
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(staged)
+    raise RuntimeError("restore lost 20 optimistic-concurrency races")

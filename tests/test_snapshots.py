@@ -265,3 +265,17 @@ def test_streaming_materialized_view_matches_batch_agg(spark, tmp_path):
         for r in snap.read(spark, t).collect()
     }
     assert state == {"a": (30, 2), "b": (10, 2), "c": (1, 1)}
+
+
+def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 100), t)
+    snap.delete_where(spark, t, "k >= 50")  # v2: oops, bad delete
+    assert snap.read(spark, t).count() == 50
+    v = snap.restore(t, 1)
+    assert v == 3
+    assert snap.read(spark, t).count() == 100  # contents back
+    assert snap.read(spark, t, version=2).count() == 50  # audit intact
+    assert snap._load_manifest(t, 3)["meta"] == {"restored_from": 1}
+    # restored version shares v1's data dirs: zero data movement
+    assert snap._load_manifest(t, 3)["dirs"] == snap._load_manifest(t, 1)["dirs"]

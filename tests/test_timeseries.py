@@ -1,0 +1,57 @@
+"""Gap-filling / forward-fill (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mitoscape_spark.operators.timeseries import daily_gapfill, daily_rollup
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, 12), v) for u, d, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def test_zero_fill_covers_global_span(spark):
+    ev = _ev(spark, [(1, 1, 5.0), (1, 3, 7.0), (2, 2, 1.0)])
+    out = {
+        (r["key"], str(r["day"])): r["total"]
+        for r in daily_gapfill(ev, fill="zero").collect()
+    }
+    # span Jan 1..3 for EVERY key, missing days zero
+    assert out == {
+        (1, "2024-01-01"): 5.0,
+        (1, "2024-01-02"): 0.0,
+        (1, "2024-01-03"): 7.0,
+        (2, "2024-01-01"): 0.0,
+        (2, "2024-01-02"): 1.0,
+        (2, "2024-01-03"): 0.0,
+    }
+
+
+def test_ffill_carries_last_observation(spark):
+    ev = _ev(spark, [(1, 1, 5.0), (1, 4, 2.0), (2, 3, 9.0)])
+    out = {
+        (r["key"], str(r["day"])): r["total"]
+        for r in daily_gapfill(ev, fill="ffill").collect()
+    }
+    assert out[(1, "2024-01-02")] == 5.0  # carried
+    assert out[(1, "2024-01-03")] == 5.0  # still carried
+    assert out[(1, "2024-01-04")] == 2.0  # new observation
+    assert out[(2, "2024-01-01")] is None  # before first obs: null
+    assert out[(2, "2024-01-04")] == 9.0
+
+
+def test_daily_rollup_sums_within_day(spark):
+    ev = _ev(spark, [(1, 1, 1.5), (1, 1, 2.5)])
+    (row,) = daily_rollup(ev).collect()
+    assert row["total"] == 4.0
+
+
+def test_invalid_fill_raises(spark):
+    with pytest.raises(ValueError, match="zero|ffill"):
+        daily_gapfill(_ev(spark, [(1, 1, 1.0)]), fill="interpolate")
