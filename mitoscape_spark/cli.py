@@ -129,6 +129,53 @@ def cmd_evaluate(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_table(args, spark: SparkSession) -> int:
+    """Snapshot-table management — the lakehouse surface of the CLI."""
+    from mitoscape_spark.sources import snapshots as snap
+
+    if args.action == "commit":
+        if not args.input:
+            raise SystemExit("table commit requires --input")
+        stats = args.stats_cols.split(",") if args.stats_cols else None
+        v = snap.commit(
+            spark.read.parquet(args.input),
+            args.table,
+            mode=args.mode,
+            stats_cols=stats,
+        )
+        print(f"table: committed version {v}")
+    elif args.action == "read":
+        df = snap.read(spark, args.table, version=args.version)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"table: wrote {df.count()} rows to {args.out}")
+        else:
+            print(f"table: version has {df.count()} rows")
+    elif args.action == "history":
+        for m in snap.history(args.table):
+            print(
+                f"v{m['version']:>4} {m['mode']:<9} dirs={len(m['dirs'])} "
+                f"meta={m.get('meta', {})}"
+            )
+    elif args.action == "compact":
+        v = snap.compact(spark, args.table)
+        print(f"table: compacted into version {v}")
+    elif args.action == "vacuum":
+        removed = snap.vacuum(args.table, keep_versions=args.keep_versions)
+        print(f"table: vacuumed {len(removed)} directories")
+    elif args.action == "restore":
+        if args.version is None:
+            raise SystemExit("table restore requires --version")
+        v = snap.restore(args.table, args.version)
+        print(f"table: restored v{args.version} as version {v}")
+    elif args.action == "delete":
+        if not args.where:
+            raise SystemExit("table delete requires --where")
+        v, n = snap.delete_where(spark, args.table, args.where)
+        print(f"table: deleted {n} rows in version {v}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mitoscape-spark")
     p.add_argument("--threads", type=int, default=None,
@@ -164,6 +211,24 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--prob", type=float, default=0.0)
     e.add_argument("--seed", type=int, default=42)
     e.set_defaults(fn=cmd_evaluate)
+
+    tb = sub.add_parser(
+        "table", help="snapshot-table ops (sources/snapshots.py)"
+    )
+    tb.add_argument("action", choices=[
+        "commit", "read", "history", "compact", "vacuum", "restore",
+        "delete",
+    ])
+    tb.add_argument("--table", required=True, help="snapshot table dir")
+    tb.add_argument("--input", help="parquet path (commit)")
+    tb.add_argument("--mode", choices=["append", "overwrite"],
+                    default="append", help="commit mode")
+    tb.add_argument("--version", type=int, help="read/restore version")
+    tb.add_argument("--out", help="parquet output path (read)")
+    tb.add_argument("--keep-versions", type=int, help="vacuum retention")
+    tb.add_argument("--where", help="delete predicate (SQL boolean)")
+    tb.add_argument("--stats-cols", help="comma-separated manifest-stats cols")
+    tb.set_defaults(fn=cmd_table)
     return p
 
 

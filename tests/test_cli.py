@@ -145,3 +145,35 @@ def test_load_numts_types(spark, cli_inputs):
         "string", "integer", "integer", "float",
     ]
     assert numts.count() == 25
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """commit → history → delete → restore → compact → vacuum through
+    the CLI surface."""
+    from mitoscape_spark.cli import main
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).withColumnRenamed("id", "k").write.parquet(src)
+    t = str(tmp_path / "tbl")
+
+    assert main(["table", "commit", "--table", t, "--input", src,
+                 "--stats-cols", "k"], spark=spark) == 0
+    assert main(["table", "delete", "--table", t, "--where", "k >= 50"],
+                spark=spark) == 0
+    assert main(["table", "restore", "--table", t, "--version", "1"],
+                spark=spark) == 0
+    assert main(["table", "compact", "--table", t], spark=spark) == 0
+    assert main(["table", "vacuum", "--table", t, "--keep-versions", "1"],
+                spark=spark) == 0
+    assert main(["table", "history", "--table", t], spark=spark) == 0
+    assert main(["table", "read", "--table", t], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "committed version 1" in out
+    assert "deleted 50 rows in version 2" in out
+    assert "restored v1 as version 3" in out
+    assert "compacted into version 4" in out
+    assert "100 rows" in out
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    assert snap.read(spark, t).count() == 100
