@@ -380,6 +380,27 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE end-to-end: corpus → word-frequency table (one
+    distributed agg) → greedy merge learning on vocab-sized state →
+    distributed encode with the learned ranks. Rows-only (the merge
+    loop isn't SQL-expressible); learning/encoding semantics pinned in
+    tests/test_bpe.py."""
+    from mitoscape_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=30)
+    return (
+        bpe_apply(docs, merges)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.element_at("tokens", 1).alias("first_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style daily rollup with gap filling: per-user daily
     sums over the global date span, missing days zero-filled. The
@@ -1835,6 +1856,7 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_bpe_learned": ext_bpe_learned,
     "ext_gapfill": ext_gapfill,
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
