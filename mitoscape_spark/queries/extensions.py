@@ -380,6 +380,30 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time via the SQL:2016
+    regression aggregates (regr_slope/intercept/r2) — grouped OLS as
+    ONE hash aggregation (JVM partial+final), no per-group Python, no
+    window. The declarative answer to 'fit a line per key'."""
+    events = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the ltz hop is
+    # exact and cast-to-double yields fractional epoch seconds
+    x_days = F.col("ts").cast("timestamp").cast("double") / 86400.0
+    pts = events.select(
+        "user_id", x_days.alias("x"), F.col("value").alias("y")
+    )
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def ext_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE end-to-end: corpus → word-frequency table (one
     distributed agg) → greedy merge learning on vocab-sized state →
@@ -1856,6 +1880,7 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_user_trend": ext_user_trend,
     "ext_bpe_learned": ext_bpe_learned,
     "ext_gapfill": ext_gapfill,
     "ext_audio_spectral": ext_audio_spectral,
@@ -2310,6 +2335,20 @@ ORACLE = {
         GROUP BY tok
         ORDER BY df DESC, tok
         LIMIT 50
+    """,
+    "ext_user_trend": """
+        WITH pts AS (
+            SELECT user_id,
+                   epoch(CAST(ts AS TIMESTAMP)) / 86400.0 AS x,
+                   value AS y
+            FROM events
+        )
+        SELECT user_id,
+               ROUND(regr_slope(y, x), 6) AS slope,
+               ROUND(regr_intercept(y, x), 4) AS intercept,
+               ROUND(regr_r2(y, x), 6) AS r2,
+               COUNT(*) AS n
+        FROM pts GROUP BY user_id ORDER BY user_id
     """,
     "ext_gapfill": """
         WITH bounds AS (
