@@ -380,6 +380,21 @@ def _zorder_oracle_expr(n_bits: int = 8) -> str:
     return " | ".join(terms)
 
 
+def ext_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs via PPJoin-style positional prefix filtering:
+    only each doc's n-ceil(t*n)+1 rarest shingles are posted;
+    candidates verify against bounded per-doc shingle arrays. Same
+    oracle as the full-index variant - the prefix principle guarantees
+    IDENTICAL results, so the hash check proves completeness
+    end-to-end."""
+    from mitoscape_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, threshold=0.1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def ext_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of event value over time via the SQL:2016
     regression aggregates (regr_slope/intercept/r2) — grouped OLS as
@@ -1880,6 +1895,7 @@ QUERIES = {
     "ext_time_travel": ext_time_travel,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
+    "ext_jaccard_prefix": ext_jaccard_prefix,
     "ext_user_trend": ext_user_trend,
     "ext_bpe_learned": ext_bpe_learned,
     "ext_gapfill": ext_gapfill,
@@ -2029,6 +2045,23 @@ ORACLE = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    "ext_jaccard_prefix": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i) >= 0.1
         ORDER BY doc_a, doc_b
     """,
     "ext_ngram_jaccard": f"""

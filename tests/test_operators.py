@@ -1142,3 +1142,32 @@ def test_pq_rejects_indivisible_dim(spark, emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         PQIndex(m=7).fit(emb)
+
+
+def test_prefix_filtered_jaccard_equals_full_index(spark, docs):
+    """PPJoin-style prefix filtering must return EXACTLY the full
+    inverted-index result (prefix principle completeness), while
+    posting fewer shingles."""
+    from mitoscape_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    corpus = docs.limit(100)
+    for t in (0.1, 0.3):
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(corpus, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_prefix(corpus, threshold=t).collect()
+        }
+        assert pref == full, f"threshold {t}: prefix != full"
+
+
+def test_prefix_filtered_jaccard_rejects_zero_threshold(spark, docs):
+    from mitoscape_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs_prefix(docs, threshold=0.0)
