@@ -470,3 +470,60 @@ class PQIndex:
 
         scored = codes.mapInPandas(run, "id long, score double")
         return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+class IVFPQIndex:
+    """IVF × PQ — the composed billion-vector recipe: IVF cells give
+    PARTITION PRUNING (probe n_probe/n_centroids of the corpus), PQ
+    codes give MEMORY compression inside the probed cells (~64×,
+    bandwidth-bound ADC scan). Each half is the engine's existing
+    operator; this class is the composition plus the cell-pruned scan.
+
+    At 100 TB: write the encoded table partitioned by `centroid` so a
+    probe is literal partition pruning on disk; codes-only scans never
+    touch the float vectors.
+    """
+
+    def __init__(
+        self,
+        n_centroids: int = 8,
+        n_probe: int = 3,
+        m: int = 8,
+        k: int = 16,
+        seed: int = 7,
+    ):
+        self.ivf = IVFFlatIndex(
+            n_centroids=n_centroids, n_probe=n_probe, seed=seed
+        )
+        self.pq = PQIndex(m=m, k=k, seed=seed)
+
+    def fit(self, embeddings: DataFrame, vec_col: str = "embedding"):
+        self.ivf.fit(embeddings, vec_col)
+        self.pq.fit(embeddings, vec_col)
+        return self
+
+    def encode(
+        self,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(id, centroid, codes): the compressed, cell-tagged index
+        table — the thing a deployment persists partitioned by cell."""
+        cells = self.ivf.assign(embeddings, id_col, vec_col).select(
+            "id", "centroid"
+        )
+        codes = self.pq.encode(embeddings, id_col, vec_col)
+        return codes.join(cells, "id")
+
+    def topk(
+        self, index: DataFrame, query: list[float], k: int = 10
+    ) -> DataFrame:
+        """ADC scan over ONLY the probed cells of the encoded table."""
+        qv = np.asarray(query, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        probe = np.argsort(-(self.ivf.centroids @ qv))[: self.ivf.n_probe]
+        pruned = index.where(
+            F.col("centroid").isin([int(c) for c in probe])
+        )
+        return self.pq.topk(pruned.select("id", "codes"), query, k=k)

@@ -1171,3 +1171,37 @@ def test_prefix_filtered_jaccard_rejects_zero_threshold(spark, docs):
 
     with pytest.raises(ValueError, match="threshold"):
         ngram_jaccard_pairs_prefix(docs, threshold=0.0)
+
+
+def test_ivfpq_composed_recall(spark, emb):
+    from mitoscape_spark.operators.similarity import IVFPQIndex, topk_cosine
+
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    exact = {r.id for r in topk_cosine(corpus, query, k=10).collect()}
+
+    idx = IVFPQIndex(n_centroids=8, n_probe=6, m=16, k=32).fit(emb)
+    index = idx.encode(corpus)
+    # the index table is cell-tagged + compressed codes
+    assert set(index.columns) == {"id", "codes", "centroid"}
+    got = idx.topk(index, query, k=10).collect()
+    recall = len(exact & {r.id for r in got}) / len(exact)
+    # probing 6/8 cells with coarse PQ: both approximations stack
+    assert recall >= 0.4, f"IVFPQ recall {recall} too low"
+
+
+def test_ivfpq_probe_prunes_cells(spark, emb):
+    from mitoscape_spark.operators.similarity import IVFPQIndex
+
+    idx = IVFPQIndex(n_centroids=8, n_probe=2, m=8, k=16).fit(emb)
+    index = idx.encode(emb).cache()
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    import numpy as np
+
+    qv = np.asarray(query) / max(np.linalg.norm(query), 1e-12)
+    probe = set(
+        int(c)
+        for c in np.argsort(-(idx.ivf.centroids @ qv))[: idx.ivf.n_probe]
+    )
+    scanned = index.where(F.col("centroid").isin(list(probe)))
+    assert 0 < scanned.count() < index.count()  # real pruning happened
