@@ -80,6 +80,60 @@ def funnel_counts(
     )
 
 
+def funnel_counts_windowed(
+    events: DataFrame,
+    steps: list[str],
+    max_span_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel where the WHOLE chain must complete within
+    ``max_span_seconds`` of its step-0 event.
+
+    Greedy-from-the-first-occurrence is WRONG under a window (a later
+    funnel entry can succeed where the earliest entry's window expires
+    — see tests), so state is one chain per (user, entry time): every
+    step-0 occurrence opens a candidate chain, and WITHIN a fixed
+    entry the earliest-next-step choice is again optimal. Stage i
+    joins remain user-keyed; state is bounded by step-0 occurrences
+    (not per-user minima), and converted users count distinct.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("s"),
+    )
+    span = F.expr(f"INTERVAL {int(max_span_seconds)} SECONDS")
+    state = ev.where(F.col("s") == steps[0]).select(
+        "u", F.col("t").alias("t0"), F.col("t").alias("t_prev")
+    )
+    counts = [state.select("u").distinct().count()]
+    for step in steps[1:]:
+        state = (
+            ev.where(F.col("s") == step)
+            .join(state, "u")
+            .where(
+                (F.col("t") > F.col("t_prev"))
+                & (F.col("t") <= F.col("t0") + span)
+            )
+            .groupBy("u", "t0")
+            .agg(F.min("t").alias("t_prev"))
+        )
+        counts.append(state.select("u").distinct().count())
+    spark = events.sparkSession
+    first = counts[0] or 1
+    out = spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_users bigint",
+    )
+    return out.withColumn(
+        "frac_of_first", F.round(F.col("n_users") / F.lit(float(first)), 6)
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

@@ -492,6 +492,18 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (complete within 24h of entry): one chain
+    per (user, entry event) — the semantics greedy-from-first gets
+    wrong under a window (proved in tests)."""
+    from mitoscape_spark.operators.funnel import funnel_counts_windowed
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts_windowed(
+        events, ["signup", "view", "click"], max_span_seconds=86400
+    ).orderBy("step_idx")
+
+
 def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov matrix of per-user event paths: one lead()
     window over the facts, probabilities computed on the tiny
@@ -1901,6 +1913,7 @@ QUERIES = {
     "ext_gapfill": ext_gapfill,
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
+    "ext_funnel_windowed": ext_funnel_windowed,
     "ext_event_transitions": ext_event_transitions,
     "ext_cohort_retention": ext_cohort_retention,
     "ext_temperature_mix": ext_temperature_mix,
@@ -2431,6 +2444,39 @@ ORACLE = {
             UNION ALL SELECT 1, 'view', (SELECT COUNT(*) FROM s1)
             UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
             UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step_idx, step, n_users,
+               ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
+                     OVER (ORDER BY step_idx), 6) AS frac_of_first
+        FROM counts ORDER BY step_idx
+    """,
+    "ext_funnel_windowed": """
+        WITH e AS (
+            SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, event_type AS s
+            FROM events
+        ),
+        c0 AS (
+            SELECT u, t AS t0, t AS tp FROM e WHERE s = 'signup'
+        ),
+        c1 AS (
+            SELECT e.u, c0.t0, MIN(e.t) AS tp
+            FROM e JOIN c0 ON e.u = c0.u
+            WHERE e.s = 'view' AND e.t > c0.tp
+              AND e.t <= c0.t0 + INTERVAL 1 DAY
+            GROUP BY e.u, c0.t0
+        ),
+        c2 AS (
+            SELECT e.u, c1.t0, MIN(e.t) AS tp
+            FROM e JOIN c1 ON e.u = c1.u
+            WHERE e.s = 'click' AND e.t > c1.tp
+              AND e.t <= c1.t0 + INTERVAL 1 DAY
+            GROUP BY e.u, c1.t0
+        ),
+        counts AS (
+            SELECT 0 AS step_idx, 'signup' AS step,
+                   (SELECT COUNT(DISTINCT u) FROM c0) AS n_users
+            UNION ALL SELECT 1, 'view', (SELECT COUNT(DISTINCT u) FROM c1)
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(DISTINCT u) FROM c2)
         )
         SELECT step_idx, step, n_users,
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)

@@ -127,3 +127,76 @@ def test_event_transitions_no_cross_user_leak(spark):
         "event_id long, user_id long, ts timestamp, event_type string",
     )
     assert event_transitions(ev).count() == 0
+
+
+def test_windowed_funnel_late_entry_succeeds_where_first_expires(spark):
+    """a@0 -> b@100 exceeds a 50s window from the FIRST a, but a@60
+    opens a chain whose window covers b@100 — the user must convert.
+    (This is exactly the case greedy-from-first gets wrong.)"""
+    import datetime as dt
+
+    from mitoscape_spark.operators.funnel import funnel_counts_windowed
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(seconds=0), "a"),
+            (1, base + dt.timedelta(seconds=60), "a"),
+            (1, base + dt.timedelta(seconds=100), "b"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(ev, ["a", "b"], 50).collect()
+    }
+    assert out == {"a": 1, "b": 1}
+
+
+def test_windowed_funnel_enforces_span(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.funnel import funnel_counts_windowed
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base, "a"),
+            (1, base + dt.timedelta(seconds=200), "b"),  # outside any window
+            (2, base, "a"),
+            (2, base + dt.timedelta(seconds=30), "b"),  # inside
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(ev, ["a", "b"], 50).collect()
+    }
+    assert out == {"a": 2, "b": 1}
+
+
+def test_windowed_funnel_unbounded_matches_plain(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_windowed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(8):
+        for i, s in enumerate(["a", "b", "c"][: (u % 4)]):
+            rows.append((u, base + dt.timedelta(seconds=i), s))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    plain = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["a", "b", "c"]).collect()
+    }
+    wide = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(ev, ["a", "b", "c"], 10**9).collect()
+    }
+    assert plain == wide
