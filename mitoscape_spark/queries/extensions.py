@@ -504,6 +504,93 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click strictly before it (one per-user ordered window with
+    last(..., ignorenulls) carry-forward — the as-of pattern as a
+    window, no join at all)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            F.when(
+                F.col("click_ts").isNotNull(),
+                (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("click_ts").cast("timestamp").cast("double")
+                ),
+            ).alias("gap_seconds"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def ext_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event paths (two lead() windows + one
+    count) — sequential pattern mining's workhorse query."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    paths = (
+        events.withColumn("s2", F.lead("event_type", 1).over(w))
+        .withColumn("s3", F.lead("event_type", 2).over(w))
+        .where(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("s2"), F.col("s3")
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path")).limit(20)
+
+
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin numeric histogram of order totals: bin ids via the
+    same floor formula both engines evaluate identically; one
+    aggregation, bins with no rows absent (sparse histogram)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    n_bins = 20
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
 def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov matrix of per-user event paths: one lead()
     window over the facts, probabilities computed on the tiny
@@ -1914,6 +2001,9 @@ QUERIES = {
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
+    "ext_attribution": ext_attribution,
+    "ext_top_paths": ext_top_paths,
+    "ext_histogram": ext_histogram,
     "ext_event_transitions": ext_event_transitions,
     "ext_cohort_retention": ext_cohort_retention,
     "ext_temperature_mix": ext_temperature_mix,
@@ -2482,6 +2572,55 @@ ORACLE = {
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
                      OVER (ORDER BY step_idx), 6) AS frac_of_first
         FROM counts ORDER BY step_idx
+    """,
+    "ext_attribution": """
+        WITH e AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+            FROM events
+        ),
+        marked AS (
+            SELECT event_id, user_id, ts, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS click_ts
+            FROM e
+        )
+        SELECT event_id, user_id, ts AS purchase_ts, click_ts,
+               CASE WHEN click_ts IS NOT NULL
+                    THEN epoch(ts) - epoch(click_ts) END AS gap_seconds
+        FROM marked WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "ext_top_paths": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+            FROM events
+        ),
+        seq AS (
+            SELECT event_type AS s1,
+                   LEAD(event_type, 1) OVER w AS s2,
+                   LEAD(event_type, 2) OVER w AS s3
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    "ext_histogram": """
+        WITH stats AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                   (o_totalprice - lo) / ((hi - lo) / 20)) AS INT), 0), 19)
+                   AS bin,
+               COUNT(*) AS n
+        FROM orders, stats
+        GROUP BY 1 ORDER BY bin
     """,
     "ext_event_transitions": """
         WITH seq AS (
