@@ -504,6 +504,72 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked+salted fuzzy linkage
+    (edit distance 1–3) → large-star/small-star connected components →
+    keep the smallest key per entity cluster. The full record-linkage
+    pipeline as three engine operators; oracle replays it as a
+    recursive-CTE transitive closure over the same levenshtein pairs."""
+    from mitoscape_spark.operators.dedup import dedup_keep_canonical
+    from mitoscape_spark.operators.fuzzy import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_pairs(part, "p_partkey", "p_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return (
+        dedup_keep_canonical(part, pairs, id_col="p_partkey")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+def ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (did the user purchase?)
+    between deterministic variants (user_id parity): per-variant
+    rates, pooled-variance z statistic — experiment readout as ONE
+    aggregation tree, identical closed form on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    # conversion = heavy purchaser (>=14 purchase events — near the
+    # corpus median, so neither variant's rate degenerates to 0 or 1)
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    wide = (
+        by_variant.groupBy()
+        .pivot("variant", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("conv").alias("conv"))
+    )
+    p0 = F.col("0_conv") / F.col("0_n")
+    p1 = F.col("1_conv") / F.col("1_n")
+    pool = (F.col("0_conv") + F.col("1_conv")) / (
+        F.col("0_n") + F.col("1_n")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("0_n") + 1 / F.col("1_n"))
+    )
+    return wide.select(
+        F.col("0_n").alias("n_control"),
+        F.col("1_n").alias("n_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round((p1 - p0) / se, 6).alias("z_score"),
+    )
+
+
 def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credits the user's most
     recent click strictly before it (one per-user ordered window with
@@ -2001,6 +2067,8 @@ QUERIES = {
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
+    "ext_entity_resolution": ext_entity_resolution,
+    "ext_ab_test": ext_ab_test,
     "ext_attribution": ext_attribution,
     "ext_top_paths": ext_top_paths,
     "ext_histogram": ext_histogram,
@@ -2572,6 +2640,68 @@ ORACLE = {
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
                      OVER (ORDER BY step_idx), 6) AS frac_of_first
         FROM counts ORDER BY step_idx
+    """,
+    "ext_entity_resolution": """
+        WITH RECURSIVE b AS (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[1] AS blk
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.p_partkey AS pa, b2.p_partkey AS pb
+            FROM b a JOIN b b2
+              ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey
+            WHERE levenshtein(a.p_name, b2.p_name) BETWEEN 1 AND 3
+        ),
+        edges AS (
+            SELECT pa AS s, pb AS d FROM pairs
+            UNION
+            SELECT pb, pa FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            WHERE r.s != e.d
+        ),
+        comp AS (
+            SELECT s AS id, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        SELECT p_partkey FROM part p
+        LEFT JOIN comp c ON p.p_partkey = c.id AND c.id != c.component
+        WHERE c.id IS NULL
+        ORDER BY p_partkey
+    """,
+    "ext_ab_test": """
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted,
+                   CAST(user_id % 2 AS INT) AS variant
+            FROM events GROUP BY user_id
+        ),
+        by_variant AS (
+            SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+            FROM per_user GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+                MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+            FROM by_variant
+        )
+        SELECT n0 AS n_control, n1 AS n_treat,
+               ROUND(c0 * 1.0 / n0, 6) AS rate_control,
+               ROUND(c1 * 1.0 / n1, 6) AS rate_treat,
+               ROUND(((c1 * 1.0 / n1) - (c0 * 1.0 / n0))
+                     / SQRT(((c0 + c1) * 1.0 / (n0 + n1))
+                            * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+        FROM wide
     """,
     "ext_attribution": """
         WITH e AS (
