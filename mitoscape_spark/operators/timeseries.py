@@ -31,6 +31,47 @@ def daily_rollup(
     )
 
 
+def ewma_daily(
+    events: DataFrame,
+    decay: float = 0.9,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, day, total, ewma): exponentially-weighted moving average
+    of the daily totals, EXPRESSED AS A WINDOW (no recursion):
+
+        ewma_t = Σ_i d^(t-t_i)·x_i / Σ_i d^(t-t_i)
+               = (Σ_i x_i·d^(-t_i)) · d^t / ((Σ_i d^(-t_i)) · d^t)
+
+    — two cumulative sums over the per-key day order, rescaled per
+    row. Weights are renormalized (so the first day's ewma equals its
+    total). Day offsets are computed from each key's FIRST day, which
+    keeps d^(-t_i) bounded by the key's history length (no overflow
+    at any absolute date).
+    """
+    from pyspark.sql import Window
+
+    daily = daily_rollup(events, key_col, ts_col, value_col)
+    w_all = Window.partitionBy("key")
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_t = daily.withColumn(
+        "_t", F.datediff("day", F.min("day").over(w_all)).cast("double")
+    )
+    inv = F.pow(F.lit(decay), -F.col("_t"))
+    num = F.sum(F.col("total") * inv).over(w_cum) * F.pow(
+        F.lit(decay), F.col("_t")
+    )
+    den = F.sum(inv).over(w_cum) * F.pow(F.lit(decay), F.col("_t"))
+    return with_t.select(
+        "key", "day", "total", F.round(num / den, 6).alias("ewma")
+    )
+
+
 def daily_gapfill(
     events: DataFrame,
     key_col: str = "user_id",

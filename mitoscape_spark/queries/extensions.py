@@ -504,6 +504,20 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event totals, recursion-free: the decay
+    sum factors into two cumulative window sums rescaled per row
+    (operators/timeseries.py::ewma_daily)."""
+    from mitoscape_spark.operators.timeseries import ewma_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        ewma_daily(events, decay=0.9)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "day")
+    )
+
+
 def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: blocked+salted fuzzy linkage
     (edit distance 1–3) → large-star/small-star connected components →
@@ -2067,6 +2081,7 @@ QUERIES = {
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
+    "ext_ewma": ext_ewma,
     "ext_entity_resolution": ext_entity_resolution,
     "ext_ab_test": ext_ab_test,
     "ext_attribution": ext_attribution,
@@ -2640,6 +2655,30 @@ ORACLE = {
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
                      OVER (ORDER BY step_idx), 6) AS frac_of_first
         FROM counts ORDER BY step_idx
+    """,
+    "ext_ewma": """
+        WITH daily AS (
+            SELECT user_id AS key,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT key, day, total,
+                   CAST(datediff('day',
+                        MIN(day) OVER (PARTITION BY key), day) AS DOUBLE)
+                       AS tt
+            FROM daily
+        )
+        SELECT key AS user_id, day, total,
+               ROUND(
+                   (SUM(total * POW(0.9, -tt)) OVER w * POW(0.9, tt))
+                   / (SUM(POW(0.9, -tt)) OVER w * POW(0.9, tt)), 6)
+                   AS ewma
+        FROM t
+        WINDOW w AS (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, day
     """,
     "ext_entity_resolution": """
         WITH RECURSIVE b AS (

@@ -55,3 +55,36 @@ def test_daily_rollup_sums_within_day(spark):
 def test_invalid_fill_raises(spark):
     with pytest.raises(ValueError, match="zero|ffill"):
         daily_gapfill(_ev(spark, [(1, 1, 1.0)]), fill="interpolate")
+
+
+def test_ewma_matches_recursive_definition(spark):
+    """Window-factored EWMA must equal the recursive definition
+    ewma_t = (x_t + d*w_{t-1}*ewma_{t-1}) / (1 + d*w_{t-1}) computed in
+    plain Python (renormalized weights)."""
+    from mitoscape_spark.operators.timeseries import ewma_daily
+
+    ev = _ev(spark, [(1, d, float(v)) for d, v in
+                     [(1, 10), (2, 20), (3, 0), (5, 40)]])
+    got = {
+        str(r["day"]): r["ewma"]
+        for r in ewma_daily(ev, decay=0.9).collect()
+    }
+    # reference: weights d^(t-ti) over observed days, renormalized
+    obs = [(0, 10.0), (1, 20.0), (2, 0.0), (4, 40.0)]
+    import math
+
+    for i in range(len(obs)):
+        t = obs[i][0]
+        num = sum(x * 0.9 ** (t - ti) for ti, x in obs[: i + 1])
+        den = sum(0.9 ** (t - ti) for ti, _ in obs[: i + 1])
+        day = f"2024-01-0{obs[i][0] + 1}"
+        assert math.isclose(got[day], round(num / den, 6), abs_tol=1e-6), day
+
+
+def test_ewma_first_day_equals_total(spark):
+    from mitoscape_spark.operators.timeseries import ewma_daily
+
+    ev = _ev(spark, [(1, 1, 7.5), (2, 3, 2.5)])
+    rows = {r["key"]: r for r in ewma_daily(ev).collect()}
+    assert rows[1]["ewma"] == rows[1]["total"]
+    assert rows[2]["ewma"] == rows[2]["total"]
