@@ -504,6 +504,28 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges from
+    per-user consecutive events): distributed power iteration with
+    dangling-mass correction and lineage-truncated rounds. Iterative ⇒
+    rows-only; numpy power-iteration equivalence pinned in
+    tests/test_graph.py."""
+    from pyspark.sql import Window
+
+    from mitoscape_spark.operators.graph import pagerank
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    edges = (
+        events.withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .select(
+            F.col("event_type").alias("src"), F.col("_next").alias("dst")
+        )
+    )
+    return pagerank(edges, max_iter=30).orderBy("id")
+
+
 def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of daily event totals, recursion-free: the decay
     sum factors into two cumulative window sums rescaled per row
@@ -2081,6 +2103,7 @@ QUERIES = {
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
+    "ext_pagerank": ext_pagerank,
     "ext_ewma": ext_ewma,
     "ext_entity_resolution": ext_entity_resolution,
     "ext_ab_test": ext_ab_test,

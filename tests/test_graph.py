@@ -1,0 +1,55 @@
+"""PageRank (operators/graph.py) vs a numpy power-iteration oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mitoscape_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(n, edge_list, damping=0.85, iters=60):
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, d in edge_list:
+        M[d, s] += 1.0
+        out[s] += 1.0
+    for s in range(n):
+        if out[s]:
+            M[:, s] /= out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (M @ r + dangling / n)
+    return r
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edge_list = [
+        (0, 1), (1, 2), (2, 0), (0, 2), (3, 2),  # 3 is upstream-only
+    ]  # node 4 dangling via (2, 4)? keep 4 out for the base case
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, max_iter=60).collect()}
+    want = _numpy_pagerank(4, edge_list)
+    for i in range(4):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 0 -> 1, 1 has NO out-edges: without the dangling correction the
+    # total mass leaks each round
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, max_iter=60).collect()}
+    want = _numpy_pagerank(2, [(0, 1)])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for i in range(2):
+        assert abs(got[i] - want[i]) < 1e-6
+    assert got[1] > got[0]  # the sink accumulates rank
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = [r["rank"] for r in pagerank(df).collect()]
+    assert all(abs(r - 1 / 3) < 1e-6 for r in got)
