@@ -46,7 +46,6 @@ import os
 import re
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 
 def main() -> int:
@@ -111,42 +110,29 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: bucketed layout skipped: {exc}", file=sys.stderr)
 
-    def run_once(fn) -> None:
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-
     n_inflight = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "6"))
 
+    from mitoscape_spark.concurrency import run_concurrent as _run_pool
+
     def run_concurrent(round_timings: dict[str, float]) -> float:
-        """Submit queries through a bounded pool; return wall-clock."""
-        errors: dict[str, Exception] = {}
-
-        def work(name: str, fn) -> None:
-            # pinned-thread mode (PySpark ≥3.2 default): this Python
-            # thread maps to its own JVM thread, so the pool property
-            # is per-query, not global
-            spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", name
-            )
-            t0 = time.perf_counter()
-            try:
-                run_once(fn)
-                round_timings[name] = time.perf_counter() - t0
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = exc
-                round_timings[name] = -1.0
-
+        """Submit queries through the engine's bounded FAIR-pool
+        runner (mitoscape_spark.concurrency); return wall-clock."""
+        thunks = {
+            name: (lambda fn=fn: fn(spark, sf_dir))
+            for name, fn in QUERIES.items()
+        }
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=n_inflight) as ex:
-            futures = [
-                ex.submit(work, name, fn) for name, fn in QUERIES.items()
-            ]
-            for f in futures:
-                f.result()
-        wall = time.perf_counter() - t0
-        for name, exc in errors.items():
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-        return wall
+        round_timings.update(
+            _run_pool(
+                spark,
+                thunks,
+                max_inflight=n_inflight,
+                on_error=lambda name, exc: print(
+                    f"bench: {name} failed: {exc}", file=sys.stderr
+                ),
+            )
+        )
+        return time.perf_counter() - t0
 
     # untimed full pass: JIT + codegen-compile every query's plan once
     run_concurrent({})

@@ -340,3 +340,22 @@ def restore(table_dir: str, version: int) -> int:
         finally:
             os.unlink(staged)
     raise RuntimeError("restore lost 20 optimistic-concurrency races")
+
+
+def maybe_compact(
+    spark: SparkSession,
+    table_dir: str,
+    max_dirs: int = 16,
+    target_partitions: int | None = None,
+) -> int | None:
+    """Compaction POLICY: compact only when the current snapshot spans
+    more than ``max_dirs`` data directories (the append-heavy state
+    where scan planning cost starts tracking file count). Returns the
+    new version, or None when no compaction was needed — cheap enough
+    to call after every streaming batch or on a schedule."""
+    v = latest_version(table_dir)
+    if v == 0:
+        return None
+    if len(_load_manifest(table_dir, v)["dirs"]) <= max_dirs:
+        return None
+    return compact(spark, table_dir, target_partitions)

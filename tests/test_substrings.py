@@ -162,3 +162,24 @@ def test_top_fraction_per_key_is_per_key_not_global(spark):
     }
     # a global cutoff would keep 'hi' entirely and empty 'lo'
     assert by_key == {"lo": 2, "hi": 2}
+
+
+def test_run_concurrent_times_and_isolates_failures(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mitoscape_spark.concurrency import run_concurrent
+
+    failures = []
+    out = run_concurrent(
+        spark,
+        {
+            "ok1": lambda: spark.range(10).selectExpr("sum(id) as s"),
+            "ok2": lambda: spark.range(5),
+            "boom": lambda: spark.range(1).selectExpr("no_such_col"),
+        },
+        max_inflight=2,
+        on_error=lambda n, e: failures.append(n),
+    )
+    assert out["ok1"] > 0 and out["ok2"] > 0
+    assert out["boom"] == -1.0
+    assert failures == ["boom"]
