@@ -279,3 +279,18 @@ def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
     assert snap._load_manifest(t, 3)["meta"] == {"restored_from": 1}
     # restored version shares v1's data dirs: zero data movement
     assert snap._load_manifest(t, 3)["dirs"] == snap._load_manifest(t, 1)["dirs"]
+
+
+def test_maybe_compact_policy_threshold(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        snap.commit(_df(spark, lo, lo + 10), t)
+    # 3 dirs <= threshold: no-op
+    assert snap.maybe_compact(spark, t, max_dirs=4) is None
+    for lo in range(30, 60, 10):
+        snap.commit(_df(spark, lo, lo + 10), t)
+    v = snap.maybe_compact(spark, t, max_dirs=4)  # 6 dirs > 4: compacts
+    assert v is not None
+    assert len(snap._load_manifest(t, v)["dirs"]) == 1
+    assert snap.read(spark, t).count() == 60
+    assert snap.maybe_compact(spark, t, max_dirs=4) is None  # idempotent
