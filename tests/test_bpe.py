@@ -57,3 +57,28 @@ def test_apply_without_merges_is_chars_plus_marker(spark):
     docs = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
     (row,) = bpe_apply(docs, []).collect()
     assert row["tokens"] == ["a", "b", "</w>", "c", "</w>"]
+
+
+# ---------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mitoscape_spark.operators.bpe import _encode_word
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_word, st.integers(1, 50)), min_size=1, max_size=20),
+       st.integers(0, 30))
+def test_encode_word_reconstructs_and_never_expands(word_freq, n_merges):
+    """For ANY learned merge table: (1) concatenating a word's tokens
+    (minus the </w> marker) reproduces the word; (2) token count never
+    exceeds chars+1; (3) encoding is deterministic."""
+    merges = learn_merges(word_freq, n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _n in word_freq:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks).replace("</w>", "") == w
+        assert len(toks) <= len(w) + 1
+        assert toks == _encode_word(w, ranks)
