@@ -843,3 +843,36 @@ def ngram_jaccard_pairs_prefix(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """One-row (n_predicted, n_truth, n_hit, precision, recall, f1)
+    for two pair sets — the dedup-quality readout (how good are the
+    LSH candidates against exact similarity truth?) computed as set
+    joins, no driver-side pair materialization. Pairs are canonical
+    (a < b) on both inputs; rounding matches cross-engine oracles."""
+    p = predicted.select(a_col, b_col).distinct()
+    t = truth.select(a_col, b_col).distinct()
+    hit = p.join(t, [a_col, b_col], "left_semi")
+    counts = (
+        p.agg(F.count(F.lit(1)).alias("n_predicted"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    prec = F.col("n_hit") / F.greatest(F.col("n_predicted"), F.lit(1))
+    rec = F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1))
+    return counts.select(
+        "n_predicted",
+        "n_truth",
+        "n_hit",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
+        ).alias("f1"),
+    )

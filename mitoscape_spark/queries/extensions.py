@@ -504,6 +504,26 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_idx")
 
 
+def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality readout: precision/recall/F1 of the MinHash-LSH
+    candidate pairs against exact Jaccard ≥ 0.2 truth — measurement
+    itself as a distributed query (set semi-join, three 1-row aggs),
+    no driver-side pair sets."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        pair_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    predicted = minhash_candidate_pairs(minhash_signatures(docs))
+    truth = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    return pair_metrics(predicted, truth)
+
+
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (edges from
     per-user consecutive events): distributed power iteration with
@@ -2103,6 +2123,7 @@ QUERIES = {
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
+    "ext_dedup_eval": ext_dedup_eval,
     "ext_pagerank": ext_pagerank,
     "ext_ewma": ext_ewma,
     "ext_entity_resolution": ext_entity_resolution,
@@ -2678,6 +2699,57 @@ ORACLE = {
                ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
                      OVER (ORDER BY step_idx), 6) AS frac_of_first
         FROM counts ORDER BY step_idx
+    """,
+    "ext_dedup_eval": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sig AS (
+            SELECT doc_id, seed,
+                   MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+            FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   string_agg(minhash, ',' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        ),
+        predicted AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        ),
+        hit AS (
+            SELECT doc_a, doc_b FROM predicted
+            INTERSECT SELECT doc_a, doc_b FROM truth
+        ),
+        c AS (
+            SELECT (SELECT COUNT(*) FROM predicted) AS n_predicted,
+                   (SELECT COUNT(*) FROM truth) AS n_truth,
+                   (SELECT COUNT(*) FROM hit) AS n_hit
+        )
+        SELECT n_predicted, n_truth, n_hit,
+               ROUND(n_hit * 1.0 / GREATEST(n_predicted, 1), 6) AS precision,
+               ROUND(n_hit * 1.0 / GREATEST(n_truth, 1), 6) AS recall,
+               ROUND(2 * (n_hit * 1.0 / GREATEST(n_predicted, 1))
+                       * (n_hit * 1.0 / GREATEST(n_truth, 1))
+                     / GREATEST(n_hit * 1.0 / GREATEST(n_predicted, 1)
+                                + n_hit * 1.0 / GREATEST(n_truth, 1),
+                                1e-12), 6) AS f1
+        FROM c
     """,
     "ext_ewma": """
         WITH daily AS (
