@@ -119,6 +119,23 @@ def commit(
             for c in stats_cols
         }
 
+    return _publish_dir(
+        table_dir, rel_dir, mode, meta, dir_stats, max_retries
+    )
+
+
+def _publish_dir(
+    table_dir: str,
+    rel_dir: str,
+    mode: str,
+    meta: dict | None = None,
+    dir_stats: dict | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Atomically publish an already-written data directory as the
+    next version — the commit protocol's second half, shared by
+    ``commit`` and the ``format(\"snapshot\")`` batch writer."""
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     for _ in range(max_retries):
         parent = latest_version(table_dir)
         stats: dict[str, dict] = {}
