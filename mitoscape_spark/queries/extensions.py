@@ -733,6 +733,36 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(events).orderBy("cohort_week", "week_offset")
 
 
+def ext_snapshot_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format("snapshot") round-trip: write documents through the
+    Python DataSource batch writer (Arrow staging + atomic manifest
+    publish), read back through the per-file Arrow reader, aggregate.
+    Oracle aggregates the source table directly — the hash match
+    proves the format preserved every row."""
+    import tempfile
+
+    from mitoscape_spark.sources.snapshot_datasource import register
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    with tempfile.TemporaryDirectory(prefix="snapfmt_") as root:
+        t = f"{root}/docs"
+        docs.write.format("snapshot").mode("append").save(t)
+        back = spark.read.format("snapshot").load(t)
+        rows = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "lang string, n bigint, sum_doc_id bigint"
+    )
+
+
 def ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance: base agg (orders with
     o_orderkey % 10 != 0, per priority) updated by a CDC delta
@@ -2114,6 +2144,7 @@ QUERIES = {
     "ext_lm_score": ext_lm_score,
     "ext_substring_dedup": ext_substring_dedup,
     "ext_time_travel": ext_time_travel,
+    "ext_snapshot_format": ext_snapshot_format,
     "ext_incremental_agg": ext_incremental_agg,
     "ext_zorder": ext_zorder,
     "ext_jaccard_prefix": ext_jaccard_prefix,
@@ -2957,6 +2988,11 @@ ORACLE = {
                CAST(SUM(cents) AS BIGINT) AS sum_cents,
                COUNT(*) AS n
         FROM facts GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "ext_snapshot_format": """
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "ext_time_travel": """
         WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 2),

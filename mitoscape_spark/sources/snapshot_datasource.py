@@ -167,4 +167,17 @@ class SnapshotTableDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the format on ``spark`` AND pin the session as the
+    calling JVM thread's active session. The pinning matters under
+    pinned-thread mode: a Python worker thread maps to a fresh JVM
+    thread with NO active session, and Python data-source lookup
+    resolves through the active session's registry — without this,
+    ``format("snapshot")`` raises DATA_SOURCE_NOT_FOUND from any
+    thread but the main one (measured; see tests)."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # Spark Connect: no _jvm, and no pinned threads
+        pass
     spark.dataSource.register(SnapshotTableDataSource)
