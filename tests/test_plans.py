@@ -169,3 +169,44 @@ def test_fuzzy_partition_count_tracks_block_cardinality(spark):
     expected = fuzzy_partitions(5, 16)  # 5 distinct first-token blocks
     assert expected > int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert "hashpartitioning(blk" in plan and f", {expected})" in plan, plan
+
+
+def test_substring_dedup_no_cartesian_all_jvm(spark):
+    """Span dedup must stay hash-joined (never a cross product) and
+    fully JVM-side — it's the heaviest new text op."""
+    plan = plan_of(EXT["ext_substring_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_budget_join_broadcasts(spark):
+    plan = plan_of(EXT["ext_temperature_mix"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gapfill_spine_broadcasts_bounds(spark):
+    # the min/max bounds row must broadcast, never shuffle the facts
+    # against a 1-row table
+    plan = plan_of(EXT["ext_gapfill"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_is_pure_window_no_join(spark):
+    plan = plan_of(EXT["ext_attribution"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_user_trend_single_aggregation_no_python(spark):
+    plan = plan_of(EXT["ext_user_trend"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_zorder_key_is_expression_only(spark):
+    plan = plan_of(EXT["ext_zorder"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the stats row joins by broadcast (1 row), never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
