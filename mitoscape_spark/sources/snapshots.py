@@ -177,16 +177,27 @@ def _publish_dir(
 
 
 def read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read — latest by default, any retained version for
     time travel. Hands Spark the resolved directory list, so partition
-    pruning / predicate pushdown behave exactly as on raw parquet."""
+    pruning / predicate pushdown behave exactly as on raw parquet.
+
+    ``merge_schema=True`` unions the schemas of all referenced
+    directories (appends that ADDED columns read back with nulls for
+    older data — parquet's additive schema evolution); off by default
+    because footer-schema merging costs one extra metadata pass."""
     v = latest_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError(f"snapshot table {table_dir} has no commits")
     dirs = _load_manifest(table_dir, v)["dirs"]
-    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(table_dir, d) for d in dirs])
 
 
 def history(table_dir: str) -> list[dict]:

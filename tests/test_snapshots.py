@@ -294,3 +294,38 @@ def test_maybe_compact_policy_threshold(spark, tmp_path):
     assert len(snap._load_manifest(t, v)["dirs"]) == 1
     assert snap.read(spark, t).count() == 60
     assert snap.maybe_compact(spark, t, max_dirs=4) is None  # idempotent
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 10), t)
+    snap.commit(
+        _df(spark, 10, 20).withColumn("extra", F.lit("x")), t
+    )
+    evolved = snap.read(spark, t, merge_schema=True)
+    assert set(evolved.columns) == {"k", "extra"}
+    assert evolved.where("extra IS NULL").count() == 10  # old data
+    assert evolved.where("extra = 'x'").count() == 10
+
+
+def test_truly_concurrent_writers_both_land(spark, tmp_path):
+    """Two writers committing at the same moment must serialize into
+    two distinct versions with no loss (optimistic concurrency under
+    REAL thread concurrency, not a simulated race)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, 0, 5), t)
+
+    def committer(lo):
+        return snap.commit(_df(spark, lo, lo + 5), t)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        versions = sorted(
+            f.result() for f in [ex.submit(committer, 100),
+                                 ex.submit(committer, 200)]
+        )
+    assert versions == [2, 3]
+    assert snap.read(spark, t).count() == 15  # nothing lost
