@@ -116,3 +116,41 @@ def pruning_fraction(
         F.avg(F.col("skippable").cast("double")).alias("frac")
     ).head()
     return float(row["frac"] or 0.0)
+
+
+class v2_aggregate_pushdown:
+    """Context manager enabling parquet AGGREGATE pushdown: inside the
+    block, bare MIN/MAX/COUNT queries over parquet read FOOTERS, not
+    data (`PushedAggregation` in the plan) — the O(files) fast path
+    for table-stat queries at 100 TB.
+
+    Spark gates this behind the v2 parquet source, so the block swaps
+    `spark.sql.sources.useV1SourceList` too and restores both confs on
+    exit. Session-global conf: use from one thread at a time (a
+    concurrent query in the same session would also plan through v2
+    while the block is active — semantically identical, differently
+    planned).
+    """
+
+    _V1_KEY = "spark.sql.sources.useV1SourceList"
+    _AGG_KEY = "spark.sql.parquet.aggregatePushdown"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self._old_v1 = self.spark.conf.get(self._V1_KEY)
+        self._old_agg = self.spark.conf.get(self._AGG_KEY, "false")
+        v1 = [
+            s
+            for s in self._old_v1.split(",")
+            if s.strip() and s.strip() != "parquet"
+        ]
+        self.spark.conf.set(self._V1_KEY, ",".join(v1))
+        self.spark.conf.set(self._AGG_KEY, "true")
+        return self.spark
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self._V1_KEY, self._old_v1)
+        self.spark.conf.set(self._AGG_KEY, self._old_agg)
+        return False

@@ -37,3 +37,30 @@ def test_pruning_fraction_sorted_vs_random(spark, tmp_path):
     bad = pruning_fraction(spark, random_path, "k", 1000, 2000)
     assert good >= 0.8  # ~9 of 10 files provably disjoint
     assert bad == 0.0  # every scattered file spans the whole range
+
+
+def test_aggregate_pushdown_reads_footers_only(spark, tmp_path):
+    """Inside v2_aggregate_pushdown, MIN/MAX/COUNT plans must show
+    PushedAggregation (footer-only scan) and match the normal answer."""
+    import contextlib
+    import io
+
+    from mitoscape_spark.sources.inspect import v2_aggregate_pushdown
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10_000).withColumnRenamed("id", "k").write.parquet(path)
+    normal = spark.read.parquet(path).selectExpr(
+        "min(k) as lo", "max(k) as hi", "count(*) as n"
+    ).head()
+    with v2_aggregate_pushdown(spark):
+        agg = spark.read.parquet(path).selectExpr(
+            "min(k) as lo", "max(k) as hi", "count(*) as n"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "PushedAggregation" in buf.getvalue()
+        pushed = agg.head()
+    assert pushed == normal
+    # conf restored on exit
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
