@@ -580,6 +580,28 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: events assigned by their USER's
+    hash band (80/20), so no user straddles splits — the entity-level
+    split ML evaluation needs (row-level splits leak user behavior
+    across the boundary). Shuffle-free assignment; the check counts
+    rows AND distinct users per split."""
+    from mitoscape_spark.operators.sampling import assign_splits
+
+    events = load_table(spark, sf_dir, "events")
+    assigned = assign_splits(
+        events, "user_id", {"train": 0.8, "test": 0.2}
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("split")
+    )
+
+
 def ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on conversion (did the user purchase?)
     between deterministic variants (user_id parity): per-variant
@@ -2158,6 +2180,7 @@ QUERIES = {
     "ext_pagerank": ext_pagerank,
     "ext_ewma": ext_ewma,
     "ext_entity_resolution": ext_entity_resolution,
+    "ext_group_split": ext_group_split,
     "ext_ab_test": ext_ab_test,
     "ext_attribution": ext_attribution,
     "ext_top_paths": ext_top_paths,
@@ -2837,6 +2860,18 @@ ORACLE = {
         LEFT JOIN comp c ON p.p_partkey = c.id AND c.id != c.component
         WHERE c.id IS NULL
         ORDER BY p_partkey
+    """,
+    "ext_group_split": """
+        WITH s AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                             < 'cccc'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM events
+        )
+        SELECT split, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM s GROUP BY split ORDER BY split
     """,
     "ext_ab_test": """
         WITH per_user AS (
