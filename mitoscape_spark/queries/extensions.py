@@ -1620,6 +1620,19 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.topk(codes, list(query), k=10)
 
 
+def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ ANN: probe n_probe cells (partition pruning),
+    ADC-scan compressed codes only. Approximate ⇒ rows-only; recall
+    and real-pruning pinned in tests/test_operators.py."""
+    from mitoscape_spark.operators.similarity import IVFPQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = IVFPQIndex(n_centroids=8, n_probe=4, m=16, k=32).fit(emb)
+    index = idx.encode(emb.where(F.col("vec_id") != 0))
+    return idx.topk(index, list(query), k=10)
+
+
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via sign-random-projection LSH.
 
@@ -2228,6 +2241,7 @@ QUERIES = {
     "ext_ann_ivf": ext_ann_ivf,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_ann_pq": ext_ann_pq,
+    "ext_ann_ivfpq": ext_ann_ivfpq,
     "ext_multimodal_features": ext_multimodal_features,
     "ext_decontaminate": ext_decontaminate,
     "ext_pack_sequences": ext_pack_sequences,
