@@ -329,3 +329,36 @@ def test_truly_concurrent_writers_both_land(spark, tmp_path):
         )
     assert versions == [2, 3]
     assert snap.read(spark, t).count() == 15  # nothing lost
+
+
+def test_prune_dirs_interval_logic_pure(tmp_path):
+    """prune_dirs against hand-written manifests (no Spark): keep iff
+    ranges may intersect; open-ended bounds; null stats conservative."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_manifests"))
+    manifest = {
+        "version": 1, "parent": 0, "mode": "append",
+        "dirs": ["data/a", "data/b", "data/c", "data/d"],
+        "meta": {},
+        "stats": {
+            "data/a": {"k": [0, 10]},
+            "data/b": {"k": [20, 30]},
+            "data/c": {"k": [None, None]},  # null stats -> keep
+            # data/d has no stats entry at all -> keep
+        },
+    }
+    with open(snap._manifest_path(t, 1), "w") as fh:
+        json.dump(manifest, fh)
+
+    kept, total = snap.prune_dirs(t, {"k": (12, 18)})
+    assert total == 4
+    assert kept == ["data/c", "data/d"]  # a and b provably disjoint
+    kept, _ = snap.prune_dirs(t, {"k": (5, 25)})
+    assert kept == ["data/a", "data/b", "data/c", "data/d"]
+    kept, _ = snap.prune_dirs(t, {"k": (None, 15)})  # <= 15
+    assert kept == ["data/a", "data/c", "data/d"]
+    kept, _ = snap.prune_dirs(t, {"k": (25, None)})  # >= 25
+    assert kept == ["data/b", "data/c", "data/d"]
