@@ -78,3 +78,65 @@ def pagerank(
         if delta < tol:
             break
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, n_triangles) per node, via degree-ordered orientation.
+
+    The MapReduce-classic trick (Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer"): canonicalize the
+    undirected edge set, then orient every edge from its lower-degree
+    endpoint to the higher ((deg, id) lexicographic break). Each
+    triangle then has exactly ONE wedge node whose two oriented
+    out-edges span it, so wedges = join of the oriented edge list with
+    itself on the source — and a node's wedge count is C(outdeg, 2)
+    with outdeg bounded by O(sqrt(m)) under this orientation. That
+    bound is the whole point at scale: a celebrity node with 10^7
+    followers produces no 10^14-wedge reducer, because its edges all
+    orient INTO it.
+
+    Plan: 3 shuffles (distinct edges, degree agg, wedge self-join) +
+    one semi-ish join to close wedges against the oriented edges.
+    Everything partial-aggregates; no driver state.
+    """
+    # canonical undirected edges, self-loops dropped
+    a, b = F.least(F.col("s"), F.col("d")), F.greatest(F.col("s"), F.col("d"))
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(a.alias("u"), b.alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    # wedges around each low-degree pivot; w1 < w2 dedups the pair
+    o1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("w1"))
+    o2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("w2"))
+    wedges = o1.join(o2, "p").where(F.col("w1") < F.col("w2"))
+    # close the wedge against the undirected edge set (canonical u<v)
+    closing = e.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"]).select("p", "w1", "w2")
+    per_node = (
+        tri.select(F.col("p").alias("id"))
+        .unionAll(tri.select(F.col("w1").alias("id")))
+        .unionAll(tri.select(F.col("w2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -2156,8 +2156,49 @@ sh AS (
 )
 """
 
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.py): top-15 docs for a
+    3-term query. Inverted-index access path as relational plans — the
+    term IN-list prunes the postings build before df/scoring, corpus
+    stats broadcast, TakeOrderedAndProject top-k."""
+    from mitoscape_spark.operators.bm25 import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, "vector join fast", k=15)
+
+
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph
+    (parts sharing an order), via degree-ordered orientation
+    (operators/graph.py) — the last-reducer-proof plan; top-100 by
+    count. The oracle states the naive 3-way canonical-edge join,
+    which must agree exactly."""
+    from mitoscape_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("n_triangles").desc(), "id")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "ext_window_rank": ext_window_rank,
+    "ext_bm25_search": ext_bm25_search,
+    "ext_triangle_count": ext_triangle_count,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,
@@ -2278,7 +2319,71 @@ _BPE_TOKENS_ORACLE = (
     "FROM documents ORDER BY doc_id"
 )
 
+_BM25_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    postings AS (
+        SELECT token, doc_id, dl, COUNT(*) AS tf
+        FROM toks
+        WHERE token IN ('fast', 'join', 'vector')
+        GROUP BY token, doc_id, dl
+    ),
+    dfs AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM toks
+        WHERE token IN ('fast', 'join', 'vector')
+        GROUP BY token
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM postings
+    JOIN dfs USING (token)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+"""
+
+_TRIANGLE_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT id, COUNT(*) AS n_triangles
+    FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY id
+    ORDER BY n_triangles DESC, id
+    LIMIT 100
+"""
+
 ORACLE = {
+    "ext_bm25_search": _BM25_ORACLE,
+    "ext_triangle_count": _TRIANGLE_ORACLE,
     "ext_window_rank": """
         SELECT o_custkey, o_orderkey, rn FROM (
             SELECT o_custkey, o_orderkey,

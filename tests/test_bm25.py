@@ -1,0 +1,110 @@
+"""BM25 (operators/bm25.py) vs a pure-Python reference scorer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mitoscape_spark.operators.bm25 import (
+    bm25_search,
+    read_bm25_topk,
+    write_bm25_index,
+)
+
+CORPUS = [
+    (0, "spark shuffles data fast"),
+    (1, "duck db runs fast fast fast"),
+    (2, "spark joins spark aggregates spark"),
+    (3, "slow single node engine"),
+    (4, "fast spark fast plans"),
+]
+
+
+def _py_bm25(corpus, query, k1=1.2, b=0.75):
+    docs = {i: t.lower().split(" ") for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = sorted(set(query.lower().split(" ")))
+    scores = {}
+    for term in terms:
+        df = sum(1 for t in docs.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, t in docs.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            s = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+            scores[i] = scores.get(i, 0.0) + s
+    return {i: round(s, 6) for i, s in scores.items()}
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_matches_python_reference(spark):
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_search(_docs_df(spark), "fast spark", k=10).collect()
+    }
+    want = _py_bm25(CORPUS, "fast spark")
+    assert got.keys() == want.keys()
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+
+
+def test_bm25_topk_ordering_and_limit(spark):
+    rows = bm25_search(_docs_df(spark), "fast", k=2).collect()
+    assert len(rows) == 2
+    # doc 1 has tf=3 of 'fast' and short length -> best
+    assert rows[0].doc_id == 1
+    assert rows[0].bm25 > rows[1].bm25
+
+
+def test_bm25_unknown_term_contributes_nothing(spark):
+    base = {
+        r.doc_id: r.bm25
+        for r in bm25_search(_docs_df(spark), "spark", k=10).collect()
+    }
+    plus = {
+        r.doc_id: r.bm25
+        for r in bm25_search(
+            _docs_df(spark), "spark zzznotaterm", k=10
+        ).collect()
+    }
+    assert base == plus
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_search(_docs_df(spark), "  ")
+
+
+def test_bm25_persisted_index_serves_same_topk(spark, tmp_path):
+    path = str(tmp_path / "bm25idx")
+    write_bm25_index(_docs_df(spark), path)
+    live = bm25_search(_docs_df(spark), "fast spark", k=10).collect()
+    served = read_bm25_topk(spark, path, "fast spark", k=10).collect()
+    assert [(r.doc_id, r.bm25) for r in live] == [
+        (r.doc_id, r.bm25) for r in served
+    ]
+
+
+def test_bm25_persisted_index_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "bm25idx")
+    write_bm25_index(_docs_df(spark), path)
+    plan = (
+        read_bm25_topk(spark, path, "fast", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # bucket is a partition column: the IN-list must land in
+    # PartitionFilters (directory pruning), not a post-scan Filter
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:", 1)[1][:200]

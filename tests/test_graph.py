@@ -53,3 +53,61 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     )
     got = [r["rank"] for r in pagerank(df).collect()]
     assert all(abs(r - 1 / 3) < 1e-6 for r in got)
+
+
+# ---------------------------------------------------------- triangles
+from itertools import combinations
+
+from mitoscape_spark.operators.graph import triangle_counts
+
+
+def _brute_triangles(edge_list):
+    """Per-node triangle counts by enumerating all node triples."""
+    adj = set()
+    nodes = set()
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.add((min(s, d), max(s, d)))
+        nodes.update((s, d))
+    counts = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= adj:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _run(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        r.id: r.n_triangles for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_counts_k4(spark):
+    # K4: 4 triangles total, every node in exactly 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _run(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_triangle_free(spark):
+    # a 6-cycle has no triangles -> empty result
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    assert _run(spark, edges) == {}
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    # duplicates, reversed duplicates, and self-loops must not inflate
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    assert _run(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(12), rng.randrange(12)) for _ in range(60)
+    ]
+    assert _run(spark, edges) == _brute_triangles(edges)
