@@ -351,6 +351,48 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed over a snapshot table
+    (sources/snapshots.py::table_changes): append, append, row-level
+    delete, compact — then the per-transition feed. The manifest diff
+    reads only changed directories; rewrite survivors cancel via
+    EXCEPT ALL, so the compaction transition is EMPTY and the delete
+    transition is exactly its deleted rows. Oracle restates each
+    transition's membership predicate."""
+    import tempfile
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="snap_cdc_") as root:
+        t = f"{root}/docs"
+        snap.commit(docs.where(F.col("doc_id") % 4 < 2), t)
+        snap.commit(docs.where(F.col("doc_id") % 4 == 2), t)
+        snap.delete_where(spark, t, "doc_id % 8 = 0")
+        snap.compact(spark, t, target_partitions=1)
+        per_transition = [
+            snap.table_changes(spark, t, v - 1, v)
+            .groupBy("_change_type")
+            .agg(
+                F.lit(v).alias("to_version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            for v in (1, 2, 3, 4)
+        ]
+        out = per_transition[0]
+        for df in per_transition[1:]:
+            out = out.unionByName(df)
+        rows = out.select(
+            "to_version", "_change_type", "n_rows", "sum_doc_id"
+        ).orderBy("to_version", "_change_type").collect()
+    return spark.createDataFrame(
+        rows,
+        "to_version int, _change_type string, n_rows bigint,"
+        " sum_doc_id bigint",
+    )
+
+
 def ext_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key over (o_custkey, o_totalprice):
     the multi-column data-skipping layout key, computed entirely as
@@ -2199,6 +2241,7 @@ QUERIES = {
     "ext_window_rank": ext_window_rank,
     "ext_bm25_search": ext_bm25_search,
     "ext_triangle_count": ext_triangle_count,
+    "ext_table_changes": ext_table_changes,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,
@@ -2381,9 +2424,26 @@ _TRIANGLE_ORACLE = """
     LIMIT 100
 """
 
+_TABLE_CHANGES_ORACLE = """
+    WITH t AS (
+        SELECT 1 AS to_version, 'insert' AS _change_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents WHERE doc_id % 4 < 2
+        UNION ALL
+        SELECT 2, 'insert', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 2
+        UNION ALL
+        SELECT 3, 'delete', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+        FROM documents WHERE doc_id % 8 = 0
+    )
+    SELECT * FROM t ORDER BY to_version, _change_type
+"""
+
 ORACLE = {
     "ext_bm25_search": _BM25_ORACLE,
     "ext_triangle_count": _TRIANGLE_ORACLE,
+    "ext_table_changes": _TABLE_CHANGES_ORACLE,
     "ext_window_rank": """
         SELECT o_custkey, o_orderkey, rn FROM (
             SELECT o_custkey, o_orderkey,

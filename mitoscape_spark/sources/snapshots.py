@@ -387,3 +387,73 @@ def maybe_compact(
     if len(_load_manifest(table_dir, v)["dirs"]) <= max_dirs:
         return None
     return compact(spark, table_dir, target_partitions)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions (CDC read): every
+    row with a ``_change_type`` of 'insert' or 'delete'; an update is
+    its delete+insert pair. ``from_version=0`` emits the target
+    version entirely as inserts (bootstrap).
+
+    The manifest diff does the heavy lifting: only directories the two
+    manifests DISAGREE on are read — directories carried unchanged
+    across versions (the overwhelming majority under append-mostly
+    workloads) are never opened. Rows that merely moved between
+    directories (compaction, copy-on-write rewrite survivors) cancel
+    via a multiset EXCEPT ALL, so a compact() produces an EMPTY feed
+    and a delete_where() produces exactly its deleted rows. Cost is
+    therefore ∝ churned bytes, not table size — except full-overwrite
+    commits, where the churn IS the table.
+
+    At 100 TB this is the incremental-consumer primitive: downstream
+    jobs (index refresh, aggregate maintenance — see
+    operators/incremental.py) chase the feed instead of re-scanning.
+    """
+    from pyspark.sql import functions as F
+
+    to_v = latest_version(table_dir) if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(
+            f"table_changes: from_version {from_version} > to {to_v}"
+        )
+    old_dirs = (
+        set(_load_manifest(table_dir, from_version)["dirs"])
+        if from_version > 0
+        else set()
+    )
+    new_dirs = set(_load_manifest(table_dir, to_v)["dirs"])
+    added = sorted(new_dirs - old_dirs)
+    removed = sorted(old_dirs - new_dirs)
+
+    def _read_dirs(dirs: list[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(table_dir, d) for d in dirs]
+        )
+
+    ins, dels = _read_dirs(added), _read_dirs(removed)
+    if ins is None and dels is None:
+        # no manifest difference: empty feed with the table's schema
+        base = read(spark, table_dir, to_v).where(F.lit(False))
+        return base.withColumn("_change_type", F.lit("insert"))
+    if dels is None:
+        net_ins, net_del = ins, None
+    elif ins is None:
+        net_ins, net_del = None, dels
+    else:
+        net_ins, net_del = ins.exceptAll(dels), dels.exceptAll(ins)
+    parts = []
+    if net_ins is not None:
+        parts.append(net_ins.withColumn("_change_type", F.lit("insert")))
+    if net_del is not None:
+        parts.append(net_del.withColumn("_change_type", F.lit("delete")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -362,3 +362,60 @@ def test_prune_dirs_interval_logic_pure(tmp_path):
     assert kept == ["data/a", "data/c", "data/d"]
     kept, _ = snap.prune_dirs(t, {"k": (25, None)})  # >= 25
     assert kept == ["data/b", "data/c", "data/d"]
+
+
+# ------------------------------------------------------- change feed
+def _feed(spark, t, lo, hi):
+    rows = snap.table_changes(spark, t, lo, hi).collect()
+    return sorted((r._change_type, r.v) for r in rows)
+
+
+def test_table_changes_append_is_insert_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(5).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(5, 8).withColumnRenamed("id", "v"), t)
+    assert _feed(spark, t, 1, 2) == [("insert", v) for v in (5, 6, 7)]
+    # bootstrap from version 0: everything is an insert
+    assert _feed(spark, t, 0, 2) == [("insert", v) for v in range(8)]
+
+
+def test_table_changes_delete_emits_exactly_deleted_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
+    snap.delete_where(spark, t, "v % 3 = 0")
+    # survivors rewrote into a fresh dir but cancel via EXCEPT ALL
+    assert _feed(spark, t, 1, 2) == [
+        ("delete", 0), ("delete", 3), ("delete", 6), ("delete", 9)
+    ]
+
+
+def test_table_changes_compaction_is_silent(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(4).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(4, 6).withColumnRenamed("id", "v"), t)
+    snap.compact(spark, t, target_partitions=1)
+    assert _feed(spark, t, 2, 3) == []
+    # and the span across append+compact nets out to just the append
+    assert _feed(spark, t, 1, 3) == [("insert", 4), ("insert", 5)]
+
+
+def test_table_changes_reads_only_changed_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(3, 5).withColumnRenamed("id", "v"), t)
+    feed = snap.table_changes(spark, t, 1, 2)
+    m1 = set(snap._load_manifest(t, 1)["dirs"])
+    m2 = set(snap._load_manifest(t, 2)["dirs"])
+    changed = m2 ^ m1
+    for f in feed.inputFiles():
+        assert any(d in f for d in changed), f
+        assert not any(d in f for d in m1 & m2), f
+
+
+def test_table_changes_bad_range_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snap.table_changes(spark, t, 5, 1)
