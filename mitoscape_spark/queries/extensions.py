@@ -351,6 +351,34 @@ def ext_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering + balanced selection (operators/
+    clustering.py): distributed k-means over the embeddings table,
+    per-cluster geometry readout, and a deterministic 20-per-cluster
+    balanced sample. Rows-only (Lloyd iterations aren't
+    SQL-expressible); the geometry/sampling math is pinned by unit
+    tests against numpy."""
+    from mitoscape_spark.operators.clustering import (
+        balanced_sample,
+        cluster_profiles,
+        fit_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = fit_clusters(emb, k=8)
+    prof = cluster_profiles(emb, assigned, centers)
+    sampled = (
+        balanced_sample(assigned, per_cluster=20)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        prof.join(sampled, "cluster", "left")
+        .na.fill(0, ["n_sampled"])
+        .orderBy("cluster")
+    )
+
+
 def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change feed over a snapshot table
     (sources/snapshots.py::table_changes): append, append, row-level
@@ -2242,6 +2270,7 @@ QUERIES = {
     "ext_bm25_search": ext_bm25_search,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
+    "ext_cluster_balance": ext_cluster_balance,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,

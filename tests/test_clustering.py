@@ -1,0 +1,90 @@
+"""Clustering + balanced sampling (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mitoscape_spark.operators.clustering import (
+    balanced_sample,
+    cluster_profiles,
+    fit_clusters,
+)
+
+
+def _blobs_df(spark, seed=3):
+    """Three tight, well-separated 4-d blobs: 30 + 20 + 10 points."""
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], dtype=float
+    )
+    rows, truth = [], {}
+    i = 0
+    for b, n in enumerate((30, 20, 10)):
+        for _ in range(n):
+            v = centers[b] + rng.normal(scale=0.05, size=4)
+            rows.append((i, [float(x) for x in v]))
+            truth[i] = b
+            i += 1
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        truth,
+    )
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df, truth = _blobs_df(spark)
+    assigned, centers = fit_clusters(df, k=3, seed=7)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    # cluster ids are arbitrary; require a perfect relabeling
+    mapping = {}
+    for i, b in truth.items():
+        mapping.setdefault(got[i], set()).add(b)
+    assert len(mapping) == 3
+    assert all(len(v) == 1 for v in mapping.values())
+    assert centers.count() == 3
+
+
+def test_cluster_profiles_geometry_matches_numpy(spark):
+    df, _ = _blobs_df(spark)
+    assigned, centers = fit_clusters(df, k=3, seed=7)
+    prof = {r.cluster: r for r in
+            cluster_profiles(df, assigned, centers).collect()}
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    cent = {r.cluster: np.array(r.center) for r in centers.collect()}
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    for c, row in prof.items():
+        d = [
+            np.linalg.norm(vecs[i] - cent[c])
+            for i, cl in got.items()
+            if cl == c
+        ]
+        assert row.n == len(d)
+        assert abs(row.mean_dist - round(float(np.mean(d)), 6)) < 1e-6
+        assert abs(row.max_dist - round(float(np.max(d)), 6)) < 1e-6
+
+
+def test_balanced_sample_quotas_and_determinism(spark):
+    df, _ = _blobs_df(spark)
+    assigned, _ = fit_clusters(df, k=3, seed=7)
+    s1 = balanced_sample(assigned, per_cluster=12)
+    sizes = {
+        r.cluster: r.n
+        for r in s1.groupBy("cluster").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # quota binds on the 30- and 20-point clusters, not the 10-point one
+    assert sorted(sizes.values()) == [10, 12, 12]
+    ids1 = sorted(r.vec_id for r in s1.collect())
+    ids2 = sorted(r.vec_id for r in balanced_sample(
+        assigned, per_cluster=12
+    ).collect())
+    assert ids1 == ids2
+    # a different salt draws a different (but equally sized) sample
+    ids3 = sorted(
+        r.vec_id
+        for r in balanced_sample(
+            assigned, per_cluster=12, salt="other"
+        ).collect()
+    )
+    assert ids3 != ids1
