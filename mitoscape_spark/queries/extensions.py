@@ -2245,8 +2245,12 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must agree exactly."""
     from mitoscape_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # dedupe (order, part) BEFORE the pair explosion: repeated lines of
+    # the same part in one order would multiply the self-join output
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
     )
     a = li.alias("a")
     b = li.alias("b")
