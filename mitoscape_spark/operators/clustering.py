@@ -120,3 +120,80 @@ def balanced_sample(
         .where(F.col("rk") <= per_cluster)
         .drop("rk")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos): exact cosine pairs ≥ threshold WITHIN each
+    cluster — the SemDeDup decomposition (Abbas et al. 2023): k-means
+    first, quadratic verification only inside cells.
+
+    Each cluster is one ``applyInPandas`` group: a single GEMM over the
+    cluster's unit vectors, emitting only above-threshold index pairs.
+    The quadratic term is bounded by the LARGEST CLUSTER, not the
+    corpus — pick k ∝ corpus size (SemDeDup used k ≈ 0.1·√n·…; any
+    k keeping max-cluster ~10⁴–10⁵ rows works) and the per-task memory
+    and flops stay flat as n grows. Cross-cluster near-dups are
+    deliberately out of scope (the method's documented approximation);
+    the exact alternative is operators.dedup.embedding_near_duplicates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    joined = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(assigned.select(id_col, "cluster"), id_col)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
+        sims = x @ x.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "cos": np.round(sims[ia, ib], 6),
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(
+        per_cluster, "id_a long, id_b long, cos double"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Survivors after cluster-scoped near-dup removal: for every
+    within-cluster near-dup component the smallest id is kept (rows in
+    no pair survive untouched). Composition: fit_clusters →
+    semantic_dedup_pairs → connected components → anti-join
+    (operators.dedup.dedup_keep_canonical)."""
+    from mitoscape_spark.operators.dedup import dedup_keep_canonical
+
+    assigned, _ = fit_clusters(
+        embeddings, k=k, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    pairs = semantic_dedup_pairs(
+        embeddings, assigned, threshold, id_col, vec_col
+    )
+    return dedup_keep_canonical(
+        embeddings, pairs.withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b"),
+        id_col=id_col,
+    )

@@ -379,6 +379,24 @@ def ext_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/clustering.py::semantic_dedup):
+    k-means cells → per-cell exact cosine GEMM → components →
+    keep-min-id. Rows-only (clustering step); the pair math and the
+    keep-set policy are pinned by union-find equivalence tests."""
+    from mitoscape_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ≈ 0.51, see ext_embedding_neardup) — 0.35 keeps the drop set
+    # non-empty
+    return (
+        semantic_dedup(emb, k=8, threshold=0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change feed over a snapshot table
     (sources/snapshots.py::table_changes): append, append, row-level
@@ -2275,6 +2293,7 @@ QUERIES = {
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
+    "ext_semantic_dedup": ext_semantic_dedup,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,

@@ -88,3 +88,97 @@ def test_balanced_sample_quotas_and_determinism(spark):
         ).collect()
     )
     assert ids3 != ids1
+
+
+# --------------------------------------------------- semantic dedup
+from mitoscape_spark.operators.clustering import (
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+
+
+def _dup_corpus(spark, seed=11):
+    """Blobs + planted near-copies (id 1000+i ≈ id i) inside blobs."""
+    rng = np.random.default_rng(seed)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0]], dtype=float)
+    rows = []
+    for b, n in enumerate((20, 20)):
+        for j in range(n):
+            i = b * 100 + j
+            v = centers[b] + rng.normal(scale=0.3, size=4)
+            rows.append((i, [float(x) for x in v]))
+            if j < 5:  # five planted near-duplicates per blob
+                w = v + rng.normal(scale=1e-4, size=4)
+                rows.append((1000 + i, [float(x) for x in w]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_pairs_match_bruteforce_within_cluster(spark):
+    df = _dup_corpus(spark)
+    assigned, _ = fit_clusters(df, k=2, seed=5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(df, assigned, 0.9999).collect()
+    }
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    cl = {r.vec_id: r.cluster for r in assigned.collect()}
+    want = set()
+    ids = sorted(vecs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if cl[a] != cl[b]:
+                continue
+            ca = vecs[a] / np.linalg.norm(vecs[a])
+            cb = vecs[b] / np.linalg.norm(vecs[b])
+            if ca @ cb >= 0.9999:
+                want.add((a, b))
+    assert got == want
+    assert len(want) >= 10  # every planted copy found
+
+
+def test_semantic_dedup_keeps_canonical_min_id(spark):
+    df = _dup_corpus(spark)
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, k=2, threshold=0.9999, seed=5
+        ).collect()
+    }
+    # expected survivors: union-find over brute-force same-cluster
+    # pairs (natural near-dups among originals count too), min id wins
+    assigned, _ = fit_clusters(df, k=2, seed=5)
+    vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    cl = {r.vec_id: r.cluster for r in assigned.collect()}
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if cl[a] != cl[b]:
+                continue
+            ua = vecs[a] / np.linalg.norm(vecs[a])
+            ub = vecs[b] / np.linalg.norm(vecs[b])
+            if ua @ ub >= 0.9999:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in vecs:
+        comp.setdefault(find(i), set()).add(i)
+    want = {min(members) for members in comp.values()}
+    assert kept == want
+    # every planted copy whose original shares its cluster is gone
+    gone = set(vecs) - kept
+    assert any(i >= 1000 for i in gone)
+    for i in gone:
+        assert find(i) in kept
