@@ -379,6 +379,84 @@ def ext_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-EXPRESSION distinct counts via theta sketches (Spark 4
+    DataSketches): per-event-type user sketches, then |A∩B| and |A∪B|
+    for every type pair from sketch algebra — the audience-overlap
+    question HLL cannot answer (HLL unions but never intersects).
+
+    Mergeability is the scale property: sketches partial-aggregate
+    map-side and the pair matrix is computed over k-row sketch state,
+    never by re-scanning the fact table per pair. Below the sketch's
+    nominal capacity (4096 entries; 150 users/type here) estimates are
+    EXACT, so the DuckDB oracle states plain COUNT(DISTINCT ...)."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate("sk_a").alias("n_a"),
+            F.theta_sketch_estimate("sk_b").alias("n_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("n_both"),
+            F.theta_sketch_estimate(
+                F.theta_union("sk_a", "sk_b")
+            ).alias("n_either"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def ext_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector deletes (sources/snapshots.py::delete_where_dv):
+    tombstone commit (no data rewrite), a re-insert of tombstoned keys
+    that stays invisible, then compaction materializing the vectors.
+    Per-version read()s; oracle restates each version's membership
+    predicate. Key-scoped DV semantics on purpose — see docstring."""
+    import tempfile
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with tempfile.TemporaryDirectory(prefix="snap_dv_") as root:
+        t = f"{root}/docs"
+        snap.commit(docs, t)
+        snap.delete_where_dv(spark, t, "doc_id % 7 = 0", key_col="doc_id")
+        # re-insert SOME tombstoned keys: invisible until a rewrite
+        snap.commit(
+            docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 2 == 0)),
+            t,
+        )
+        snap.compact(spark, t, target_partitions=1)
+        per_version = [
+            snap.read(spark, t, version=v)
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            for v in (1, 2, 3, 4)
+        ]
+        out = per_version[0]
+        for df in per_version[1:]:
+            out = out.unionByName(df)
+        rows = out.orderBy("version").collect()
+    return spark.createDataFrame(
+        rows, "version int, n_docs bigint, sum_doc_id bigint"
+    )
+
+
 def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition (operators/clustering.py::semantic_dedup):
     k-means cells → per-cell exact cosine GEMM → components →
@@ -2294,6 +2372,8 @@ QUERIES = {
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
     "ext_semantic_dedup": ext_semantic_dedup,
+    "ext_theta_overlap": ext_theta_overlap,
+    "ext_delete_vectors": ext_delete_vectors,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,
@@ -2496,6 +2576,41 @@ ORACLE = {
     "ext_bm25_search": _BM25_ORACLE,
     "ext_triangle_count": _TRIANGLE_ORACLE,
     "ext_table_changes": _TABLE_CHANGES_ORACLE,
+    "ext_delete_vectors": """
+        WITH t AS (
+            SELECT 1 AS version, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents
+            UNION ALL
+            SELECT 2, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT 3, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT 4, COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 7 <> 0
+        )
+        SELECT * FROM t ORDER BY version
+    """,
+    "ext_theta_overlap": """
+        WITH u AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT CASE WHEN a.user_id = b.user_id
+                    THEN a.user_id END) AS BIGINT) AS n_both,
+               CAST(COUNT(DISTINCT a.user_id)
+                    + COUNT(DISTINCT b.user_id)
+                    - COUNT(DISTINCT CASE WHEN a.user_id = b.user_id
+                          THEN a.user_id END) AS BIGINT) AS n_either
+        FROM u a CROSS JOIN u b
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "ext_window_rank": """
         SELECT o_custkey, o_orderkey, rn FROM (
             SELECT o_custkey, o_orderkey,

@@ -59,8 +59,18 @@ def _data_files(table_dir: str, version: int | None) -> list[str]:
     v = snap.latest_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError(f"snapshot table {table_dir} has no commits")
+    manifest = snap._load_manifest(table_dir, v)
+    if manifest.get("dvs"):
+        # refusing beats silently resurrecting deleted rows: this
+        # reader maps files to partitions 1:1 and has no join stage to
+        # apply tombstones in. compact() clears the vectors.
+        raise ValueError(
+            f"snapshot table {table_dir} v{v} carries deletion vectors; "
+            "read via sources.snapshots.read (anti-joins them) or "
+            "compact() first"
+        )
     files: list[str] = []
-    for d in snap._load_manifest(table_dir, v)["dirs"]:
+    for d in manifest["dirs"]:
         full = os.path.join(table_dir, d)
         files.extend(
             os.path.join(full, f)

@@ -131,18 +131,36 @@ def _publish_dir(
     meta: dict | None = None,
     dir_stats: dict | None = None,
     max_retries: int = 20,
+    dv_entry: dict | None = None,
 ) -> int:
     """Atomically publish an already-written data directory as the
     next version — the commit protocol's second half, shared by
-    ``commit`` and the ``format(\"snapshot\")`` batch writer."""
+    ``commit``, the ``format(\"snapshot\")`` batch writer, and
+    ``delete_where_dv`` (``dv_entry`` set: the directory is a
+    DELETION VECTOR — data dirs stay as the parent's, the entry joins
+    the manifest's ``dvs`` list)."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     for _ in range(max_retries):
         parent = latest_version(table_dir)
         stats: dict[str, dict] = {}
-        if mode == "append" and parent > 0:
-            parent_manifest = _load_manifest(table_dir, parent)
+        dvs: list[dict] = []
+        parent_manifest = (
+            _load_manifest(table_dir, parent) if parent > 0 else None
+        )
+        if dv_entry is not None:
+            if parent_manifest is None:
+                raise ValueError(
+                    "deletion vector on an empty table: nothing to delete"
+                )
+            dirs = list(parent_manifest["dirs"])
+            stats = dict(parent_manifest.get("stats", {}))
+            dvs = list(parent_manifest.get("dvs", [])) + [dv_entry]
+        elif mode == "append" and parent_manifest is not None:
             dirs = parent_manifest["dirs"] + [rel_dir]
             stats = dict(parent_manifest.get("stats", {}))
+            # tombstones stay live across appends (key-scoped, see
+            # delete_where_dv docstring)
+            dvs = list(parent_manifest.get("dvs", []))
         else:
             dirs = [rel_dir]
         if dir_stats:
@@ -157,6 +175,8 @@ def _publish_dir(
             "meta": meta or {},
             "stats": stats,
         }
+        if dvs:
+            manifest["dvs"] = dvs
         staged = os.path.join(
             table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
         )
@@ -193,11 +213,46 @@ def read(
     v = latest_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError(f"snapshot table {table_dir} has no commits")
-    dirs = _load_manifest(table_dir, v)["dirs"]
+    m = _load_manifest(table_dir, v)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(table_dir, d) for d in dirs])
+    df = reader.parquet(*[os.path.join(table_dir, d) for d in m["dirs"]])
+    return _apply_dvs(spark, table_dir, m, df)
+
+
+def _dv_key_col(manifest: dict) -> str | None:
+    """The (single, enforced-consistent) key column of a manifest's
+    deletion vectors, or None when there are none."""
+    dvs = manifest.get("dvs", [])
+    if not dvs:
+        return None
+    cols = {e["key_col"] for e in dvs}
+    if len(cols) != 1:
+        raise ValueError(
+            f"deletion vectors disagree on key_col: {sorted(cols)}"
+        )
+    return cols.pop()
+
+
+def _dv_keys(spark: SparkSession, table_dir: str, manifest: dict):
+    """Distinct tombstoned keys of a manifest (None when no dvs)."""
+    dvs = manifest.get("dvs", [])
+    if not dvs:
+        return None
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, e["dir"]) for e in dvs]
+    )
+    return df.select(_dv_key_col(manifest)).distinct()
+
+
+def _apply_dvs(
+    spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    keys = _dv_keys(spark, table_dir, manifest)
+    if keys is None:
+        return df
+    return df.join(keys, on=_dv_key_col(manifest), how="left_anti")
 
 
 def history(table_dir: str) -> list[dict]:
@@ -221,6 +276,9 @@ def vacuum(table_dir: str, keep_versions: int | None = None) -> list[str]:
             if os.path.exists(path):
                 os.unlink(path)
     referenced = {d for m in history(table_dir) for d in m["dirs"]}
+    referenced |= {
+        e["dir"] for m in history(table_dir) for e in m.get("dvs", [])
+    }
     data_root = os.path.join(table_dir, _DATA_DIR)
     removed = []
     if os.path.isdir(data_root):
@@ -280,6 +338,49 @@ def delete_where(
     return version, n_deleted
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    key_col: str,
+) -> tuple[int, int]:
+    """Row-level delete WITHOUT rewriting data: commit a deletion
+    vector — a tiny parquet of tombstoned ``key_col`` values readers
+    anti-join away. Returns (new_version, rows_deleted).
+
+    This is the mark-don't-rewrite path ``delete_where`` documents as
+    the upgrade for deletes that touch a tiny fraction of a huge
+    table: the commit's I/O is proportional to the DELETED KEYS, not
+    to the surviving 100 TB (copy-on-write rewrites everything).
+
+    Semantics: ``key_col`` must uniquely identify rows (a primary
+    key); tombstones are key-scoped and stay live across later
+    appends — re-inserting a tombstoned key keeps it invisible until
+    a rewrite (``compact``/overwrite) materializes the deletes and
+    clears the vectors, exactly like engines that only reconcile DVs
+    at OPTIMIZE time. All reader paths (``read``, ``read_pruned``,
+    ``table_changes``) apply vectors; the ``format("snapshot")``
+    datasource refuses DV'd tables rather than silently resurrecting
+    deleted rows.
+    """
+    from pyspark.sql import functions as F
+
+    current = read(spark, table_dir)
+    doomed = current.where(F.expr(predicate))
+    keys = doomed.select(key_col).distinct()
+    n_deleted = keys.count()
+    rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    keys.write.parquet(os.path.join(table_dir, rel_dir))
+    version = _publish_dir(
+        table_dir,
+        rel_dir,
+        mode="append",
+        meta={"delete_where_dv": predicate, "rows_deleted": n_deleted},
+        dv_entry={"dir": rel_dir, "key_col": key_col},
+    )
+    return version, n_deleted
+
+
 def prune_dirs(
     table_dir: str,
     ranges: dict[str, tuple],
@@ -329,6 +430,8 @@ def read_pruned(
     if not kept:
         return read(spark, table_dir, version).where(F.lit(False))
     df = spark.read.parquet(*[os.path.join(table_dir, d) for d in kept])
+    v = latest_version(table_dir) if version is None else version
+    df = _apply_dvs(spark, table_dir, _load_manifest(table_dir, v), df)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.where(F.col(col) >= lo)
@@ -421,12 +524,12 @@ def table_changes(
         raise ValueError(
             f"table_changes: from_version {from_version} > to {to_v}"
         )
-    old_dirs = (
-        set(_load_manifest(table_dir, from_version)["dirs"])
-        if from_version > 0
-        else set()
+    m_from = (
+        _load_manifest(table_dir, from_version) if from_version > 0 else {}
     )
-    new_dirs = set(_load_manifest(table_dir, to_v)["dirs"])
+    m_to = _load_manifest(table_dir, to_v)
+    old_dirs = set(m_from.get("dirs", []))
+    new_dirs = set(m_to["dirs"])
     added = sorted(new_dirs - old_dirs)
     removed = sorted(old_dirs - new_dirs)
 
@@ -438,6 +541,68 @@ def table_changes(
         )
 
     ins, dels = _read_dirs(added), _read_dirs(removed)
+
+    # deletion-vector awareness: effective(v) = dirs(v) ∖ dv-keys(v).
+    # Changed dirs apply their own side's vectors; UNCHANGED dirs can
+    # still change effectively — but only for keys the two vector sets
+    # disagree on, so the common-dir scan is key-filtered (tiny) and
+    # feed cost stays ∝ churn.
+    kf, kt = _dv_key_col(m_from) if m_from else None, _dv_key_col(m_to)
+    if kf or kt:
+        key = kf or kt
+        if kf and kt and kf != kt:
+            raise ValueError(
+                f"table_changes: dv key_col changed {kf!r} -> {kt!r}"
+            )
+        from pyspark.sql import functions as F
+
+        empty_keys = None
+        dv_from = (
+            _dv_keys(spark, table_dir, m_from) if m_from else None
+        )
+        dv_to = _dv_keys(spark, table_dir, m_to)
+        if ins is not None and dv_to is not None:
+            ins = ins.join(dv_to, on=key, how="left_anti")
+        if dels is not None and dv_from is not None:
+            dels = dels.join(dv_from, on=key, how="left_anti")
+        common = _read_dirs(sorted(old_dirs & new_dirs))
+        if common is not None:
+            newly_dead = (
+                dv_to
+                if dv_from is None
+                else (
+                    empty_keys
+                    if dv_to is None
+                    else dv_to.exceptAll(dv_from)
+                )
+            )
+            revived = (
+                dv_from
+                if dv_to is None
+                else (
+                    empty_keys
+                    if dv_from is None
+                    else dv_from.exceptAll(dv_to)
+                )
+            )
+            if newly_dead is not None:
+                extra_del = common.join(
+                    newly_dead, on=key, how="left_semi"
+                )
+                dels = (
+                    extra_del
+                    if dels is None
+                    else dels.unionByName(extra_del)
+                )
+            if revived is not None:
+                extra_ins = common.join(
+                    revived, on=key, how="left_semi"
+                )
+                ins = (
+                    extra_ins
+                    if ins is None
+                    else ins.unionByName(extra_ins)
+                )
     if ins is None and dels is None:
         # no manifest difference: empty feed with the table's schema
         base = read(spark, table_dir, to_v).where(F.lit(False))

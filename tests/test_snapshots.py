@@ -419,3 +419,102 @@ def test_table_changes_bad_range_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         snap.table_changes(spark, t, 5, 1)
+
+
+# -------------------------------------------------- deletion vectors
+def _vals(spark, t, **kw):
+    return sorted(r.v for r in snap.read(spark, t, **kw).collect())
+
+
+def test_dv_delete_without_rewrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
+    v, n = snap.delete_where_dv(spark, t, "v % 3 = 0", key_col="v")
+    assert (v, n) == (2, 4)
+    assert _vals(spark, t) == [1, 2, 4, 5, 7, 8]
+    # the data dirs did NOT rewrite: manifest v2 references v1's dirs
+    assert snap._load_manifest(t, 2)["dirs"] == \
+        snap._load_manifest(t, 1)["dirs"]
+    # time travel to v1 still sees everything
+    assert _vals(spark, t, version=1) == list(range(10))
+
+
+def test_dv_survives_appends_and_blocks_reinsert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(5).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v = 3", key_col="v")
+    snap.commit(spark.range(10, 12).withColumnRenamed("id", "v"), t)
+    assert _vals(spark, t) == [0, 1, 2, 4, 10, 11]
+    # re-inserting a tombstoned key stays invisible until a rewrite
+    snap.commit(
+        spark.createDataFrame([(3,)], "v long"), t
+    )
+    assert 3 not in _vals(spark, t)
+
+
+def test_dv_compact_materializes_and_clears(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(8).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v >= 6", key_col="v")
+    ver = snap.compact(spark, t, target_partitions=1)
+    m = snap._load_manifest(t, ver)
+    assert not m.get("dvs")
+    assert _vals(spark, t) == list(range(6))
+    # after compaction the tombstoned key may come back
+    snap.commit(spark.createDataFrame([(6,)], "v long"), t)
+    assert 6 in _vals(spark, t)
+
+
+def test_dv_vacuum_keeps_dv_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(6).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v = 1", key_col="v")
+    removed = snap.vacuum(t)
+    assert removed == []
+    assert _vals(spark, t) == [0, 2, 3, 4, 5]
+
+
+def test_dv_table_changes_reports_deletes_and_revives(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(6).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v IN (1, 4)", key_col="v")
+    # dv commit: unchanged dirs, feed = exactly the tombstoned rows
+    assert _feed(spark, t, 1, 2) == [("delete", 1), ("delete", 4)]
+    # compact: materializes the delete — net change vs v2 is EMPTY
+    snap.compact(spark, t, target_partitions=1)
+    assert _feed(spark, t, 2, 3) == []
+    # and the span v1 -> v3 still shows the two deletes once
+    assert _feed(spark, t, 1, 3) == [("delete", 1), ("delete", 4)]
+
+
+def test_dv_datasource_refuses(spark, tmp_path):
+    import pytest as _pytest
+
+    from mitoscape_spark.sources.snapshot_datasource import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(4).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v = 0", key_col="v")
+    with _pytest.raises(Exception, match="deletion vectors"):
+        spark.read.format("snapshot").load(t).collect()
+
+
+def test_dv_read_pruned_applies_vectors(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(
+        spark.range(0, 50).withColumnRenamed("id", "v"),
+        t,
+        stats_cols=["v"],
+    )
+    snap.commit(
+        spark.range(50, 100).withColumnRenamed("id", "v"),
+        t,
+        stats_cols=["v"],
+    )
+    snap.delete_where_dv(spark, t, "v IN (10, 60)", key_col="v")
+    got = sorted(
+        r.v
+        for r in snap.read_pruned(spark, t, {"v": (0, 20)}).collect()
+    )
+    assert got == [x for x in range(21) if x != 10]
