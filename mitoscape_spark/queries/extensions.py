@@ -2301,6 +2301,132 @@ def ext_sql_small_quantity_revenue(
     return spark.sql(_SMALL_QTY_REVENUE_SQL)
 
 
+# TPC-H Q6 shape: pure filter-aggregate, zero joins.
+_FORECAST_REVENUE_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def ext_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate reaches the parquet scan as a
+    PushedFilter (range on shipdate/discount/quantity), then one
+    partial+final agg — the query that exists to measure scan + filter
+    throughput and predicate pushdown."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FORECAST_REVENUE_SQL)
+
+
+# TPC-H Q8 shape: market share — conditional share inside a grouped
+# ratio over a 6-table join tree.
+_MARKET_SHARE_SQL = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2'
+                     THEN volume ELSE 0 END) / SUM(volume), 6)
+               AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) shares
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def ext_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: six-table join tree with every dimension
+    broadcastable; the nation table joins TWICE (customer side filters
+    the region, supplier side labels the share) — alias-correctness
+    under self-referencing dims, then a conditional ratio per year."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
+# TPC-H Q11 shape: HAVING against a scalar subquery over the same agg.
+_IMPORTANT_VOLUME_SQL = """
+    SELECT l.l_partkey,
+           ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+    HAVING SUM(l.l_extendedprice * l.l_quantity) > (
+        SELECT 0.001 * SUM(l2.l_extendedprice * l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_3'
+    )
+    ORDER BY value DESC, l.l_partkey
+"""
+
+
+def ext_sql_important_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape (partsupp stood in by lineitem value — the
+    corpus has no partsupp table): grouped sum filtered by a SCALAR
+    subquery computing a fraction of the global sum. Catalyst plans
+    the subquery once (one extra agg over the same filtered scan) and
+    broadcasts the 1-row threshold into the HAVING filter — never a
+    per-group re-execution."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_IMPORTANT_VOLUME_SQL)
+
+
+# TPC-H Q20 shape: nested IN-subquery chain gating a dimension.
+_PROMO_SUPPLIER_SQL = """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+          )
+          GROUP BY l.l_suppkey
+          HAVING SUM(l.l_quantity) > 100
+      )
+    ORDER BY s.s_name
+"""
+
+
+def ext_sql_promo_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a two-level IN-subquery chain (suppliers who
+    moved >100 units of PROMO parts). Both INs decorrelate to
+    semi-joins: part gates lineitem BEFORE its aggregation, the
+    aggregated supplier set semi-joins the dimension — no correlated
+    re-execution anywhere."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMO_SUPPLIER_SQL)
+
+
 _STOP_SQL = {
     "en": "['the','a','of','and','to','in','is','for']",
     "fr": "['le','la','de','et','un','une','est','pour']",
@@ -2479,6 +2605,10 @@ QUERIES = {
     "ext_sql_cust_order_distribution": ext_sql_cust_order_distribution,
     "ext_sql_top_supplier": ext_sql_top_supplier,
     "ext_sql_small_quantity_revenue": ext_sql_small_quantity_revenue,
+    "ext_sql_forecast_revenue": ext_sql_forecast_revenue,
+    "ext_sql_market_share": ext_sql_market_share,
+    "ext_sql_important_volume": ext_sql_important_volume,
+    "ext_sql_promo_supplier": ext_sql_promo_supplier,
 }
 
 from mitoscape_spark.operators.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
@@ -3919,6 +4049,10 @@ ORACLE = {
     "ext_sql_cust_order_distribution": _CUST_ORDER_DISTRIBUTION_SQL,
     "ext_sql_top_supplier": _TOP_SUPPLIER_SQL,
     "ext_sql_small_quantity_revenue": _SMALL_QTY_REVENUE_SQL,
+    "ext_sql_forecast_revenue": _FORECAST_REVENUE_SQL,
+    "ext_sql_market_share": _MARKET_SHARE_SQL,
+    "ext_sql_important_volume": _IMPORTANT_VOLUME_SQL,
+    "ext_sql_promo_supplier": _PROMO_SUPPLIER_SQL,
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)
 }
