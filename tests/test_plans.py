@@ -210,3 +210,54 @@ def test_zorder_key_is_expression_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the stats row joins by broadcast (1 row), never a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q6_shape_pushes_every_predicate(spark):
+    plan = plan_of(EXT["ext_sql_forecast_revenue"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, plan
+
+
+def test_q8_shape_broadcasts_all_dims_no_cartesian(spark):
+    plan = plan_of(EXT["ext_sql_market_share"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # five dimension joins (orders side may SMJ at scale): broadcast
+    # must appear repeatedly
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q11_shape_scalar_subquery_plans_once(spark):
+    plan = plan_of(EXT["ext_sql_important_volume"](spark, SF))
+    # the threshold is a scalar subquery broadcast into a Filter, not
+    # a per-group nested execution
+    assert "Subquery" in plan or "scalar-subquery" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_and_no_python(spark):
+    from mitoscape_spark.queries.extensions import ext_bm25_search
+
+    plan = plan_of(ext_bm25_search(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    from mitoscape_spark.queries.extensions import ext_triangle_count
+
+    plan = plan_of(ext_triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_theta_overlap_sketches_stay_jvm(spark):
+    from mitoscape_spark.queries.extensions import ext_theta_overlap
+
+    plan = plan_of(ext_theta_overlap(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
