@@ -140,3 +140,74 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, community) via deterministic synchronous label propagation.
+
+    Classic LPA (Raghavan et al. 2007) with the randomness removed so
+    runs are reproducible and cross-engine comparable: every round a
+    node adopts its neighborhood's most frequent label, ties broken by
+    the SMALLEST label; the node's own current label participates with
+    weight 1 (self-vote damps the 2-cycle oscillation synchronous LPA
+    is prone to). Stops early when no label changes.
+
+    Per round: one edge⋈label join (both sides hash-partitioned on the
+    node id) + one (node, label) count agg + one max_by selection —
+    all partial-aggregating, label state is |nodes| rows, lineage
+    truncated per round (localCheckpoint, same discipline as pagerank
+    above). Convergence check is a 1-row count aggregate.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .union(e.where(F.col("a") != F.col("b")).select(
+            F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["b"] == labels["id"])
+            .select(F.col("a").alias("node"), "lbl")
+        )
+        votes = (
+            neigh.union(
+                labels.select(F.col("id").alias("node"), "lbl")
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent label, smallest label on ties: max_by over a
+        # composite (count, -label) ordering key
+        new_labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl",
+                    F.struct(F.col("n"), F.col("lbl").cast("long") * -1),
+                ).alias("lbl")
+            )
+            .select(F.col("node").alias("id"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(new_labels, "id")
+            .where(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("community"))

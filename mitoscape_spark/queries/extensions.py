@@ -418,6 +418,32 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (operators/graph.py::label_propagation) on the supplier–part
+    bipartite graph (partkeys offset to avoid id collision). Rows-only
+    (iterative algorithm); the per-round math is pinned exactly
+    against a pure-python twin in tests. Output: the 25 largest
+    communities by member count."""
+    from mitoscape_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # bulk-order lines only: the full bipartite graph is dense enough
+    # to collapse into one community (LPA's known failure mode on
+    # near-complete graphs); the >=48-unit slice keeps real structure
+    edges = li.where(F.col("l_quantity") >= 48).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    return (
+        label_propagation(edges, max_iter=5)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )
+
+
 def ext_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector deletes (sources/snapshots.py::delete_where_dv):
     tombstone commit (no data rewrite), a re-insert of tombstoned keys
@@ -2500,6 +2526,7 @@ QUERIES = {
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_theta_overlap": ext_theta_overlap,
     "ext_delete_vectors": ext_delete_vectors,
+    "ext_communities": ext_communities,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,

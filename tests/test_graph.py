@@ -111,3 +111,56 @@ def test_triangle_counts_matches_bruteforce_random(spark):
         (rng.randrange(12), rng.randrange(12)) for _ in range(60)
     ]
     assert _run(spark, edges) == _brute_triangles(edges)
+
+
+# ------------------------------------------------- label propagation
+from mitoscape_spark.operators.graph import label_propagation
+
+
+def _py_lpa(edge_list, max_iter=10):
+    """Pure-python twin of the deterministic synchronous LPA."""
+    adj = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lbl = {v: v for v in adj}
+    for _ in range(max_iter):
+        votes = {}
+        for v in adj:
+            counts = {}
+            for u in adj[v]:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            counts[lbl[v]] = counts.get(lbl[v], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            votes[v] = best[0]
+        if votes == lbl:
+            break
+        lbl = votes
+    return lbl
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    from itertools import combinations
+
+    edges = list(combinations(range(5), 2)) + [
+        (a + 10, b + 10) for a, b in combinations(range(5), 2)
+    ] + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.community for r in label_propagation(df).collect()}
+    comm_a = {got[i] for i in range(5)}
+    comm_b = {got[i + 10] for i in range(5)}
+    assert len(comm_a) == 1 and len(comm_b) == 1
+    assert comm_a != comm_b
+
+
+def test_lpa_matches_python_twin(spark):
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.community for r in label_propagation(df).collect()}
+    assert got == _py_lpa(edges)
