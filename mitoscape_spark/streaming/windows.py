@@ -178,14 +178,21 @@ def stream_stream_join(
     on: str = "user_id",
     within: str = "5 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right-side events joined to left-side
+    """Stream-stream join: right-side events joined to left-side
     events of the same key within ``(lt, lt + within]`` event time.
 
     Both sides carry watermarks and the join has a time-range
     constraint — that pair is what lets the state store evict rows
     older than (watermark + range), so state is bounded by the join
     window, not stream history.
+
+    ``how='leftOuter'`` emits unmatched left rows null-padded — but
+    only once the watermark passes their join window (the engine can't
+    declare "no match will come" earlier); downstreams must expect
+    that delay. The same watermark+range bound applies, so outer state
+    is no larger than inner state.
     """
     l = left.select(
         F.col(on).alias("l_key"),
@@ -202,5 +209,5 @@ def stream_stream_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     )

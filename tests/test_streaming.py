@@ -678,3 +678,68 @@ def test_event_replay_chunked_partitions(spark):
         q.stop()
     got = spark.sql("SELECT * FROM replay_chunks").head()["count"]
     assert got == load_table(spark, SF, "events").count()
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unmatched left row must emit
+    null-padded — but only after BOTH sides' watermarks pass its join
+    window. Two AvailableNow runs over one checkpoint: run 1 joins the
+    matched row and holds the unmatched one in state; run 2's sentinel
+    rows advance the watermarks and flush it."""
+    import os
+
+    from mitoscape_spark.streaming.windows import stream_stream_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_id long"
+
+    def write_batch(path, rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(path, name)
+        )
+
+    t = "2024-01-01 10:{:02d}:00"
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10 + m // 60, m % 60)
+
+    write_batch(ldir, [(1, ts(0), 100), (2, ts(0), 200)], "b0")
+    write_batch(rdir, [(1, ts(2), 300)], "b0")
+
+    def run_once():
+        l = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(ldir)
+        )
+        r = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(rdir)
+        )
+        joined = stream_stream_join(l, r, how="leftOuter")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # sentinels far in the future push both watermarks past 10:05
+    write_batch(ldir, [(98, ts(120), 800)], "b1")
+    write_batch(rdir, [(99, ts(120), 900)], "b1")
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    by_left = {r.l_event: r for r in rows}
+    assert by_left[100].r_event == 300  # matched pair
+    assert by_left[200].r_event is None  # unmatched left, null-padded
+    assert by_left[200].r_ts is None
+    # the late sentinel itself is still within its window: not emitted
+    assert 800 not in by_left
