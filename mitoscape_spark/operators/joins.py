@@ -1,0 +1,54 @@
+"""Join-strategy control surface: explicit physical-strategy selection
+where Catalyst's default is wrong for a workload the caller knows
+better (reference strategy background: every Spark deployment guide;
+the hints themselves are public Spark API — BROADCAST, MERGE,
+SHUFFLE_HASH, SHUFFLE_REPLICATE_NL).
+
+Why an engine surface and not ad-hoc hints at call sites: each helper
+documents WHEN its strategy wins at scale, and the plan tests pin that
+the hint actually lands (EnsureRequirements and AQE can silently
+override a mis-specified hint — a comment saying "this broadcasts" is
+worthless; an assertion on the physical plan is not).
+
+The strategies, by workload:
+- broadcast_join: dim ≤ a few hundred MB. No shuffle of the fact side
+  at all; the dim ships once per executor. The default choice for
+  star-schema dims; wrong when the "dim" can grow unboundedly.
+- merge_join: both sides huge, both must shuffle anyway, output feeds
+  a sort-consuming op (window, sort-merge downstream); sorted runs
+  spill gracefully — the safe default for fact⋈fact.
+- shuffle_hash_join: both sides shuffle, but the build side is small
+  PER PARTITION (fits memory after partitioning) — skips the sort,
+  beats SMJ when the build side is modest and the probe side enormous;
+  loses badly if the build side skews past executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """fact ⋈ broadcast(dim) — zero fact-side shuffle."""
+    from pyspark.sql import functions as F
+
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def merge_join(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Sort-merge join, pinned with the MERGE hint: the spill-safe
+    fact⋈fact strategy (sorted runs stream from disk)."""
+    return left.hint("merge").join(right.hint("merge"), on, how)
+
+
+def shuffle_hash_join(
+    probe: DataFrame, build: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Shuffled hash join with ``build`` as the hash side: skips SMJ's
+    sorts when the build side is small per partition. The caller
+    asserts the build side's per-partition size discipline."""
+    return probe.join(build.hint("shuffle_hash"), on, how)

@@ -261,3 +261,33 @@ def test_theta_overlap_sketches_stay_jvm(spark):
     plan = plan_of(ext_theta_overlap(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_join_strategy_hints_land_in_plan(spark):
+    from mitoscape_spark.catalog import load_table
+    from mitoscape_spark.operators.joins import (
+        broadcast_join,
+        merge_join,
+        shuffle_hash_join,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    li = load_table(spark, SF, "lineitem")
+
+    p = plan_of(
+        broadcast_join(
+            orders, customer, orders.o_custkey == customer.c_custkey
+        )
+    )
+    assert "BroadcastHashJoin" in p, p
+
+    p = plan_of(
+        merge_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    )
+    assert "SortMergeJoin" in p, p
+
+    p = plan_of(
+        shuffle_hash_join(li, orders, li.l_orderkey == orders.o_orderkey)
+    )
+    assert "ShuffledHashJoin" in p, p
