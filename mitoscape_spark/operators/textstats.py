@@ -319,3 +319,51 @@ def chunk_documents(
         F.array_join(F.col("c.toks"), " ").alias("chunk"),
         F.size(F.col("c.toks")).alias("n_tokens"),
     )
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality rule gate (Rae et al. 2021, §A1.1 subset):
+    per-document boolean per rule + the conjunction, as pure column
+    expressions (cross-engine reproducible, zero Python).
+
+    Rules (thresholds tuned to this corpus's scale; production corpora
+    use the paper's 50–100k words etc.):
+      r_wordcount  — token count within [20, 1000]
+      r_meanlen    — mean token length within [2, 12]
+      r_alpha      — ≥ 80% of tokens contain an alphabetic character
+      r_stopwords  — ≥ 2 distinct english stopwords present
+      r_repetition — distinct-token ratio ≥ 0.2 (degenerate repetition)
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    # mean token length without a per-token explode: total non-space
+    # chars / token count
+    mean_len = (
+        F.length(F.regexp_replace(F.col(text_col), " ", "")) / n
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("^.*[a-z].*$"))) / n
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]]),
+        )
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    out = docs.select(
+        "doc_id",
+        ((n >= 20) & (n <= 1000)).alias("r_wordcount"),
+        ((mean_len >= 2.0) & (mean_len <= 12.0)).alias("r_meanlen"),
+        (alpha_frac >= 0.8).alias("r_alpha"),
+        (stop_hits >= 2).alias("r_stopwords"),
+        (distinct_ratio >= 0.2).alias("r_repetition"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("r_wordcount")
+        & F.col("r_meanlen")
+        & F.col("r_alpha")
+        & F.col("r_stopwords")
+        & F.col("r_repetition"),
+    )

@@ -418,6 +418,16 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (operators/textstats.py::gopher_rules):
+    five per-document quality rules + conjunction, all JVM column
+    expressions; the oracle restates every rule in SQL."""
+    from mitoscape_spark.operators.textstats import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs).orderBy("doc_id")
+
+
 def ext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation communities
     (operators/graph.py::label_propagation) on the supplier–part
@@ -2527,6 +2537,7 @@ QUERIES = {
     "ext_theta_overlap": ext_theta_overlap,
     "ext_delete_vectors": ext_delete_vectors,
     "ext_communities": ext_communities,
+    "ext_gopher_rules": ext_gopher_rules,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,
@@ -2749,6 +2760,36 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_gopher_rules": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   len(string_split(lower(text), ' ')) AS n,
+                   length(replace(text, ' ', ''))
+                       * 1.0 / len(string_split(lower(text), ' '))
+                       AS mean_len
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   (n >= 20 AND n <= 1000) AS r_wordcount,
+                   (mean_len >= 2.0 AND mean_len <= 12.0) AS r_meanlen,
+                   (len(list_filter(toks,
+                        x -> regexp_matches(x, '^.*[a-z].*$')))
+                        * 1.0 / n >= 0.8) AS r_alpha,
+                   (len(list_intersect(list_distinct(toks),
+                        ['the','a','of','and','to','in','is','for']))
+                        >= 2) AS r_stopwords,
+                   (len(list_distinct(toks)) * 1.0 / n >= 0.2)
+                       AS r_repetition
+            FROM t
+        )
+        SELECT doc_id, r_wordcount, r_meanlen, r_alpha, r_stopwords,
+               r_repetition,
+               (r_wordcount AND r_meanlen AND r_alpha AND r_stopwords
+                AND r_repetition) AS passes
+        FROM r ORDER BY doc_id
     """,
     "ext_theta_overlap": """
         WITH u AS (
