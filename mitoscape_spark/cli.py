@@ -173,6 +173,76 @@ def cmd_table(args, spark: SparkSession) -> int:
             raise SystemExit("table delete requires --where")
         v, n = snap.delete_where(spark, args.table, args.where)
         print(f"table: deleted {n} rows in version {v}")
+    elif args.action == "delete-dv":
+        if not args.where or not args.key_col:
+            raise SystemExit("table delete-dv requires --where and --key-col")
+        v, n = snap.delete_where_dv(
+            spark, args.table, args.where, key_col=args.key_col
+        )
+        print(f"table: tombstoned {n} keys in version {v} (no rewrite)")
+    elif args.action == "changes":
+        if args.from_version is None:
+            raise SystemExit("table changes requires --from-version")
+        feed = snap.table_changes(
+            spark, args.table, args.from_version, args.version
+        )
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+            print(f"table: wrote change feed to {args.out}")
+        else:
+            counts = {
+                r["_change_type"]: r["n"]
+                for r in feed.groupBy("_change_type").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            print(f"table: changes {counts}")
+    return 0
+
+
+def cmd_prep(args, spark: SparkSession) -> int:
+    """Corpus-prep pipeline: quality gate → exact dedup → MinHash
+    near-dedup → deterministic split assignment → partitioned write.
+    The composed LLM-training-data path, runnable end-to-end from the
+    shell; every stage is the same oracle-checked operator the query
+    surface exposes."""
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        exact_dedup,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mitoscape_spark.operators.sampling import assign_splits
+    from mitoscape_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(args.input)
+    n0 = docs.count()
+    if not args.skip_rules:
+        passing = gopher_rules(docs).where(F.col("passes")).select("doc_id")
+        docs = docs.join(passing, "doc_id", "left_semi")
+    docs = exact_dedup(docs, subset=["text"])
+    if not args.skip_near_dedup:
+        sigs = minhash_signatures(docs)
+        pairs = minhash_candidate_pairs(sigs, max_bucket_size=256)
+        docs = dedup_keep_canonical(docs, pairs)
+    fracs = [float(x) for x in args.splits.split(",")]
+    names = ["train", "val", "test"][: len(fracs)]
+    docs = assign_splits(
+        docs, "doc_id", dict(zip(names, fracs)), salt=args.salt
+    )
+    docs.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    n1 = out.count()
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(
+        f"prep: {n0} docs in, {n1} kept "
+        f"({n0 - n1} dropped), splits={per_split}"
+    )
     return 0
 
 
@@ -217,7 +287,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument("action", choices=[
         "commit", "read", "history", "compact", "vacuum", "restore",
-        "delete",
+        "delete", "delete-dv", "changes",
     ])
     tb.add_argument("--table", required=True, help="snapshot table dir")
     tb.add_argument("--input", help="parquet path (commit)")
@@ -228,7 +298,23 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep-versions", type=int, help="vacuum retention")
     tb.add_argument("--where", help="delete predicate (SQL boolean)")
     tb.add_argument("--stats-cols", help="comma-separated manifest-stats cols")
+    tb.add_argument("--key-col", help="unique key column (delete-dv)")
+    tb.add_argument("--from-version", type=int,
+                    help="change-feed base version (changes)")
     tb.set_defaults(fn=cmd_table)
+
+    pp = sub.add_parser(
+        "prep",
+        help="corpus prep: rules gate -> dedup -> near-dedup -> splits",
+    )
+    pp.add_argument("--input", required=True, help="documents parquet")
+    pp.add_argument("--out", required=True, help="output dir (partitioned)")
+    pp.add_argument("--splits", default="0.9,0.05,0.05",
+                    help="train,val,test fractions")
+    pp.add_argument("--salt", default="", help="split-hash salt")
+    pp.add_argument("--skip-rules", action="store_true")
+    pp.add_argument("--skip-near-dedup", action="store_true")
+    pp.set_defaults(fn=cmd_prep)
     return p
 
 

@@ -177,3 +177,89 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     from mitoscape_spark.sources import snapshots as snap
 
     assert snap.read(spark, t).count() == 100
+
+
+def test_cli_prep_end_to_end(spark, tmp_path):
+    """prep: rules gate -> exact dedup -> minhash near-dedup -> splits,
+    from the shell surface. Duplicate docs must collapse, split
+    partitions must land on disk, and the drop is deterministic."""
+    from pyspark.sql import functions as F
+
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.catalog import load_table
+
+    SF_T2 = "/root/testdata/sf0.01"
+
+    docs = load_table(spark, SF_T2, "documents").limit(120)
+    # plant an exact duplicate and a near duplicate of doc 0
+    base = docs.where(F.col("doc_id") == 0).select("text").head()["text"]
+    extra = spark.createDataFrame(
+        [
+            (9001, base, "en", "srcX", len(base)),
+            (9002, base + " tail", "en", "srcX", len(base) + 5),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    docs.unionByName(extra).write.parquet(src)
+    rc = cli.main(
+        ["prep", "--input", src, "--out", out, "--skip-rules"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 9001 not in ids  # exact duplicate of doc 0 collapsed
+    assert 0 in ids
+    assert set(kept.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    # rerun is byte-deterministic on membership
+    out2 = str(tmp_path / "out2")
+    cli.main(
+        ["prep", "--input", src, "--out", out2, "--skip-rules"],
+        spark=spark,
+    )
+    ids2 = {
+        r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    assert ids == ids2
+
+
+def test_cli_table_dv_and_changes(spark, tmp_path):
+    import os
+
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(10).withColumnRenamed("id", "v").write.parquet(src)
+    cli.main(
+        ["table", "commit", "--table", t, "--input", src], spark=spark
+    )
+    rc = cli.main(
+        [
+            "table", "delete-dv", "--table", t,
+            "--where", "v % 2 = 0", "--key-col", "v",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert sorted(r.v for r in snap.read(spark, t).collect()) == [1, 3, 5, 7, 9]
+    feed_out = str(tmp_path / "feed")
+    rc = cli.main(
+        [
+            "table", "changes", "--table", t,
+            "--from-version", "1", "--out", feed_out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    feed = spark.read.parquet(feed_out)
+    assert sorted(
+        (r._change_type, r.v) for r in feed.collect()
+    ) == [("delete", v) for v in (0, 2, 4, 6, 8)]
+    assert os.path.isdir(feed_out)
