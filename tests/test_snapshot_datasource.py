@@ -50,3 +50,91 @@ def test_interop_library_commit_then_format_read(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(Exception, match="no commits"):
         spark.read.format("snapshot").load(str(tmp_path / "none")).count()
+
+
+# ------------------------------------------------ streaming the table
+def _stream_once(spark, t, out, ckpt, **opts):
+    from mitoscape_spark.sources.snapshot_stream import register
+
+    register(spark)
+    reader = spark.readStream.format("snapshotstream").option("path", t)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_snapshotstream_tails_appends_exactly_once(spark, tmp_path):
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap.commit(spark.range(5).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(5, 8).withColumnRenamed("id", "v"), t)
+    _stream_once(spark, t, out, ckpt)
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))
+    # new commit: the SAME checkpoint picks up only the delta
+    snap.commit(spark.range(8, 10).withColumnRenamed("id", "v"), t)
+    _stream_once(spark, t, out, ckpt)
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(10))  # nothing re-emitted
+
+
+def test_snapshotstream_starting_version_skips_history(spark, tmp_path):
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap.commit(spark.range(5).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(5, 8).withColumnRenamed("id", "v"), t)
+    _stream_once(spark, t, out, ckpt, startingVersion="1")
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == [5, 6, 7]
+
+
+def test_snapshotstream_rejects_overwrite_unless_opted_in(spark, tmp_path):
+    import pytest as _pytest
+
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap.commit(spark.range(4).withColumnRenamed("id", "v"), t)
+    snap.commit(
+        spark.range(100, 103).withColumnRenamed("id", "v"),
+        t,
+        mode="overwrite",
+    )
+    with _pytest.raises(Exception, match="not\\s+an append|ignoreChanges"):
+        _stream_once(spark, t, out, ckpt)
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _stream_once(spark, t, out2, ckpt2, ignoreChanges="true")
+    got = sorted(r.v for r in spark.read.parquet(out2).collect())
+    # first commit's rows + the overwrite's added dir rows both stream
+    assert got == [0, 1, 2, 3, 100, 101, 102]
+
+
+def test_snapshotstream_skips_pure_dv_commits_when_opted_in(
+    spark, tmp_path
+):
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap.commit(spark.range(6).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v = 2", key_col="v")
+    snap.commit(spark.range(10, 12).withColumnRenamed("id", "v"), t)
+    _stream_once(spark, t, out, ckpt, ignoreChanges="true")
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    # the append stream sees appended rows; the tombstone is a
+    # documented non-event under ignoreChanges
+    assert got == [0, 1, 2, 3, 4, 5, 10, 11]
