@@ -76,6 +76,36 @@ def _json_scalar(v):
     return v if isinstance(v, (int, float, str, type(None))) else str(v)
 
 
+def _check_schema_compatible(
+    existing, incoming, allow_new_columns: bool
+) -> None:
+    """Append-time schema enforcement: every existing column must
+    arrive with the same type; new columns need an explicit opt-in
+    (they read back null-filled for old data via merge_schema)."""
+    old = {f.name: f.dataType for f in existing.fields}
+    new = {f.name: f.dataType for f in incoming.fields}
+    missing = sorted(set(old) - set(new))
+    if missing:
+        raise ValueError(
+            f"commit: append is missing table columns {missing} "
+            "(write all existing columns, or overwrite)"
+        )
+    for name, t in old.items():
+        if new[name] != t:
+            raise ValueError(
+                f"commit: column {name!r} type changed "
+                f"{t.simpleString()} -> {new[name].simpleString()} "
+                "(type changes require an overwrite)"
+            )
+    extra = sorted(set(new) - set(old))
+    if extra and not allow_new_columns:
+        raise ValueError(
+            f"commit: append adds new columns {extra}; pass "
+            "allow_new_columns=True to evolve the schema additively "
+            "(readers see them null-filled via merge_schema=True)"
+        )
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -83,6 +113,8 @@ def commit(
     max_retries: int = 20,
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    enforce_schema: bool = True,
+    allow_new_columns: bool = False,
 ) -> int:
     """Write ``df`` and atomically publish it; returns the new version.
 
@@ -101,6 +133,15 @@ def commit(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if mode == "append" and enforce_schema:
+        parent = latest_version(table_dir)
+        if parent > 0:
+            existing = read(
+                df.sparkSession, table_dir, version=parent
+            ).schema
+            _check_schema_compatible(
+                existing, df.schema, allow_new_columns
+            )
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
 
     rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
@@ -196,11 +237,28 @@ def _publish_dir(
     )
 
 
+def version_as_of(table_dir: str, timestamp: float) -> int:
+    """The newest version committed at or before ``timestamp`` (unix
+    seconds) — SQL ``TIMESTAMP AS OF`` resolution. Commit times are
+    read from retained manifests; raises if nothing that old exists."""
+    best = 0
+    for m in history(table_dir):
+        if m.get("committed_at", 0.0) <= timestamp:
+            best = max(best, m["version"])
+    if best == 0:
+        raise ValueError(
+            f"snapshot table {table_dir}: no version at or before "
+            f"timestamp {timestamp}"
+        )
+    return best
+
+
 def read(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     merge_schema: bool = False,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Snapshot read — latest by default, any retained version for
     time travel. Hands Spark the resolved directory list, so partition
@@ -210,6 +268,10 @@ def read(
     directories (appends that ADDED columns read back with nulls for
     older data — parquet's additive schema evolution); off by default
     because footer-schema merging costs one extra metadata pass."""
+    if as_of is not None and version is not None:
+        raise ValueError("read: pass version= OR as_of=, not both")
+    if as_of is not None:
+        version = version_as_of(table_dir, as_of)
     v = latest_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError(f"snapshot table {table_dir} has no commits")

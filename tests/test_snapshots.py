@@ -302,7 +302,9 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     t = str(tmp_path / "tbl")
     snap.commit(_df(spark, 0, 10), t)
     snap.commit(
-        _df(spark, 10, 20).withColumn("extra", F.lit("x")), t
+        _df(spark, 10, 20).withColumn("extra", F.lit("x")),
+        t,
+        allow_new_columns=True,
     )
     evolved = snap.read(spark, t, merge_schema=True)
     assert set(evolved.columns) == {"k", "extra"}
@@ -518,3 +520,57 @@ def test_dv_read_pruned_applies_vectors(spark, tmp_path):
         for r in snap.read_pruned(spark, t, {"v": (0, 20)}).collect()
     )
     assert got == [x for x in range(21) if x != 10]
+
+
+# ------------------------------------- schema enforcement + AS OF
+def test_commit_rejects_incompatible_appends(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    # missing column
+    with _pytest.raises(ValueError, match="missing table columns"):
+        snap.commit(spark.range(3).select(F.lit("a").alias("w")), t)
+    # type change
+    with _pytest.raises(ValueError, match="type changed"):
+        snap.commit(
+            spark.range(3).select(F.col("id").cast("string").alias("v")),
+            t,
+        )
+    # silent new column
+    with _pytest.raises(ValueError, match="allow_new_columns"):
+        snap.commit(
+            spark.range(3)
+            .withColumnRenamed("id", "v")
+            .withColumn("extra", F.lit(1)),
+            t,
+        )
+    # overwrite may change anything
+    v = snap.commit(
+        spark.range(3).select(F.lit("a").alias("w")), t, mode="overwrite"
+    )
+    assert v == 2
+
+
+def test_read_timestamp_as_of(spark, tmp_path):
+    import time as _time
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    snap.commit(spark.range(3, 6).withColumnRenamed("id", "v"), t)
+    assert snap.version_as_of(t, t1) == 1
+    got = sorted(r.v for r in snap.read(spark, t, as_of=t1).collect())
+    assert got == [0, 1, 2]
+    got = sorted(
+        r.v for r in snap.read(spark, t, as_of=_time.time()).collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no version"):
+        snap.version_as_of(t, 0.0)
+    with _pytest.raises(ValueError, match="not both"):
+        snap.read(spark, t, version=1, as_of=t1)
