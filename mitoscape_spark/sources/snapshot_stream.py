@@ -85,12 +85,18 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = snap.latest_version(self._table)
-        if self._max_versions > 0:
-            # admission control bounds catch-up batches; the durable
-            # manifest log means this needs no instance cursor
-            committed = getattr(self, "_last_end", self._start)
-            latest = min(latest, committed + self._max_versions)
-        self._last_end = max(getattr(self, "_last_end", self._start), latest)
+        # Admission control only once we've SEEN an engine offset
+        # (partitions/commit set the frontier). On restart this reader
+        # is a fresh instance and the engine's committed offset is
+        # unknown until it calls us — capping against instance state
+        # here would emit an offset BEHIND the committed frontier (the
+        # replay-source restart bug class; see sources/replay.py).
+        # First post-restart trigger therefore takes the full
+        # catch-up batch; subsequent triggers are bounded.
+        frontier = getattr(self, "_last_end", None)
+        if self._max_versions > 0 and frontier is not None:
+            latest = min(latest, frontier + self._max_versions)
+        self._last_end = max(frontier or 0, latest)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -138,7 +144,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 yield _normalize_batch(batch, self._names)
 
     def commit(self, end: dict) -> None:
-        pass
+        # committed offsets are a floor for future admission windows
+        self._last_end = max(
+            getattr(self, "_last_end", 0) or 0, end["version"]
+        )
 
     def stop(self) -> None:
         pass

@@ -138,3 +138,25 @@ def test_snapshotstream_skips_pure_dv_commits_when_opted_in(
     # the append stream sees appended rows; the tombstone is a
     # documented non-event under ignoreChanges
     assert got == [0, 1, 2, 3, 4, 5, 10, 11]
+
+
+def test_snapshotstream_bounded_trigger_and_restart(spark, tmp_path):
+    """maxVersionsPerTrigger bounds catch-up batches; a restart from a
+    checkpoint must not regress behind the committed frontier (the
+    post-restart trigger takes a full catch-up batch by design)."""
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for lo in range(0, 12, 3):
+        snap.commit(
+            spark.range(lo, lo + 3).withColumnRenamed("id", "v"), t
+        )
+    _stream_once(spark, t, out, ckpt, maxVersionsPerTrigger="1")
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(12))  # all versions drained, 1 per trigger
+    # restart with new commits: same checkpoint, no duplicates
+    snap.commit(spark.range(12, 15).withColumnRenamed("id", "v"), t)
+    _stream_once(spark, t, out, ckpt, maxVersionsPerTrigger="1")
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))
