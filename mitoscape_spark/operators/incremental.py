@@ -191,3 +191,45 @@ def refresh_snapshot_distinct(
         mode="overwrite",
         meta={"refresh": "distinct-sketch", **(meta or {})},
     )
+
+
+def maintain_min_max_insert_only(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_col: str = "min_value",
+    max_col: str = "max_value",
+    op_col: str = "op",
+    insert_op: str = "insert",
+) -> DataFrame:
+    """min/max maintenance for the INSERT-ONLY case (append streams,
+    immutable event logs — most fact tables): new_min = least(old,
+    delta_min), symmetric for max. This is exactly the case the module
+    docstring carves out: min/max are monotone under inserts, so the
+    delta folds in O(|delta|) like sum/count; a single delete would
+    break the invariant, so any non-insert op in the batch raises
+    instead of silently corrupting the view (re-aggregate those groups
+    explicitly, or keep deletes out of this view's feed).
+    """
+    bad = delta.where(F.col(op_col) != insert_op).limit(1).count()
+    if bad:
+        raise ValueError(
+            "maintain_min_max_insert_only: delta contains non-insert "
+            "ops; min/max are not delta-maintainable under deletes"
+        )
+    delta_agg = delta.groupBy(*keys).agg(
+        F.min(value_col).alias("_d_min"),
+        F.max(value_col).alias("_d_max"),
+    )
+    return base_agg.join(delta_agg, keys, "full_outer").select(
+        *keys,
+        F.least(
+            F.coalesce(F.col(min_col), F.col("_d_min")),
+            F.coalesce(F.col("_d_min"), F.col(min_col)),
+        ).alias(min_col),
+        F.greatest(
+            F.coalesce(F.col(max_col), F.col("_d_max")),
+            F.coalesce(F.col("_d_max"), F.col(max_col)),
+        ).alias(max_col),
+    )

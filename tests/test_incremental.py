@@ -189,3 +189,51 @@ def test_snapshot_backed_distinct_view(spark, tmp_path):
         ).collect()
     }
     assert old == {"a": 2, "b": 1}
+
+
+def test_min_max_insert_only_matches_scratch(spark):
+    from mitoscape_spark.operators.incremental import (
+        maintain_min_max_insert_only,
+    )
+
+    base_rows = [("a", 5.0), ("a", 9.0), ("b", 3.0)]
+    delta_rows = [("a", 1.0, "insert"), ("c", 7.0, "insert")]
+    base = (
+        spark.createDataFrame(base_rows, "k string, v double")
+        .groupBy("k")
+        .agg(F.min("v").alias("min_value"), F.max("v").alias("max_value"))
+    )
+    delta = spark.createDataFrame(delta_rows, "k string, v double, op string")
+    got = {
+        r.k: (r.min_value, r.max_value)
+        for r in maintain_min_max_insert_only(
+            base, delta, ["k"], "v"
+        ).collect()
+    }
+    scratch = (
+        spark.createDataFrame(
+            base_rows + [(k, v) for k, v, _ in delta_rows],
+            "k string, v double",
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    want = {r.k: (r.mn, r.mx) for r in scratch.collect()}
+    assert got == want  # incl. key birth ('c') and untouched key ('b')
+
+
+def test_min_max_insert_only_rejects_deletes(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.incremental import (
+        maintain_min_max_insert_only,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "k string, min_value double, max_value double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1.0, "delete")], "k string, v double, op string"
+    )
+    with _pytest.raises(ValueError, match="not delta-maintainable"):
+        maintain_min_max_insert_only(base, delta, ["k"], "v")
