@@ -684,3 +684,36 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    n_files: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER BY for snapshot tables: rewrite the current
+    snapshot z-order-clustered on ``cols`` and commit it as a new
+    version (overwrite semantics — history stays time-travelable,
+    deletion vectors materialize and clear like ``compact``).
+
+    Composition of the two existing primitives: the layout rewrite is
+    ``sources.layout.zorder_layout`` (quantile-ranked Morton keys, no
+    global window), the publication is the ordinary atomic manifest
+    commit. ``stats_cols`` defaults to ``cols`` so the manifest gains
+    min/max for exactly the clustered dimensions — directory-level
+    skipping (``read_pruned``) and parquet row-group skipping then
+    both benefit from the same layout decision.
+    """
+    from mitoscape_spark.sources.layout import zorder_layout
+
+    current = read(spark, table_dir)
+    clustered = zorder_layout(current, cols, n_files=n_files)
+    return commit(
+        clustered,
+        table_dir,
+        mode="overwrite",
+        meta={"zorder": cols},
+        stats_cols=stats_cols if stats_cols is not None else cols,
+    )

@@ -574,3 +574,42 @@ def test_read_timestamp_as_of(spark, tmp_path):
         snap.version_as_of(t, 0.0)
     with _pytest.raises(ValueError, match="not both"):
         snap.read(spark, t, version=1, as_of=t1)
+
+
+def test_optimize_zorder_clusters_and_keeps_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    # scattered on both dims: hash-ish ordering of (x, y)
+    df = spark.range(4000).select(
+        (F.col("id") * 997 % 1000).alias("x"),
+        (F.col("id") * 577 % 1000).alias("y"),
+    )
+    snap.commit(df, t)
+    v = snap.optimize_zorder(spark, t, ["x", "y"], n_files=4)
+    assert snap._load_manifest(t, v)["meta"] == {"zorder": ["x", "y"]}
+    # content unchanged
+    assert snap.read(spark, t).count() == 4000
+    assert snap.read(spark, t, version=1).count() == 4000
+    # manifest stats recorded for the clustered dims
+    m = snap._load_manifest(t, v)
+    d = m["dirs"][0]
+    assert set(m["stats"][d]) == {"x", "y"}
+    # clustering effect: each output FILE spans a bounded slice of
+    # BOTH dimensions (z-order locality), unlike the scattered input
+    import pyarrow.parquet as pq
+
+    full = os.path.join(t, d)
+    spans_x, spans_y = [], []
+    for f in sorted(os.listdir(full)):
+        if not f.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(full, f))
+        xs, ys = tbl.column("x").to_pylist(), tbl.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) >= 3
+    # a single-dim sort would leave the second dim spanning ~full range
+    # in every file; z-order keeps the AVERAGE span well below it
+    assert sum(spans_y) / len(spans_y) < 800
+    assert sum(spans_x) / len(spans_x) < 800
