@@ -52,3 +52,42 @@ def shuffle_hash_join(
     sorts when the build side is small per partition. The caller
     asserts the build side's per-partition size discipline."""
     return probe.join(build.hint("shuffle_hash"), on, how)
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Pre-flight audit for an equi-join: exact per-key output
+    contribution (|left_k| × |right_k|), hottest keys first, plus a
+    TOTAL row (null key) — the question to ask BEFORE running a
+    fact⋈fact join at 100 TB, answered by two cheap key-count aggs
+    and a count-table join (shuffles carry one row per DISTINCT key,
+    never the facts).
+
+    Reading it: total ≫ max(|left|,|right|) means row amplification
+    (salt, pre-aggregate, or rethink); one key holding most of the
+    total means skew (AQE skew split or operators.skew salting).
+    """
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    per_key = (
+        lc.join(rc, keys)
+        .withColumn("out_rows", F.col("n_left") * F.col("n_right"))
+    )
+    total = per_key.agg(
+        *[F.lit(None).cast(per_key.schema[k].dataType).alias(k)
+          for k in keys],
+        F.sum("n_left").alias("n_left"),
+        F.sum("n_right").alias("n_right"),
+        F.sum("out_rows").alias("out_rows"),
+    )
+    hottest = (
+        per_key.orderBy(F.col("out_rows").desc(), *keys).limit(top)
+    )
+    return hottest.unionByName(total)

@@ -291,3 +291,21 @@ def test_join_strategy_hints_land_in_plan(spark):
         shuffle_hash_join(li, orders, li.l_orderkey == orders.o_orderkey)
     )
     assert "ShuffledHashJoin" in p, p
+
+
+def test_join_explosion_report_math(spark):
+    from mitoscape_spark.operators.joins import join_explosion_report
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1, "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("d",)] * 9, "k string"
+    )
+    rows = join_explosion_report(left, right, "k", top=1).collect()
+    # hottest key: a (3*4=12) vs b (2*5=10); total = 12+10 ('c','d'
+    # never match and must not contribute)
+    assert [(r.k, r.out_rows) for r in rows] == [("a", 12), (None, 22)]
+    # exact: matches the real join's output size
+    real = left.join(right, "k").count()
+    assert rows[-1].out_rows == real
