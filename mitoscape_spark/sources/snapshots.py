@@ -717,3 +717,148 @@ def optimize_zorder(
         meta={"zorder": cols},
         stats_cols=stats_cols if stats_cols is not None else cols,
     )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter directory skipping: point-lookup pruning where min/max
+# ranges are useless (high-cardinality ids scattered across the full
+# range in every directory). Per directory and column, the manifest
+# stores a small fixed-size bloom bitmap (default 8192 bits ≈ 2 KB hex)
+# built with k=4 seeded Murmur3 hashes — a membership test that never
+# yields false negatives, so pruning is an optimization, never a
+# semantic change. The bitmap is computed DISTRIBUTED (distinct bit
+# positions via one aggregation); only the ≤ m positions reach the
+# driver.
+# ---------------------------------------------------------------------
+
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+
+
+def _bloom_position_cols(col: str):
+    from pyspark.sql import functions as F
+
+    # hash over the STRING form: Murmur3 is type-width-sensitive (an
+    # int32 column and an int64 literal of the same value hash
+    # differently), and a false NEGATIVE would silently drop rows —
+    # the string cast makes build and probe agree for any type
+    s = F.col(col).cast("string")
+    return [
+        F.pmod(F.hash(s, F.lit(seed)), F.lit(_BLOOM_BITS))
+        for seed in range(_BLOOM_HASHES)
+    ]
+
+
+def bloom_for_commit(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    """{column: hex bitmap} for one committed directory."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, str] = {}
+    for c in cols:
+        positions = [
+            r[0]
+            for r in df.select(
+                F.explode(F.array(*_bloom_position_cols(c))).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        bits = bytearray(_BLOOM_BITS // 8)
+        for p in positions:
+            bits[p // 8] |= 1 << (p % 8)
+        out[c] = bytes(bits).hex()
+    return out
+
+
+def _bloom_may_contain(bitmap_hex: str, col: str, value, spark) -> bool:
+    from pyspark.sql import functions as F
+
+    bits = bytes.fromhex(bitmap_hex)
+    probe = F.lit(value).cast("string")
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.hash(probe, F.lit(seed)),
+                    F.lit(_BLOOM_BITS),
+                ).alias(f"p{seed}")
+                for seed in range(_BLOOM_HASHES)
+            ]
+        )
+        .head()
+    )
+    return all(
+        bits[row[i] // 8] & (1 << (row[i] % 8))
+        for i in range(_BLOOM_HASHES)
+    )
+
+
+def attach_bloom(
+    spark: SparkSession, table_dir: str, cols: list[str]
+) -> int:
+    """Backfill bloom bitmaps for the CURRENT version's directories and
+    publish as a metadata-only commit (dirs unchanged): one pass per
+    directory, O(bits) manifest growth."""
+    v = latest_version(table_dir)
+    m = _load_manifest(table_dir, v)
+    blooms = dict(m.get("blooms", {}))
+    for d in m["dirs"]:
+        df = spark.read.parquet(os.path.join(table_dir, d))
+        blooms.setdefault(d, {}).update(bloom_for_commit(df, cols))
+    # metadata-only publish: same dirs/stats/dvs, blooms added
+    for _ in range(20):
+        parent = latest_version(table_dir)
+        pm = _load_manifest(table_dir, parent)
+        manifest = dict(pm)
+        manifest["version"] = parent + 1
+        manifest["parent"] = parent
+        manifest["mode"] = "append"
+        manifest["committed_at"] = time.time()
+        manifest["meta"] = {"bloom_cols": cols}
+        manifest["blooms"] = {**pm.get("blooms", {}), **blooms}
+        staged = os.path.join(
+            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(staged, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(staged, _manifest_path(table_dir, parent + 1))
+            return parent + 1
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(staged)
+    raise RuntimeError("attach_bloom lost 20 optimistic races")
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with bloom directory skipping: read only the
+    directories whose bloom MAY contain ``value`` (directories without
+    a bloom for ``col`` are conservatively kept), then apply the exact
+    equality predicate. Never a false negative; expected false-positive
+    rate at 8192 bits / 4 hashes stays < 3% up to ~1k distinct values
+    per directory."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table_dir) if version is None else version
+    m = _load_manifest(table_dir, v)
+    blooms = m.get("blooms", {})
+    kept = [
+        d
+        for d in m["dirs"]
+        if col not in blooms.get(d, {})
+        or _bloom_may_contain(blooms[d][col], col, value, spark)
+    ]
+    if not kept:
+        base = read(spark, table_dir, v).where(F.lit(False))
+        return base
+    df = spark.read.parquet(*[os.path.join(table_dir, d) for d in kept])
+    df = _apply_dvs(spark, table_dir, m, df)
+    return df.where(F.col(col) == F.lit(value))

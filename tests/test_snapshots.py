@@ -613,3 +613,46 @@ def test_optimize_zorder_clusters_and_keeps_history(spark, tmp_path):
     # in every file; z-order keeps the AVERAGE span well below it
     assert sum(spans_y) / len(spans_y) < 800
     assert sum(spans_x) / len(spans_x) < 800
+
+
+# ------------------------------------------------- bloom dir skipping
+def test_bloom_point_lookup_skips_dirs_no_false_negatives(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # three directories with DISJOINT id sets but overlapping ranges
+    # (min/max stats could never separate them)
+    snap.commit(
+        spark.range(0, 3000, 3).withColumnRenamed("id", "v"), t
+    )
+    snap.commit(
+        spark.range(1, 3000, 3).withColumnRenamed("id", "v"), t
+    )
+    snap.commit(
+        spark.range(2, 3000, 3).withColumnRenamed("id", "v"), t
+    )
+    v = snap.attach_bloom(spark, t, ["v"])
+    m = snap._load_manifest(t, v)
+    assert all("v" in m["blooms"][d] for d in m["dirs"])
+    # no false negatives: every present value is found, exactly once
+    for probe in (0, 1, 2, 2997, 1501):
+        got = snap.read_point_lookup(spark, t, "v", probe).collect()
+        assert [r.v for r in got] == [probe], probe
+    # pruning actually happens: a value in dir-0 only should read
+    # FEWER input files than the full table (allow bloom false
+    # positives, but at 1000 keys/dir the 3-dir worst case is rare)
+    looked = snap.read_point_lookup(spark, t, "v", 0)
+    all_files = snap.read(spark, t).inputFiles()
+    assert len(looked.inputFiles()) < len(all_files)
+    # absent value: usually zero dirs -> empty result either way
+    assert snap.read_point_lookup(spark, t, "v", 999999).count() == 0
+
+
+def test_bloom_survives_append_without_blooms(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
+    snap.attach_bloom(spark, t, ["v"])
+    # an append WITHOUT blooms: its dir is conservatively kept
+    snap.commit(spark.range(100, 110).withColumnRenamed("id", "v"), t)
+    got = snap.read_point_lookup(spark, t, "v", 105).collect()
+    assert [r.v for r in got] == [105]
+    got = snap.read_point_lookup(spark, t, "v", 5).collect()
+    assert [r.v for r in got] == [5]
