@@ -862,3 +862,74 @@ def read_point_lookup(
     df = spark.read.parquet(*[os.path.join(table_dir, d) for d in kept])
     df = _apply_dvs(spark, table_dir, m, df)
     return df.where(F.col(col) == F.lit(value))
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE INTO for snapshot tables: WHEN MATCHED UPDATE (source row
+    wins) / WHEN NOT MATCHED INSERT, committed atomically as a new
+    version. Composition: operators.merge.merge_upsert computes the
+    post-merge state (anti-join keeps the untouched majority
+    streaming), the atomic overwrite commit publishes it; concurrent
+    readers see the old version until the manifest lands, history
+    stays time-travelable. The rewrite-everything cost profile is
+    copy-on-write's; for key-deletes at tiny fractions use
+    ``delete_where_dv`` instead."""
+    from mitoscape_spark.operators.merge import merge_upsert
+
+    current = read(spark, table_dir)
+    merged = merge_upsert(current, source, keys)
+    return commit(
+        merged, table_dir, mode="overwrite", meta={"merge_keys": keys}
+    )
+
+
+def replicate_changes(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    key_col: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> int:
+    """CDC replication: apply ``src_table``'s change feed
+    (``table_changes``) to ``dst_table`` so it catches up to the source
+    snapshot — the downstream-mirror primitive (read feed, not source
+    scans). Deletes in the feed anti-join out of the mirror; inserts
+    upsert. Returns the mirror's new version. Exactly-once per call:
+    the caller tracks (from_version → to_version) watermarks, e.g. in
+    the mirror's own manifest meta."""
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.merge import apply_changes
+
+    to_v = (
+        latest_version(src_table) if to_version is None else to_version
+    )
+    feed = table_changes(spark, src_table, from_version, to_v)
+    changes = feed.withColumn(
+        "op",
+        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+            F.lit("I")
+        ),
+    ).drop("_change_type")
+    current = (
+        read(spark, dst_table)
+        if latest_version(dst_table) > 0
+        else changes.drop("op").where(F.lit(False))
+    )
+    new_state = apply_changes(current, changes, [key_col])
+    return commit(
+        new_state,
+        dst_table,
+        mode="overwrite",
+        meta={
+            "replicated_from": src_table,
+            "src_versions": [from_version, to_v],
+        },
+        enforce_schema=False,
+    )

@@ -656,3 +656,43 @@ def test_bloom_survives_append_without_blooms(spark, tmp_path):
     assert [r.v for r in got] == [105]
     got = snap.read_point_lookup(spark, t, "v", 5).collect()
     assert [r.v for r in got] == [5]
+
+
+# ------------------------------------------- MERGE INTO + replication
+def test_merge_into_updates_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, val string"
+        ),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, val string"
+    )
+    v = snap.merge_into(spark, t, src, keys=["k"])
+    got = {r.k: r.val for r in snap.read(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert snap._load_manifest(t, v)["meta"] == {"merge_keys": ["k"]}
+    # pre-merge state still time-travels
+    assert {r.k: r.val for r in snap.read(spark, t, version=1).collect()} \
+        == {1: "a", 2: "b"}
+
+
+def test_replicate_changes_mirrors_source(spark, tmp_path):
+    src_t, dst_t = str(tmp_path / "src"), str(tmp_path / "dst")
+    snap.commit(spark.range(6).withColumnRenamed("id", "v"), src_t)
+    # bootstrap the mirror from version 0
+    snap.replicate_changes(spark, src_t, dst_t, "v", from_version=0)
+    assert sorted(r.v for r in snap.read(spark, dst_t).collect()) == \
+        list(range(6))
+    mark = snap.latest_version(src_t)
+    # source evolves: append + row-level delete
+    snap.commit(spark.range(6, 9).withColumnRenamed("id", "v"), src_t)
+    snap.delete_where(spark, src_t, "v % 2 = 0")
+    snap.replicate_changes(spark, src_t, dst_t, "v", from_version=mark)
+    src_rows = sorted(r.v for r in snap.read(spark, src_t).collect())
+    dst_rows = sorted(r.v for r in snap.read(spark, dst_t).collect())
+    assert dst_rows == src_rows == [1, 3, 5, 7]
+    m = snap._load_manifest(dst_t, snap.latest_version(dst_t))["meta"]
+    assert m["replicated_from"] == src_t
