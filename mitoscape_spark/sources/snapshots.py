@@ -146,6 +146,7 @@ def commit(
 
     rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     df.write.parquet(os.path.join(table_dir, rel_dir))
+    n_rows = _dir_row_count(os.path.join(table_dir, rel_dir))
 
     dir_stats: dict[str, list] = {}
     if stats_cols:
@@ -161,8 +162,24 @@ def commit(
         }
 
     return _publish_dir(
-        table_dir, rel_dir, mode, meta, dir_stats, max_retries
+        table_dir, rel_dir, mode, meta, dir_stats, max_retries,
+        n_rows=n_rows,
     )
+
+
+def _dir_row_count(full_dir: str) -> int:
+    """Exact row count of a freshly written parquet directory, from
+    footers alone (driver-side pyarrow metadata reads — KB of I/O, no
+    Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(full_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(
+                os.path.join(full_dir, f)
+            ).metadata.num_rows
+    return total
 
 
 def _publish_dir(
@@ -173,6 +190,7 @@ def _publish_dir(
     dir_stats: dict | None = None,
     max_retries: int = 20,
     dv_entry: dict | None = None,
+    n_rows: int | None = None,
 ) -> int:
     """Atomically publish an already-written data directory as the
     next version — the commit protocol's second half, shared by
@@ -184,6 +202,7 @@ def _publish_dir(
     for _ in range(max_retries):
         parent = latest_version(table_dir)
         stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         dvs: list[dict] = []
         parent_manifest = (
             _load_manifest(table_dir, parent) if parent > 0 else None
@@ -195,10 +214,12 @@ def _publish_dir(
                 )
             dirs = list(parent_manifest["dirs"])
             stats = dict(parent_manifest.get("stats", {}))
+            rows = dict(parent_manifest.get("rows", {}))
             dvs = list(parent_manifest.get("dvs", [])) + [dv_entry]
         elif mode == "append" and parent_manifest is not None:
             dirs = parent_manifest["dirs"] + [rel_dir]
             stats = dict(parent_manifest.get("stats", {}))
+            rows = dict(parent_manifest.get("rows", {}))
             # tombstones stay live across appends (key-scoped, see
             # delete_where_dv docstring)
             dvs = list(parent_manifest.get("dvs", []))
@@ -206,6 +227,8 @@ def _publish_dir(
             dirs = [rel_dir]
         if dir_stats:
             stats[rel_dir] = dir_stats
+        if n_rows is not None:
+            rows[rel_dir] = n_rows
         version = parent + 1
         manifest = {
             "version": version,
@@ -215,6 +238,7 @@ def _publish_dir(
             "committed_at": time.time(),
             "meta": meta or {},
             "stats": stats,
+            "rows": {d: rows[d] for d in dirs if d in rows},
         }
         if dvs:
             manifest["dvs"] = dvs
@@ -933,3 +957,26 @@ def replicate_changes(
         },
         enforce_schema=False,
     )
+
+
+def table_count(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> int:
+    """Exact row count answered from manifest metadata when possible —
+    O(manifest) instead of a table scan (the COUNT(*) every dashboard
+    fires at a 100 TB table). Falls back to a real (still cheap:
+    parquet footer) count for directories committed before row counts
+    were recorded; deletion vectors force a real count (tombstoned
+    KEYS ≠ tombstoned rows only if keys are unique — we don't assume)."""
+    v = latest_version(table_dir) if version is None else version
+    m = _load_manifest(table_dir, v)
+    if m.get("dvs"):
+        return read(spark, table_dir, v).count()
+    rows = m.get("rows", {})
+    total = 0
+    for d in m["dirs"]:
+        if d in rows:
+            total += rows[d]
+        else:
+            total += _dir_row_count(os.path.join(table_dir, d))
+    return total

@@ -696,3 +696,16 @@ def test_replicate_changes_mirrors_source(spark, tmp_path):
     assert dst_rows == src_rows == [1, 3, 5, 7]
     m = snap._load_manifest(dst_t, snap.latest_version(dst_t))["meta"]
     assert m["replicated_from"] == src_t
+
+
+def test_table_count_from_manifest_metadata(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(7).withColumnRenamed("id", "v"), t)
+    snap.commit(spark.range(7, 12).withColumnRenamed("id", "v"), t)
+    m = snap._load_manifest(t, 2)
+    assert sum(m["rows"].values()) == 12  # recorded at commit time
+    assert snap.table_count(spark, t) == 12
+    assert snap.table_count(spark, t, version=1) == 7
+    # deletion vectors force the real count (keys != rows in general)
+    snap.delete_where_dv(spark, t, "v < 3", key_col="v")
+    assert snap.table_count(spark, t) == 9
