@@ -418,6 +418,56 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics surface: null-safe equality (`<=>` /
+    IS NOT DISTINCT FROM), NULL-aware conditional aggregation, and
+    explicit NULLS FIRST ordering — the SQL corners engines disagree
+    on by default; the oracle runs the equivalent DuckDB forms.
+    A deterministic predicate nulls out part of event_type, so every
+    branch (null group, null-safe hit, non-null groups) is populated."""
+    events = load_table(spark, sf_dir, "events")
+    ab = events.select(
+        "event_id",
+        F.when(F.col("value") < 20, None)
+        .otherwise(F.col("event_type"))
+        .alias("ab"),
+        "value",
+    )
+    return (
+        ab.groupBy("ab")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ab").alias("n_nonnull_key"),
+            F.sum(
+                F.when(F.col("ab").eqNullSafe("click"), 1).otherwise(0)
+            ).alias("n_nullsafe_click"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy(F.col("ab").asc_nulls_first())
+    )
+
+
+def ext_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function breadth over event time: truncation to
+    quarter, ISO parts, end-of-month, epoch arithmetic — restricted to
+    the subset Spark and DuckDB define identically (documented
+    divergences like months_between are excluded on purpose)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.year("ts").alias("y"),
+            F.quarter("ts").alias("q"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("dom"),
+            F.last_day(F.col("ts").cast("date")).alias("eom"),
+        )
+        .groupBy("y", "q", "m", "dom", "eom")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "q", "m", "dom")
+        .limit(200)
+    )
+
+
 def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (operators/textstats.py::gopher_rules):
     five per-document quality rules + conjunction, all JVM column
@@ -2538,6 +2588,8 @@ QUERIES = {
     "ext_delete_vectors": ext_delete_vectors,
     "ext_communities": ext_communities,
     "ext_gopher_rules": ext_gopher_rules,
+    "ext_null_semantics": ext_null_semantics,
+    "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_topk_cosine": ext_topk_cosine,
@@ -2760,6 +2812,35 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_null_semantics": """
+        WITH ab AS (
+            SELECT event_id,
+                   CASE WHEN value < 20 THEN NULL
+                        ELSE event_type END AS ab,
+                   value
+            FROM events
+        )
+        SELECT ab,
+               COUNT(*) AS n,
+               COUNT(ab) AS n_nonnull_key,
+               CAST(SUM(CASE WHEN ab IS NOT DISTINCT FROM 'click'
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nullsafe_click,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM ab
+        GROUP BY ab
+        ORDER BY ab ASC NULLS FIRST
+    """,
+    "ext_datetime_funcs": """
+        SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+               dayofmonth(ts) AS dom,
+               last_day(CAST(ts AS DATE)) AS eom,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY y, q, m, dom
+        LIMIT 200
     """,
     "ext_gopher_rules": """
         WITH t AS (
