@@ -197,6 +197,31 @@ def cmd_table(args, spark: SparkSession) -> int:
                 ).collect()
             }
             print(f"table: changes {counts}")
+    elif args.action == "count":
+        n = snap.table_count(spark, args.table, args.version)
+        print(f"table: {n} rows")
+    elif args.action == "zorder":
+        if not args.cols:
+            raise SystemExit("table zorder requires --cols")
+        v = snap.optimize_zorder(
+            spark, args.table, args.cols.split(",")
+        )
+        print(f"table: z-ordered into version {v}")
+    elif args.action == "bloom":
+        if not args.cols:
+            raise SystemExit("table bloom requires --cols")
+        v = snap.attach_bloom(spark, args.table, args.cols.split(","))
+        print(f"table: bloom filters attached in version {v}")
+    elif args.action == "merge":
+        if not args.input or not args.key_col:
+            raise SystemExit("table merge requires --input and --key-col")
+        v = snap.merge_into(
+            spark,
+            args.table,
+            spark.read.parquet(args.input),
+            keys=args.key_col.split(","),
+        )
+        print(f"table: merged into version {v}")
     return 0
 
 
@@ -287,7 +312,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tb.add_argument("action", choices=[
         "commit", "read", "history", "compact", "vacuum", "restore",
-        "delete", "delete-dv", "changes",
+        "delete", "delete-dv", "changes", "count", "zorder",
+        "bloom", "merge",
     ])
     tb.add_argument("--table", required=True, help="snapshot table dir")
     tb.add_argument("--input", help="parquet path (commit)")
@@ -298,7 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--keep-versions", type=int, help="vacuum retention")
     tb.add_argument("--where", help="delete predicate (SQL boolean)")
     tb.add_argument("--stats-cols", help="comma-separated manifest-stats cols")
-    tb.add_argument("--key-col", help="unique key column (delete-dv)")
+    tb.add_argument("--key-col",
+                    help="key column(s): delete-dv / merge (comma-sep)")
+    tb.add_argument("--cols", help="comma-separated columns (zorder/bloom)")
     tb.add_argument("--from-version", type=int,
                     help="change-feed base version (changes)")
     tb.set_defaults(fn=cmd_table)

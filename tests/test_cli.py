@@ -263,3 +263,34 @@ def test_cli_table_dv_and_changes(spark, tmp_path):
         (r._change_type, r.v) for r in feed.collect()
     ) == [("delete", v) for v in (0, 2, 4, 6, 8)]
     assert os.path.isdir(feed_out)
+
+
+def test_cli_table_count_zorder_bloom_merge(spark, tmp_path):
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(20).selectExpr(
+        "id AS k", "id * 2 AS x", "id * 3 AS y"
+    ).write.parquet(src)
+    cli.main(["table", "commit", "--table", t, "--input", src], spark=spark)
+    assert cli.main(["table", "count", "--table", t], spark=spark) == 0
+    assert snap.table_count(spark, t) == 20
+    assert cli.main(
+        ["table", "zorder", "--table", t, "--cols", "x,y"], spark=spark
+    ) == 0
+    assert cli.main(
+        ["table", "bloom", "--table", t, "--cols", "k"], spark=spark
+    ) == 0
+    upd = str(tmp_path / "upd")
+    spark.createDataFrame(
+        [(5, 999, 999), (100, 1, 1)], "k long, x long, y long"
+    ).write.parquet(upd)
+    assert cli.main(
+        ["table", "merge", "--table", t, "--input", upd,
+         "--key-col", "k"],
+        spark=spark,
+    ) == 0
+    rows = {r.k: r.x for r in snap.read(spark, t).collect()}
+    assert rows[5] == 999 and rows[100] == 1 and len(rows) == 21
