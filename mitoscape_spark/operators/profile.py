@@ -123,3 +123,29 @@ def observed_metrics(
     obs = Observation(name)
     observed = df.observe(obs, *[e.alias(k) for k, e in exprs.items()])
     return observed, obs
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations appearing in fewer
+    than ``k`` rows (the re-identifiable tail). One hash aggregation
+    over the quasi-identifier tuple; at 100 TB this is the same
+    partial+final agg shape as any GROUP BY — no per-row Python, no
+    driver state. Columns: the quasi-identifiers + group_size."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def suppress_rare_combinations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity enforcement by suppression: drop every row whose
+    quasi-identifier combination has fewer than ``k`` occurrences.
+    Anti-join against the (small) below-k group list — the surviving
+    corpus streams through; only the rare-combination keys shuffle."""
+    rare = k_anonymity_report(df, quasi_cols, k).select(*quasi_cols)
+    return df.join(rare, quasi_cols, "left_anti")

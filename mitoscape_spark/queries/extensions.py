@@ -418,6 +418,41 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity governance (operators/profile.py): the below-k
+    quasi-identifier tail over (nation, market segment), plus the
+    post-suppression corpus size — one hash agg + one anti-join.
+    Oracle restates both via HAVING/NOT IN."""
+    from mitoscape_spark.operators.profile import (
+        k_anonymity_report,
+        suppress_rare_combinations,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    quasi = ["c_nationkey", "c_mktsegment"]
+    report = k_anonymity_report(customer, quasi, k=8)
+    kept = suppress_rare_combinations(customer, quasi, k=8)
+    return (
+        report.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            F.lit(None).cast("long").alias("n_kept_total"),
+        )
+        .unionByName(
+            kept.agg(
+                F.lit(None).cast("long").alias("c_nationkey"),
+                F.lit(None).cast("string").alias("c_mktsegment"),
+                F.lit(None).cast("long").alias("group_size"),
+                F.count(F.lit(1)).alias("n_kept_total"),
+            )
+        )
+        .orderBy(
+            F.col("c_nationkey").asc_nulls_last(), F.col("c_mktsegment")
+        )
+    )
+
+
 def ext_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling semantics surface: null-safe equality (`<=>` /
     IS NOT DISTINCT FROM), NULL-aware conditional aggregation, and
@@ -2589,6 +2624,7 @@ QUERIES = {
     "ext_communities": ext_communities,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
+    "ext_k_anonymity": ext_k_anonymity,
     "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
@@ -2812,6 +2848,30 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_k_anonymity": """
+        WITH rare AS (
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS group_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING COUNT(*) < 8
+        ),
+        kept AS (
+            SELECT COUNT(*) AS n
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rare r
+                WHERE r.c_nationkey = c.c_nationkey
+                  AND r.c_mktsegment = c.c_mktsegment
+            )
+        )
+        SELECT c_nationkey, c_mktsegment, group_size,
+               CAST(NULL AS BIGINT) AS n_kept_total
+        FROM rare
+        UNION ALL
+        SELECT NULL, NULL, NULL, n FROM kept
+        ORDER BY c_nationkey ASC NULLS LAST, c_mktsegment
     """,
     "ext_null_semantics": """
         WITH ab AS (

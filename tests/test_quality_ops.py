@@ -267,3 +267,30 @@ def test_observed_metrics_one_pass(spark, sf_smoke):
     assert got["n_rows"] == exact["n"]
     assert got["n_null_qty"] == 0
     assert abs(got["sum_qty"] - exact["s"]) < 1e-6
+
+
+def test_k_anonymity_suppression_enforces_k(spark):
+    from mitoscape_spark.operators.profile import (
+        k_anonymity_report,
+        suppress_rare_combinations,
+    )
+
+    rows = (
+        [("US", "a")] * 6 + [("US", "b")] * 2 + [("DE", "a")] * 1
+        + [("DE", "b")] * 4
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    rare = {
+        (r.country, r.seg, r.group_size)
+        for r in k_anonymity_report(df, ["country", "seg"], k=4).collect()
+    }
+    assert rare == {("US", "b", 2), ("DE", "a", 1)}
+    kept = suppress_rare_combinations(df, ["country", "seg"], k=4)
+    # every surviving combination has >= k members; nothing else lost
+    sizes = {
+        (r.country, r.seg): r.n
+        for r in kept.groupBy("country", "seg").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sizes == {("US", "a"): 6, ("DE", "b"): 4}
