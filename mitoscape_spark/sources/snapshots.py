@@ -203,6 +203,7 @@ def _publish_dir(
         parent = latest_version(table_dir)
         stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
+        blooms: dict[str, dict] = {}
         dvs: list[dict] = []
         parent_manifest = (
             _load_manifest(table_dir, parent) if parent > 0 else None
@@ -215,11 +216,15 @@ def _publish_dir(
             dirs = list(parent_manifest["dirs"])
             stats = dict(parent_manifest.get("stats", {}))
             rows = dict(parent_manifest.get("rows", {}))
+            blooms = dict(parent_manifest.get("blooms", {}))
             dvs = list(parent_manifest.get("dvs", [])) + [dv_entry]
         elif mode == "append" and parent_manifest is not None:
             dirs = parent_manifest["dirs"] + [rel_dir]
             stats = dict(parent_manifest.get("stats", {}))
             rows = dict(parent_manifest.get("rows", {}))
+            # carried dirs keep their bloom metadata; the NEW dir has
+            # none until the next attach_bloom backfill
+            blooms = dict(parent_manifest.get("blooms", {}))
             # tombstones stay live across appends (key-scoped, see
             # delete_where_dv docstring)
             dvs = list(parent_manifest.get("dvs", []))
@@ -240,6 +245,9 @@ def _publish_dir(
             "stats": stats,
             "rows": {d: rows[d] for d in dirs if d in rows},
         }
+        kept_blooms = {d: blooms[d] for d in dirs if d in blooms}
+        if kept_blooms:
+            manifest["blooms"] = kept_blooms
         if dvs:
             manifest["dvs"] = dvs
         staged = os.path.join(

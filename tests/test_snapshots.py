@@ -650,12 +650,20 @@ def test_bloom_survives_append_without_blooms(spark, tmp_path):
     t = str(tmp_path / "t")
     snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
     snap.attach_bloom(spark, t, ["v"])
-    # an append WITHOUT blooms: its dir is conservatively kept
+    # an append WITHOUT blooms: its dir is conservatively kept, and
+    # the OLD dir's bloom metadata must survive the commit
     snap.commit(spark.range(100, 110).withColumnRenamed("id", "v"), t)
+    m = snap._load_manifest(t, snap.latest_version(t))
+    bloomed = [d for d in m["dirs"] if "v" in m.get("blooms", {}).get(d, {})]
+    assert len(bloomed) == 1  # the original dir kept its bloom
     got = snap.read_point_lookup(spark, t, "v", 105).collect()
     assert [r.v for r in got] == [105]
     got = snap.read_point_lookup(spark, t, "v", 5).collect()
     assert [r.v for r in got] == [5]
+    # and pruning still works: a value in NEITHER dir reads only the
+    # bloomless dir (the bloomed one is provably absent-pruned)
+    probe = snap.read_point_lookup(spark, t, "v", 987654)
+    assert len(probe.inputFiles()) < len(snap.read(spark, t).inputFiles())
 
 
 # ------------------------------------------- MERGE INTO + replication
