@@ -551,7 +551,15 @@ def restore(table_dir: str, version: int) -> int:
             "committed_at": time.time(),
             "meta": {"restored_from": version},
             "stats": src.get("stats", {}),
+            # the restored STATE includes the source version's row
+            # counts, blooms, and — critically — deletion vectors:
+            # restoring without the dvs would resurrect deleted rows
+            "rows": src.get("rows", {}),
         }
+        if src.get("blooms"):
+            manifest["blooms"] = src["blooms"]
+        if src.get("dvs"):
+            manifest["dvs"] = src["dvs"]
         staged = os.path.join(
             table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
         )

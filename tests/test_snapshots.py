@@ -717,3 +717,17 @@ def test_table_count_from_manifest_metadata(spark, tmp_path):
     # deletion vectors force the real count (keys != rows in general)
     snap.delete_where_dv(spark, t, "v < 3", key_col="v")
     assert snap.table_count(spark, t) == 9
+
+
+def test_restore_to_dv_version_keeps_tombstones(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v >= 8", key_col="v")   # v2
+    snap.commit(spark.range(50, 53).withColumnRenamed("id", "v"), t)
+    snap.restore(t, 2)
+    got = sorted(r.v for r in snap.read(spark, t).collect())
+    # restored state = v2's EFFECTIVE rows: tombstones must not revert
+    assert got == list(range(8))
+    # row counts + vacuum still coherent after the restore
+    assert snap.table_count(spark, t) == 8
+    assert snap.vacuum(t) == []
