@@ -731,3 +731,32 @@ def test_restore_to_dv_version_keeps_tombstones(spark, tmp_path):
     # row counts + vacuum still coherent after the restore
     assert snap.table_count(spark, t) == 8
     assert snap.vacuum(t) == []
+
+
+def test_zorder_and_merge_materialize_deletion_vectors(spark, tmp_path):
+    """Lifecycle interactions: optimize_zorder and merge_into both
+    read THROUGH deletion vectors and publish overwrites, so the new
+    version has the tombstones materialized and cleared."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    snap.commit(
+        spark.range(20).selectExpr("id AS k", "id * 2 AS x"), t
+    )
+    snap.delete_where_dv(spark, t, "k >= 15", key_col="k")
+    v = snap.optimize_zorder(spark, t, ["k", "x"], n_files=2)
+    assert not snap._load_manifest(t, v).get("dvs")
+    assert sorted(r.k for r in snap.read(spark, t).collect()) == \
+        list(range(15))
+
+    t2 = str(tmp_path / "t2")
+    snap.commit(
+        spark.range(10).selectExpr("id AS k", "id AS x"), t2
+    )
+    snap.delete_where_dv(spark, t2, "k = 0", key_col="k")
+    src = spark.createDataFrame([(5, 99), (50, 1)], "k long, x long")
+    v = snap.merge_into(spark, t2, src, keys=["k"])
+    assert not snap._load_manifest(t2, v).get("dvs")
+    rows = {r.k: r.x for r in snap.read(spark, t2).collect()}
+    assert 0 not in rows          # tombstone did not resurrect
+    assert rows[5] == 99 and rows[50] == 1 and len(rows) == 10
