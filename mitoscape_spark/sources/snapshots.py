@@ -996,3 +996,41 @@ def table_count(
         else:
             total += _dir_row_count(os.path.join(table_dir, d))
     return total
+
+
+def consume_changes(
+    spark: SparkSession,
+    table_dir: str,
+    checkpoint_file: str,
+    apply_fn,
+) -> tuple[int, int]:
+    """Checkpointed incremental CDC consumption: call
+    ``apply_fn(feed_df, from_version, to_version)`` with the change
+    feed since the last run, then atomically advance the durable
+    watermark (tmp + rename). Returns the (from, to) range processed;
+    (v, v) means nothing new.
+
+    Exactly-once end-to-end requires ``apply_fn`` to be idempotent for
+    a repeated (from, to) range (e.g. commit into a snapshot table
+    keyed by the range, as ``replicate_changes`` records in its
+    manifest meta) — the watermark write happens AFTER apply, so a
+    crash between the two replays the same range, never skips one.
+    This is the driver-side incremental-consumer loop for feeds whose
+    semantics (deletes!) the append-only ``snapshotstream`` source
+    deliberately refuses to flatten.
+    """
+    last = 0
+    if os.path.exists(checkpoint_file):
+        with open(checkpoint_file) as fh:
+            last = json.load(fh)["version"]
+    latest = latest_version(table_dir)
+    if latest <= last:
+        return (last, last)
+    feed = table_changes(spark, table_dir, last, latest)
+    apply_fn(feed, last, latest)
+    staged = checkpoint_file + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(os.path.dirname(checkpoint_file) or ".", exist_ok=True)
+    with open(staged, "w") as fh:
+        json.dump({"version": latest, "updated_at": time.time()}, fh)
+    os.replace(staged, checkpoint_file)
+    return (last, latest)

@@ -760,3 +760,44 @@ def test_zorder_and_merge_materialize_deletion_vectors(spark, tmp_path):
     rows = {r.k: r.x for r in snap.read(spark, t2).collect()}
     assert 0 not in rows          # tombstone did not resurrect
     assert rows[5] == 99 and rows[50] == 1 and len(rows) == 10
+
+
+def test_consume_changes_checkpointed_loop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "cdc.json")
+    seen = []
+
+    def apply_fn(feed, lo, hi):
+        seen.append((lo, hi, sorted(
+            (r._change_type, r.v) for r in feed.collect()
+        )))
+
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    assert snap.consume_changes(spark, t, ckpt, apply_fn) == (0, 1)
+    # nothing new: apply_fn is NOT called
+    assert snap.consume_changes(spark, t, ckpt, apply_fn) == (1, 1)
+    snap.commit(spark.range(3, 5).withColumnRenamed("id", "v"), t)
+    snap.delete_where(spark, t, "v = 0")
+    assert snap.consume_changes(spark, t, ckpt, apply_fn) == (1, 3)
+    assert seen == [
+        (0, 1, [("insert", 0), ("insert", 1), ("insert", 2)]),
+        (1, 3, [("delete", 0), ("insert", 3), ("insert", 4)]),
+    ]
+
+
+def test_consume_changes_crash_before_watermark_replays(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "cdc.json")
+    snap.commit(spark.range(4).withColumnRenamed("id", "v"), t)
+
+    def boom(feed, lo, hi):
+        raise RuntimeError("crash mid-apply")
+
+    with pytest.raises(RuntimeError):
+        snap.consume_changes(spark, t, ckpt, boom)
+    # watermark did NOT advance: the next consumer sees the same range
+    got = []
+    snap.consume_changes(
+        spark, t, ckpt, lambda f, lo, hi: got.append((lo, hi, f.count()))
+    )
+    assert got == [(0, 1, 4)]
