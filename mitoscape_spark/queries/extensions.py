@@ -418,6 +418,31 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth over customer names, restricted to the
+    subset Spark and DuckDB define identically: case mapping, pad,
+    substring, replace, split_part, reverse, levenshtein. Engines
+    disagree on plenty (soundex, initcap edge cases, regexp dialects)
+    — those stay out of the contract on purpose."""
+    customer = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return (
+        customer.select(
+            "c_custkey",
+            F.upper(name).alias("u"),
+            F.length(name).alias("len"),
+            F.lpad(name, 14, "_").alias("padded"),
+            F.substring(name, 1, 8).alias("prefix"),
+            F.regexp_replace(name, "[0-9]", "#").alias("masked"),
+            F.reverse(name).alias("rev"),
+            F.split(name, "_").getItem(0).alias("stem"),
+            F.levenshtein(name, F.lit("Customer_1")).alias("lev"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
 def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity governance (operators/profile.py): the below-k
     quasi-identifier tail over (nation, market segment), plus the
@@ -2625,6 +2650,7 @@ QUERIES = {
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
+    "ext_string_funcs": ext_string_funcs,
     "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
@@ -2848,6 +2874,20 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_string_funcs": """
+        SELECT c_custkey,
+               upper(c_name) AS u,
+               length(c_name) AS len,
+               lpad(c_name, 14, '_') AS padded,
+               substr(c_name, 1, 8) AS prefix,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+               reverse(c_name) AS rev,
+               split_part(c_name, '_', 1) AS stem,
+               levenshtein(c_name, 'Customer_1') AS lev
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 500
     """,
     "ext_k_anonymity": """
         WITH rare AS (
