@@ -801,3 +801,31 @@ def test_consume_changes_crash_before_watermark_replays(spark, tmp_path):
         spark, t, ckpt, lambda f, lo, hi: got.append((lo, hi, f.count()))
     )
     assert got == [(0, 1, 4)]
+
+
+def test_concurrent_dv_and_append_both_land(spark, tmp_path):
+    """A deletion-vector commit racing a data append: optimistic
+    retries must serialize them into two consistent versions — the dv
+    publish re-reads its parent on every retry, so whichever order
+    wins, the final state is (base + appended) minus tombstones."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).withColumnRenamed("id", "v"), t)
+
+    def do_append():
+        return snap.commit(
+            spark.range(100, 105).withColumnRenamed("id", "v"), t
+        )
+
+    def do_dv():
+        return snap.delete_where_dv(spark, t, "v < 3", key_col="v")[0]
+
+    with ThreadPoolExecutor(2) as ex:
+        fa, fd = ex.submit(do_append), ex.submit(do_dv)
+        va, vd = fa.result(), fd.result()
+    assert {va, vd} == {2, 3}
+    got = sorted(r.v for r in snap.read(spark, t).collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+    # the feed across the whole race nets to the same state
+    assert snap.table_count(spark, t) == 12
