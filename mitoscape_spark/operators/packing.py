@@ -71,3 +71,27 @@ def pack_sequences(
         )
         .withColumn("pack_id", F.expr(f"start_offset DIV {budget}"))
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "row_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Stable 0-based global row numbers under ``order_col``'s order —
+    the driver-free zipWithIndex. The naive
+    ``row_number() OVER (ORDER BY ...)`` plans a SINGLE-partition
+    window (one task owns the entire table); this reuses the two-phase
+    bucketed prefix sum above with a unit weight per row, so the only
+    global ordering materialized is the tiny per-bucket count table.
+    ``order_col`` must be numeric and unique (same contract as
+    ``pack_sequences``)."""
+    numbered = pack_sequences(
+        df.select(F.col(order_col), F.lit(1).alias("_one")),
+        order_col=order_col,
+        tokens_col="_one",
+        budget=1 << 62,  # single "pack": offsets ARE the row numbers
+        bucket_width=bucket_width,
+    ).select(order_col, F.col("start_offset").alias(out_col))
+    return df.join(numbered, order_col)

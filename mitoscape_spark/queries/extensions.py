@@ -418,6 +418,24 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-free global row numbering (operators/packing.py::
+    global_row_number): stable 0-based ids in orderkey order via the
+    two-phase bucketed prefix sum — never a single-partition window.
+    Oracle states the plain ROW_NUMBER form."""
+    from mitoscape_spark.operators.packing import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return (
+        global_row_number(orders, "o_orderkey")
+        .select("o_orderkey", "row_id")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
 def ext_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function breadth over customer names, restricted to the
     subset Spark and DuckDB define identically: case mapping, pad,
@@ -2651,6 +2669,7 @@ QUERIES = {
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
     "ext_string_funcs": ext_string_funcs,
+    "ext_row_ids": ext_row_ids,
     "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
@@ -2874,6 +2893,14 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_row_ids": """
+        SELECT o_orderkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                    AS BIGINT) AS row_id
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 1000
     """,
     "ext_string_funcs": """
         SELECT c_custkey,

@@ -181,3 +181,31 @@ def test_decontaminate_counts_distinct_shared_shingles(spark):
     # shared 3-shingles: "a b c", "b c d"
     rows = contamination_report(train, bench, 3).collect()
     assert [(r.doc_id, r.n_shared) for r in rows] == [(1, 2)]
+
+
+def test_global_row_number_matches_window_and_avoids_single_partition(
+    spark,
+):
+    from mitoscape_spark.operators.packing import global_row_number
+
+    df = spark.range(0, 5000).selectExpr(
+        "id * 7 % 5003 AS k", "id AS payload"
+    )  # unique, scattered order column
+    got = global_row_number(df, "k")
+    rows = {r.k: r.row_id for r in got.collect()}
+    expect = {
+        k: i for i, k in enumerate(sorted(rows))
+    }
+    assert rows == expect
+    # schema keeps original columns
+    assert set(got.columns) == {"k", "payload", "row_id"}
+    # plan never materializes a global single-partition window over
+    # the full data: the only global Sort is over the bucket table
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "row_number" not in plan.lower().replace("global_row", "")
