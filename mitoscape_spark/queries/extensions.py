@@ -418,6 +418,30 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (most frequent event type per
+    user, ties to the lexicographically smallest) via ``max_by`` over
+    a composite ordering struct — one agg tree, no window over the
+    fact table. The oracle states the window-rank formulation; both
+    must agree exactly BECAUSE the tie-break is total."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct((-F.col("n")).alias("neg"),
+                                       F.col("event_type"))
+            ).alias("mode_type"),
+            F.max("n").alias("n_mode"),
+        )
+        .orderBy("user_id")
+        .limit(1000)
+    )
+
+
 def ext_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-free global row numbering (operators/packing.py::
     global_row_number): stable 0-based ids in orderkey order via the
@@ -2670,6 +2694,7 @@ QUERIES = {
     "ext_k_anonymity": ext_k_anonymity,
     "ext_string_funcs": ext_string_funcs,
     "ext_row_ids": ext_row_ids,
+    "ext_grouped_mode": ext_grouped_mode,
     "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
@@ -2893,6 +2918,24 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_grouped_mode": """
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        ranked AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY n DESC, event_type
+                   ) AS rk
+            FROM counts
+        )
+        SELECT user_id, event_type AS mode_type, n AS n_mode
+        FROM ranked WHERE rk = 1
+        ORDER BY user_id
+        LIMIT 1000
     """,
     "ext_row_ids": """
         SELECT o_orderkey,
