@@ -418,6 +418,37 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-hour distinct users from MERGEABLE hourly HLL
+    sketches: one sketch per hour (map-side partial agg), the rolling
+    window unions 3 sketch rows — the fact table is scanned ONCE no
+    matter how many windows, the re-aggregation works on KB sketch
+    state. COUNT(DISTINCT) does not decompose over overlapping
+    windows; sketch algebra does. Below nominal capacity the estimate
+    is exact, so the oracle states the brute-force per-window
+    COUNT(DISTINCT)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.h") >= F.col("a.h") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("b.h") <= F.col("a.h")),
+        )
+        .groupBy(F.col("a.h").alias("h"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("b.sk"))
+            ).alias("n_users_3h")
+        )
+        .orderBy("h")
+        .limit(500)
+    )
+
+
 def ext_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group MODE (most frequent event type per
     user, ties to the lexicographically smallest) via ``max_by`` over
@@ -2695,6 +2726,7 @@ QUERIES = {
     "ext_string_funcs": ext_string_funcs,
     "ext_row_ids": ext_row_ids,
     "ext_grouped_mode": ext_grouped_mode,
+    "ext_sliding_distinct": ext_sliding_distinct,
     "ext_datetime_funcs": ext_datetime_funcs,
     "ext_sliding_sum": ext_sliding_sum,
     "ext_dedup_exact": ext_dedup_exact,
@@ -2918,6 +2950,21 @@ ORACLE = {
             FROM documents WHERE doc_id % 7 <> 0
         )
         SELECT * FROM t ORDER BY version
+    """,
+    "ext_sliding_distinct": """
+        WITH hours AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+        )
+        SELECT hours.h,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                   AS n_users_3h
+        FROM hours
+        JOIN events e
+          ON date_trunc('hour', e.ts)
+             BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+        GROUP BY hours.h
+        ORDER BY hours.h
+        LIMIT 500
     """,
     "ext_grouped_mode": """
         WITH counts AS (
