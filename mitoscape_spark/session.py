@@ -52,6 +52,11 @@ def get_spark(
         # -- parquet TIMESTAMP(NANOS) columns (events.ts) surface as long;
         #    catalog.load_table converts them to µs timestamps explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- zstd writes: measured (PERF.md) gzip-class ratio at
+        #    faster-than-snappy speed — ~20% less storage AND scan I/O
+        #    at 100 TB for free; readers autodetect per-file codecs so
+        #    mixed tables stay readable
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # -- quieter local runs; harmless on a cluster
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
