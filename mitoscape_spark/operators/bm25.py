@@ -97,6 +97,15 @@ def bm25_search(
         raise ValueError("bm25_search: empty query")
     postings, stats = bm25_index(docs, text_col, id_col)
     hit = postings.where(F.col("token").isin(terms))
+    return _score_topk(hit, stats, k, k1, b)
+
+
+def _score_topk(
+    hit: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """THE scoring tree (idf · tf-norm → per-doc sum → top-k), shared
+    by the live and persisted-index paths so the formula can never
+    diverge between them."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -174,22 +183,4 @@ def read_bm25_topk(
     hit = postings.where(
         F.col("bucket").isin(buckets) & F.col("token").isin(terms)
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") * (k1 + 1.0) / (
-        F.col("tf")
-        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        hit.crossJoin(F.broadcast(stats))
-        .withColumn("term_score", idf * norm)
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
-    )
-    return (
-        scored.select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(k)
-    )
+    return _score_topk(hit, stats, k, k1, b)

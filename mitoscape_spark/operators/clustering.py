@@ -148,6 +148,10 @@ def semantic_dedup_pairs(
     joined = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).join(assigned.select(id_col, "cluster"), id_col)
+    # pair schema follows the id column's ACTUAL type — hardcoding
+    # long would crash (or null out) string/UUID ids at Arrow
+    # conversion time, exactly the ids the id_col parameter invites
+    id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -157,7 +161,10 @@ def semantic_dedup_pairs(
         )
         sims = x @ x.T
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        a, b = ids[ia], ids[ib]
+        swap = ~(a < b)  # np.where-safe for numeric AND string ids
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
         return pd.DataFrame(
             {
                 "id_a": lo,
@@ -167,7 +174,7 @@ def semantic_dedup_pairs(
         )
 
     return joined.groupBy("cluster").applyInPandas(
-        per_cluster, "id_a long, id_b long, cos double"
+        per_cluster, f"id_a {id_type}, id_b {id_type}, cos double"
     )
 
 

@@ -68,6 +68,28 @@ def _is_pure_dv(table_dir: str, version: int) -> bool:
     return m["dirs"] == p["dirs"] and m.get("dvs", []) != p.get("dvs", [])
 
 
+def _spark_to_arrow(spark_type):
+    """Spark → Arrow type for null-filled evolved columns (same
+    4-type surface as replay._arrow_schema_to_spark)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    if isinstance(spark_type, TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(spark_type, LongType):
+        return pa.int64()
+    if isinstance(spark_type, DoubleType):
+        return pa.float64()
+    if isinstance(spark_type, StringType):
+        return pa.string()
+    raise TypeError(f"snapshotstream: unsupported type {spark_type}")
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._table = options.get("path")
@@ -79,6 +101,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._names = schema.fieldNames()
+        self._types = {f.name: f.dataType for f in schema.fields}
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -134,11 +157,26 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> Iterator:
         if not partition.path:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from mitoscape_spark.sources.replay import _normalize_batch
 
-        tbl = pq.read_table(partition.path, columns=list(self._names))
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        # schema evolution: files written before an allow_new_columns
+        # append lack the evolved columns — read what exists, null-fill
+        # the rest (the same contract as batch merge_schema reads)
+        want = [c for c in self._names if c in present]
+        tbl = pq.read_table(partition.path, columns=want)
+        missing = [c for c in self._names if c not in present]
+        if missing:
+            n = tbl.num_rows
+            for c in missing:
+                pa_type = _spark_to_arrow(self._types[c])
+                tbl = tbl.append_column(
+                    c, pa.nulls(n, type=pa_type)
+                )
         for batch in tbl.to_batches():
             if batch.num_rows:
                 yield _normalize_batch(batch, self._names)
@@ -159,6 +197,7 @@ class SnapshotStreamDataSource(DataSource):
         return "snapshotstream"
 
     def schema(self) -> StructType | str:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from mitoscape_spark.sources.replay import _arrow_schema_to_spark
@@ -171,14 +210,28 @@ class SnapshotStreamDataSource(DataSource):
                 "a schema from"
             )
         dirs = snap._load_manifest(table_dir, v)["dirs"]
+        # MERGE footer schemas across directories: after an
+        # allow_new_columns append, only newer dirs carry the evolved
+        # columns — taking one (oldest) footer would silently drop
+        # them from every streamed row. One footer per dir, KB of I/O.
+        schemas = []
         for d in dirs:
             full = os.path.join(table_dir, d)
             for f in sorted(os.listdir(full)):
                 if f.endswith(".parquet"):
-                    return _arrow_schema_to_spark(
-                        pq.ParquetFile(os.path.join(full, f)).schema_arrow
+                    schemas.append(
+                        pq.ParquetFile(
+                            os.path.join(full, f)
+                        ).schema_arrow
                     )
-        raise ValueError(f"snapshot table {table_dir} has no data files")
+                    break
+        if not schemas:
+            raise ValueError(
+                f"snapshot table {table_dir} has no data files"
+            )
+        return _arrow_schema_to_spark(
+            pa.unify_schemas(schemas, promote_options="permissive")
+        )
 
     def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
         return _SnapshotStreamReader(schema, dict(self.options))

@@ -136,8 +136,13 @@ def commit(
     if mode == "append" and enforce_schema:
         parent = latest_version(table_dir)
         if parent > 0:
+            # merge_schema: the live table schema must include columns
+            # added by earlier allow_new_columns appends — a plain read
+            # takes one footer's schema and would let a CONFLICTING
+            # type for an evolved column slip past the check
             existing = read(
-                df.sparkSession, table_dir, version=parent
+                df.sparkSession, table_dir, version=parent,
+                merge_schema=True,
             ).schema
             _check_schema_compatible(
                 existing, df.schema, allow_new_columns
@@ -152,7 +157,16 @@ def commit(
     if stats_cols:
         from pyspark.sql import functions as F
 
-        row = df.agg(
+        # aggregate the WRITTEN files, not df's lineage: re-executing
+        # a non-deterministic plan (rand/sample/changed source) could
+        # record stats that disagree with the committed rows, and
+        # prune_dirs would then skip matching data — pruning must
+        # never be a semantic change. Reading back is also cheaper
+        # (one fresh dir) than re-running the full input lineage.
+        written = df.sparkSession.read.parquet(
+            os.path.join(table_dir, rel_dir)
+        )
+        row = written.agg(
             *[F.min(c).alias(f"_min_{c}") for c in stats_cols],
             *[F.max(c).alias(f"_max_{c}") for c in stats_cols],
         ).head()
@@ -182,6 +196,51 @@ def _dir_row_count(full_dir: str) -> int:
     return total
 
 
+def _publish_manifest(
+    table_dir: str,
+    build_fn,
+    max_retries: int = 20,
+) -> int:
+    """THE commit protocol: stage → exclusive-create publish →
+    optimistic retry. Every manifest writer (data commits, deletion
+    vectors, restore, bloom backfill) goes through this one loop, so a
+    change to the publish mechanism (e.g. conditional PUT on an object
+    store) happens in exactly one place.
+
+    ``build_fn(parent_version, parent_manifest_or_None)`` returns the
+    manifest BODY (everything except version/parent/committed_at,
+    which this function stamps); it is re-invoked per retry against
+    the fresh parent, so racing writers always chain consistently.
+    """
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    for _ in range(max_retries):
+        parent = latest_version(table_dir)
+        parent_manifest = (
+            _load_manifest(table_dir, parent) if parent > 0 else None
+        )
+        manifest = build_fn(parent, parent_manifest)
+        manifest["version"] = parent + 1
+        manifest["parent"] = parent
+        manifest["committed_at"] = time.time()
+        staged = os.path.join(
+            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(staged, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # hard link = atomic create-exclusive publish on POSIX
+            os.link(staged, _manifest_path(table_dir, parent + 1))
+            return parent + 1
+        except FileExistsError:
+            continue  # lost the race — rebuild against the new parent
+        finally:
+            os.unlink(staged)
+    raise RuntimeError(
+        f"commit to {table_dir} lost {max_retries} optimistic-concurrency "
+        "races; raise max_retries or reduce writer contention"
+    )
+
+
 def _publish_dir(
     table_dir: str,
     rel_dir: str,
@@ -193,21 +252,16 @@ def _publish_dir(
     n_rows: int | None = None,
 ) -> int:
     """Atomically publish an already-written data directory as the
-    next version — the commit protocol's second half, shared by
-    ``commit``, the ``format(\"snapshot\")`` batch writer, and
-    ``delete_where_dv`` (``dv_entry`` set: the directory is a
-    DELETION VECTOR — data dirs stay as the parent's, the entry joins
-    the manifest's ``dvs`` list)."""
-    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
-    for _ in range(max_retries):
-        parent = latest_version(table_dir)
+    next version — shared by ``commit``, the ``format(\"snapshot\")``
+    batch writer, and ``delete_where_dv`` (``dv_entry`` set: the
+    directory is a DELETION VECTOR — data dirs stay as the parent's,
+    the entry joins the manifest's ``dvs`` list)."""
+
+    def build(parent: int, parent_manifest: dict | None) -> dict:
         stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
         blooms: dict[str, dict] = {}
         dvs: list[dict] = []
-        parent_manifest = (
-            _load_manifest(table_dir, parent) if parent > 0 else None
-        )
         if dv_entry is not None:
             if parent_manifest is None:
                 raise ValueError(
@@ -234,13 +288,9 @@ def _publish_dir(
             stats[rel_dir] = dir_stats
         if n_rows is not None:
             rows[rel_dir] = n_rows
-        version = parent + 1
         manifest = {
-            "version": version,
-            "parent": parent,
             "mode": mode,
             "dirs": dirs,
-            "committed_at": time.time(),
             "meta": meta or {},
             "stats": stats,
             "rows": {d: rows[d] for d in dirs if d in rows},
@@ -250,23 +300,9 @@ def _publish_dir(
             manifest["blooms"] = kept_blooms
         if dvs:
             manifest["dvs"] = dvs
-        staged = os.path.join(
-            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
-        )
-        with open(staged, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            # hard link = atomic create-exclusive publish on POSIX
-            os.link(staged, _manifest_path(table_dir, version))
-            return version
-        except FileExistsError:
-            continue  # lost the race — recompute against the new parent
-        finally:
-            os.unlink(staged)
-    raise RuntimeError(
-        f"commit to {table_dir} lost {max_retries} optimistic-concurrency "
-        "races; raise max_retries or reduce writer contention"
-    )
+        return manifest
+
+    return _publish_manifest(table_dir, build, max_retries)
 
 
 def version_as_of(table_dir: str, timestamp: float) -> int:
@@ -358,11 +394,24 @@ def history(table_dir: str) -> list[dict]:
     ]
 
 
-def vacuum(table_dir: str, keep_versions: int | None = None) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_versions: int | None = None,
+    min_age_seconds: float = 600.0,
+) -> list[str]:
     """Delete data directories referenced by NO retained manifest;
     optionally first drop all but the newest ``keep_versions``
-    manifests. Returns the removed directory names. Safe by
-    construction: current-version files are always referenced."""
+    manifests. Returns the removed directory names.
+
+    ``min_age_seconds`` is the in-flight-writer guard: a concurrent
+    commit writes its data directory BEFORE publishing a manifest, so
+    an unreferenced-but-fresh directory may be a commit in progress —
+    deleting it would let the commit succeed pointing at vanished
+    files (table corruption). Directories younger than the threshold
+    are skipped, exactly the age-gated retention real table formats
+    use; pass ``min_age_seconds=0`` only when no writer can be active
+    (tests, single-writer maintenance windows).
+    """
     latest = latest_version(table_dir)
     if keep_versions is not None:
         for v in range(1, max(latest - keep_versions + 1, 1)):
@@ -375,12 +424,17 @@ def vacuum(table_dir: str, keep_versions: int | None = None) -> list[str]:
     }
     data_root = os.path.join(table_dir, _DATA_DIR)
     removed = []
+    now = time.time()
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(data_root, name))
-                removed.append(rel)
+            if rel in referenced:
+                continue
+            full = os.path.join(data_root, name)
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue  # possible in-flight commit — too young
+            shutil.rmtree(full)
+            removed.append(rel)
     return sorted(removed)
 
 
@@ -483,10 +537,26 @@ def prune_dirs(
     """Directories whose manifest stats MAY intersect every queried
     range — (surviving dirs, total dirs). A directory with no recorded
     stats for a queried column is kept (conservative, like a parquet
-    file with missing column statistics)."""
+    file with missing column statistics).
+
+    Type discipline: stats for non-JSON types (timestamps, dates)
+    are stored via ``str()`` — fixed-width ISO-like forms whose
+    lexicographic order matches chronology — so query bounds of those
+    types are coerced through the same ``str()`` before comparing.
+    A bound that still can't compare against a stat (e.g. Decimal vs
+    str) keeps the directory instead of crashing: pruning degrades to
+    conservative, never to wrong or broken."""
     v = latest_version(table_dir) if version is None else version
     m = _load_manifest(table_dir, v)
     stats = m.get("stats", {})
+
+    def _coerce(bound, stat_sample):
+        if bound is None:
+            return None
+        if isinstance(stat_sample, str) and not isinstance(bound, str):
+            return str(bound)
+        return bound
+
     kept = []
     for d in m["dirs"]:
         dstats = stats.get(d, {})
@@ -497,11 +567,15 @@ def prune_dirs(
             cmin, cmax = dstats[col]
             if cmin is None or cmax is None:
                 continue
-            if (hi is not None and cmin > hi) or (
-                lo is not None and cmax < lo
-            ):
-                keep = False
-                break
+            lo_c, hi_c = _coerce(lo, cmin), _coerce(hi, cmax)
+            try:
+                if (hi_c is not None and cmin > hi_c) or (
+                    lo_c is not None and cmax < lo_c
+                ):
+                    keep = False
+                    break
+            except TypeError:
+                continue  # incomparable bound/stat: keep (conservative)
         if keep:
             kept.append(d)
     return kept, len(m["dirs"])
@@ -540,15 +614,11 @@ def restore(table_dir: str, version: int) -> int:
     rewritten, so the bad versions remain auditable and the rollback
     itself is one O(1) manifest publish (no data movement at all)."""
     src = _load_manifest(table_dir, version)
-    for _ in range(20):
-        parent = latest_version(table_dir)
-        new_version = parent + 1
+
+    def build(parent: int, parent_manifest: dict | None) -> dict:
         manifest = {
-            "version": new_version,
-            "parent": parent,
             "mode": "overwrite",
             "dirs": src["dirs"],
-            "committed_at": time.time(),
             "meta": {"restored_from": version},
             "stats": src.get("stats", {}),
             # the restored STATE includes the source version's row
@@ -560,19 +630,9 @@ def restore(table_dir: str, version: int) -> int:
             manifest["blooms"] = src["blooms"]
         if src.get("dvs"):
             manifest["dvs"] = src["dvs"]
-        staged = os.path.join(
-            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
-        )
-        with open(staged, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(staged, _manifest_path(table_dir, new_version))
-            return new_version
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(staged)
-    raise RuntimeError("restore lost 20 optimistic-concurrency races")
+        return manifest
+
+    return _publish_manifest(table_dir, build)
 
 
 def maybe_compact(
@@ -667,7 +727,20 @@ def table_changes(
             ins = ins.join(dv_to, on=key, how="left_anti")
         if dels is not None and dv_from is not None:
             dels = dels.join(dv_from, on=key, how="left_anti")
-        common = _read_dirs(sorted(old_dirs & new_dirs))
+        # metadata shortcut: identical dv DIRECTORY lists mean
+        # identical key sets (dv dirs are immutable), so unchanged
+        # data dirs cannot change effectively — skip their scan
+        # entirely. Without this, every incremental batch on a
+        # once-DV'd table would rescan the whole table.
+        dv_dirs_from = [
+            e["dir"] for e in (m_from or {}).get("dvs", [])
+        ]
+        dv_dirs_to = [e["dir"] for e in m_to.get("dvs", [])]
+        common = (
+            None
+            if dv_dirs_from == dv_dirs_to
+            else _read_dirs(sorted(old_dirs & new_dirs))
+        )
         if common is not None:
             newly_dead = (
                 dv_to
@@ -810,10 +883,12 @@ def bloom_for_commit(df: DataFrame, cols: list[str]) -> dict[str, str]:
     return out
 
 
-def _bloom_may_contain(bitmap_hex: str, col: str, value, spark) -> bool:
+def _bloom_probe_positions(spark: SparkSession, value) -> list[int]:
+    """The probed value's bit positions — ONE tiny Spark job per
+    lookup (Spark computes its own Murmur3, so build and probe can
+    never drift), reused across every directory's bitmap."""
     from pyspark.sql import functions as F
 
-    bits = bytes.fromhex(bitmap_hex)
     probe = F.lit(value).cast("string")
     row = (
         spark.range(1)
@@ -828,10 +903,12 @@ def _bloom_may_contain(bitmap_hex: str, col: str, value, spark) -> bool:
         )
         .head()
     )
-    return all(
-        bits[row[i] // 8] & (1 << (row[i] % 8))
-        for i in range(_BLOOM_HASHES)
-    )
+    return [row[i] for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_may_contain(bitmap_hex: str, positions: list[int]) -> bool:
+    bits = bytes.fromhex(bitmap_hex)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
 
 
 def attach_bloom(
@@ -847,29 +924,19 @@ def attach_bloom(
         df = spark.read.parquet(os.path.join(table_dir, d))
         blooms.setdefault(d, {}).update(bloom_for_commit(df, cols))
     # metadata-only publish: same dirs/stats/dvs, blooms added
-    for _ in range(20):
-        parent = latest_version(table_dir)
-        pm = _load_manifest(table_dir, parent)
-        manifest = dict(pm)
-        manifest["version"] = parent + 1
-        manifest["parent"] = parent
+    def build(parent: int, parent_manifest: dict | None) -> dict:
+        if parent_manifest is None:
+            raise ValueError("attach_bloom on an empty table")
+        manifest = dict(parent_manifest)
         manifest["mode"] = "append"
-        manifest["committed_at"] = time.time()
         manifest["meta"] = {"bloom_cols": cols}
-        manifest["blooms"] = {**pm.get("blooms", {}), **blooms}
-        staged = os.path.join(
-            table_dir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}"
-        )
-        with open(staged, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(staged, _manifest_path(table_dir, parent + 1))
-            return parent + 1
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(staged)
-    raise RuntimeError("attach_bloom lost 20 optimistic races")
+        manifest["blooms"] = {
+            **parent_manifest.get("blooms", {}),
+            **blooms,
+        }
+        return manifest
+
+    return _publish_manifest(table_dir, build)
 
 
 def read_point_lookup(
@@ -890,11 +957,12 @@ def read_point_lookup(
     v = latest_version(table_dir) if version is None else version
     m = _load_manifest(table_dir, v)
     blooms = m.get("blooms", {})
+    positions = _bloom_probe_positions(spark, value)
     kept = [
         d
         for d in m["dirs"]
         if col not in blooms.get(d, {})
-        or _bloom_may_contain(blooms[d][col], col, value, spark)
+        or _bloom_may_contain(blooms[d][col], positions)
     ]
     if not kept:
         base = read(spark, table_dir, v).where(F.lit(False))

@@ -182,3 +182,20 @@ def test_semantic_dedup_keeps_canonical_min_id(spark):
     assert any(i >= 1000 for i in gone)
     for i in gone:
         assert find(i) in kept
+
+
+def test_semantic_dedup_works_with_string_ids(spark):
+    rows = [
+        ("doc-a", [10.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [10.0001, 0.0, 0.0, 0.0]),   # near-copy of doc-a
+        ("doc-c", [0.0, 10.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    assigned, _ = fit_clusters(df, k=2, seed=3)
+    pairs = semantic_dedup_pairs(df, assigned, 0.9999).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("doc-a", "doc-b")]
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(df, k=2, threshold=0.9999, seed=3).collect()
+    }
+    assert kept == {"doc-a", "doc-c"}

@@ -224,3 +224,25 @@ def test_medallion_bronze_stream_silver_view(spark, tmp_path):
     v = snap.latest_version(silver)
     sync()
     assert snap.latest_version(silver) == v
+
+
+def test_snapshotstream_streams_evolved_columns(spark, tmp_path):
+    """Columns added via allow_new_columns must appear in the stream
+    (null-filled for pre-evolution files), not silently drop."""
+    from pyspark.sql import functions as F
+
+    import mitoscape_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    snap.commit(
+        spark.range(10, 12)
+        .withColumnRenamed("id", "v")
+        .withColumn("tag", F.lit("new")),
+        t,
+        allow_new_columns=True,
+    )
+    _stream_once(spark, t, out, ckpt)
+    rows = {r.v: r.tag for r in spark.read.parquet(out).collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: "new", 11: "new"}

@@ -67,7 +67,9 @@ def test_crash_orphan_is_invisible_and_vacuumed(spark, tmp_path):
     # simulate a crashed writer: data dir written, no manifest
     _df(spark, 0, 5).write.parquet(os.path.join(t, "data", "orphan"))
     assert snap.read(spark, t).count() == 10  # reader never sees it
-    removed = snap.vacuum(t)
+    # fresh orphan: the in-flight guard would skip it; tests opt out
+    assert snap.vacuum(t) == []  # age-gated by default
+    removed = snap.vacuum(t, min_age_seconds=0)
     assert removed == [os.path.join("data", "orphan")]
     assert snap.read(spark, t).count() == 10
 
@@ -76,7 +78,7 @@ def test_vacuum_keep_versions_reclaims_overwritten_data(spark, tmp_path):
     t = str(tmp_path / "tbl")
     snap.commit(_df(spark, 0, 10), t)
     snap.commit(_df(spark, 10, 20), t, mode="overwrite")
-    removed = snap.vacuum(t, keep_versions=1)
+    removed = snap.vacuum(t, keep_versions=1, min_age_seconds=0)
     assert len(removed) == 1  # v1's now-unreferenced directory
     assert snap.read(spark, t).count() == 10
     with pytest.raises(ValueError, match="not found"):
@@ -152,7 +154,7 @@ def test_compact_merges_dirs_preserves_rows_and_history(spark, tmp_path):
     ) == list(range(50))
     # pre-compaction versions still time-travel until vacuumed
     assert snap.read(spark, t, version=3).count() == 30
-    removed = snap.vacuum(t, keep_versions=1)
+    removed = snap.vacuum(t, keep_versions=1, min_age_seconds=0)
     assert len(removed) == 5  # the five tiny pre-compaction dirs
 
 
@@ -471,7 +473,7 @@ def test_dv_vacuum_keeps_dv_dirs(spark, tmp_path):
     t = str(tmp_path / "t")
     snap.commit(spark.range(6).withColumnRenamed("id", "v"), t)
     snap.delete_where_dv(spark, t, "v = 1", key_col="v")
-    removed = snap.vacuum(t)
+    removed = snap.vacuum(t, min_age_seconds=0)
     assert removed == []
     assert _vals(spark, t) == [0, 2, 3, 4, 5]
 
@@ -730,7 +732,7 @@ def test_restore_to_dv_version_keeps_tombstones(spark, tmp_path):
     assert got == list(range(8))
     # row counts + vacuum still coherent after the restore
     assert snap.table_count(spark, t) == 8
-    assert snap.vacuum(t) == []
+    assert snap.vacuum(t, min_age_seconds=0) == []
 
 
 def test_zorder_and_merge_materialize_deletion_vectors(spark, tmp_path):
@@ -829,3 +831,98 @@ def test_concurrent_dv_and_append_both_land(spark, tmp_path):
     assert got == [3, 4, 5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
     # the feed across the whole race nets to the same state
     assert snap.table_count(spark, t) == 12
+
+
+# ----------------------------- round-2 review fixes, regression-pinned
+def test_commit_stats_reflect_written_data_not_lineage(spark, tmp_path):
+    """Non-deterministic input: manifest stats must describe the rows
+    actually WRITTEN (re-executing the plan could yield different
+    min/max and make pruning skip real data)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    nondet = spark.range(500).select(
+        (F.rand() * 1000).alias("x")
+    )
+    snap.commit(nondet, t, stats_cols=["x"])
+    m = snap._load_manifest(t, 1)
+    d = m["dirs"][0]
+    lo, hi = m["stats"][d]["x"]
+    got = snap.read(spark, t).agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    ).head()
+    assert lo == got["lo"] and hi == got["hi"]
+
+
+def test_schema_enforcement_sees_evolved_columns(spark, tmp_path):
+    """A column added via allow_new_columns must be type-checked on
+    later appends (plain single-footer schema would miss it)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "a"), t)
+    snap.commit(
+        spark.range(3).withColumnRenamed("id", "a")
+        .withColumn("b", F.lit("s")),
+        t,
+        allow_new_columns=True,
+    )
+    # conflicting type for the evolved column must be rejected
+    with pytest.raises(ValueError, match="type changed|missing"):
+        snap.commit(
+            spark.range(3).withColumnRenamed("id", "a")
+            .withColumn("b", F.lit(1)),
+            t,
+            allow_new_columns=True,
+        )
+
+
+def test_prune_dirs_timestamp_bounds_do_not_crash(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    for day in (0, 10):
+        df = spark.range(5).select(
+            (F.lit(base) + F.make_interval(days=F.col("id") + day)
+             ).alias("ts")
+        )
+        snap.commit(df, t, stats_cols=["ts"])
+    kept, total = snap.prune_dirs(
+        t, {"ts": (dt.datetime(2024, 1, 11), dt.datetime(2024, 1, 12))}
+    )
+    assert total == 2 and len(kept) == 1  # first dir provably disjoint
+    got = snap.read_pruned(
+        spark, t,
+        {"ts": (dt.datetime(2024, 1, 11), dt.datetime(2024, 1, 12))},
+    ).count()
+    assert got == 2  # Jan 11 + Jan 12 rows
+
+
+def test_table_changes_skips_common_dirs_when_dv_unchanged(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(6).withColumnRenamed("id", "v"), t)
+    snap.delete_where_dv(spark, t, "v = 0", key_col="v")
+    snap.commit(spark.range(10, 12).withColumnRenamed("id", "v"), t)
+    feed = snap.table_changes(spark, t, 2, 3)
+    rows = sorted((r._change_type, r.v) for r in feed.collect())
+    assert rows == [("insert", 10), ("insert", 11)]
+    # cost contract: only the appended dir is read — the unchanged
+    # (tombstone-carrying) base dir never opens
+    m2 = set(snap._load_manifest(t, 2)["dirs"])
+    for f in feed.inputFiles():
+        assert not any(d in f for d in m2), f
+
+
+def test_vacuum_age_guard_skips_fresh_dirs_by_default(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).withColumnRenamed("id", "v"), t)
+    spark.range(2).write.parquet(os.path.join(t, "data", "inflight"))
+    assert snap.vacuum(t) == []  # young unreferenced dir: protected
+    assert snap.vacuum(t, min_age_seconds=0) == [
+        os.path.join("data", "inflight")
+    ]
