@@ -70,6 +70,10 @@ def cmd_classify(args: argparse.Namespace, spark: SparkSession) -> int:
     from mitoscape_spark.pipeline.ld import ld_scores_table
     from mitoscape_spark.pipeline.ml import load_pipeline_model
 
+    if not (args.mt and args.nt) and not args.prefix:
+        raise SystemExit(
+            "classify requires --mt/--nt (or --prefix to derive them)"
+        )
     mt_path = args.mt or f"{args.prefix}_MT.parquet"
     nt_path = args.nt or f"{args.prefix}_NT.parquet"
     mt = _read_alignments(spark, mt_path)
@@ -251,7 +255,14 @@ def cmd_prep(args, spark: SparkSession) -> int:
         pairs = minhash_candidate_pairs(sigs, max_bucket_size=256)
         docs = dedup_keep_canonical(docs, pairs)
     fracs = [float(x) for x in args.splits.split(",")]
-    names = ["train", "val", "test"][: len(fracs)]
+    names = ["train", "val", "test"]
+    if len(fracs) > len(names):
+        raise SystemExit(
+            f"prep: --splits supports at most {len(names)} fractions "
+            f"({','.join(names)}); got {len(fracs)}"
+        )
+    if sum(fracs) > 1.0 + 1e-9:
+        raise SystemExit("prep: --splits fractions must sum to <= 1")
     docs = assign_splits(
         docs, "doc_id", dict(zip(names, fracs)), salt=args.salt
     )

@@ -29,7 +29,14 @@ def pagerank(
     dst: str = "dst",
 ) -> DataFrame:
     """(id, rank) for every node appearing in ``edges`` (directed)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # materialize the loop-invariant state ONCE: without this every
+    # iteration re-runs the edge scan + distinct shuffle + degree agg
+    # from source lineage (~2 redundant full shuffles per round)
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("d").alias("id")))
@@ -37,7 +44,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(max_iter):
@@ -83,7 +96,9 @@ def pagerank(
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """(id, n_triangles) per node, via degree-ordered orientation.
+    """(id, n_triangles) for every node in ≥1 triangle — SPARSE
+    output: triangle-free nodes are absent (left-join + coalesce(0)
+    against your node set to densify), via degree-ordered orientation.
 
     The MapReduce-classic trick (Suri & Vassilvitskii 2011, "Counting
     Triangles and the Curse of the Last Reducer"): canonicalize the
@@ -191,6 +206,8 @@ def label_propagation(
         .union(e.where(F.col("a") != F.col("b")).select(
             F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        # loop-invariant: materialize once, not per round
+        .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(
@@ -209,14 +226,18 @@ def label_propagation(
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # most frequent label, smallest label on ties: max_by over a
-        # composite (count, -label) ordering key
+        # most frequent label, smallest label on ties: min_by over a
+        # (-count, label) struct — type-generic (a cast-to-long
+        # tie-break would NULL out string labels and silently turn
+        # the deterministic pick arbitrary)
         new_labels = (
             votes.groupBy("node")
             .agg(
-                F.max_by(
+                F.min_by(
                     "lbl",
-                    F.struct(F.col("n"), F.col("lbl").cast("long") * -1),
+                    F.struct(
+                        (-F.col("n")).alias("_neg_n"), F.col("lbl")
+                    ),
                 ).alias("lbl")
             )
             .select(F.col("node").alias("id"), "lbl")

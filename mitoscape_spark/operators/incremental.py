@@ -63,7 +63,7 @@ def maintain_sum_count(
         F.sum(signed_value).alias("_d_sum"),
         F.sum(signed_weight).alias("_d_n"),
     )
-    merged = base_agg.join(delta_agg, keys, "full_outer").select(
+    merged = _merge_on_keys_nullsafe(base_agg, delta_agg, keys).select(
         *keys,
         (
             F.coalesce(F.col(sum_col), F.lit(0))
@@ -75,6 +75,35 @@ def maintain_sum_count(
         ).alias(count_col),
     )
     return merged.where(F.col(count_col) > 0)
+
+
+def _merge_on_keys_nullsafe(
+    base: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """full_outer join on group keys with NULL-SAFE equality: groupBy
+    treats NULL as one real group, so the maintainer's join must match
+    it too — plain `=` would never merge NULL-keyed state and the
+    duplicate rows would compound every refresh. Output carries ONE
+    coalesced copy of each key plus both sides' value columns."""
+    import functools
+
+    b, d = base.alias("_b"), delta.alias("_d")
+    cond = functools.reduce(
+        lambda a, c: a & c,
+        [
+            F.col(f"_b.{k}").eqNullSafe(F.col(f"_d.{k}"))
+            for k in keys
+        ],
+    )
+    joined = b.join(d, cond, "full_outer")
+    keep = [
+        F.coalesce(F.col(f"_b.{k}"), F.col(f"_d.{k}")).alias(k)
+        for k in keys
+    ]
+    others = [
+        F.col(f"_b.{c}") for c in base.columns if c not in keys
+    ] + [F.col(f"_d.{c}") for c in delta.columns if c not in keys]
+    return joined.select(*keep, *others)
 
 
 def refresh_snapshot_aggregate(
@@ -212,7 +241,13 @@ def maintain_min_max_insert_only(
     instead of silently corrupting the view (re-aggregate those groups
     explicitly, or keep deletes out of this view's feed).
     """
-    bad = delta.where(F.col(op_col) != insert_op).limit(1).count()
+    # null-safe inequality: a NULL op must count as "not an insert"
+    # (plain != evaluates to NULL and slips past the guard)
+    bad = (
+        delta.where(~F.col(op_col).eqNullSafe(insert_op))
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError(
             "maintain_min_max_insert_only: delta contains non-insert "
@@ -222,7 +257,7 @@ def maintain_min_max_insert_only(
         F.min(value_col).alias("_d_min"),
         F.max(value_col).alias("_d_max"),
     )
-    return base_agg.join(delta_agg, keys, "full_outer").select(
+    return _merge_on_keys_nullsafe(base_agg, delta_agg, keys).select(
         *keys,
         F.least(
             F.coalesce(F.col(min_col), F.col("_d_min")),

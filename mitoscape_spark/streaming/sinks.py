@@ -21,6 +21,7 @@ pruning here); the merge join itself broadcasts the micro-batch side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mitoscape_spark.operators.merge import merge_upsert
@@ -50,20 +51,46 @@ def upsert_to_parquet(
     path: str,
     checkpoint: str,
     keys: list[str],
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch upsert sink: each micro-batch is rewrite-merged into
-    the parquet snapshot at ``path`` by ``keys``. Idempotent per
-    batch_id replay: merging the same batch twice yields the same
-    snapshot (last write per key wins within a batch via dropDuplicates).
+    the parquet snapshot at ``path`` by ``keys``.
+
+    Intra-batch duplicates: with ``order_col`` the row with the MAX
+    order value per key survives (deterministic last-write-wins and
+    therefore idempotent across batch_id replays); without it an
+    arbitrary row survives — fine for batches that can't carry
+    duplicate keys, unsound for multi-update batches, so pass
+    ``order_col`` whenever updates can collide.
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(keys)
-        try:
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc()
+            )
+            batch = (
+                batch_df.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .drop("_rk")
+            )
+        else:
+            batch = batch_df.dropDuplicates(keys)
+        # ONLY a missing snapshot means "first batch"; any other read
+        # or merge failure must propagate — swallowing it would
+        # overwrite the whole snapshot with this batch's few rows
+        # (total data loss dressed up as recovery)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             target = spark.read.parquet(path)
             merged = merge_upsert(target, batch, keys)
-        except Exception:  # first batch: no snapshot yet
+        else:
             merged = batch
         # rewrite snapshot: stage in memory (bench-scale) or to a temp
         # dir then swap in production; localCheckpoint breaks the

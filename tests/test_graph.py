@@ -164,3 +164,23 @@ def test_lpa_matches_python_twin(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.community for r in label_propagation(df).collect()}
     assert got == _py_lpa(edges)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).collect() == []
+
+
+def test_lpa_deterministic_with_string_ids(spark):
+    from itertools import combinations
+
+    edges = [
+        (f"u{a}", f"u{b}") for a, b in combinations(range(4), 2)
+    ] + [(f"v{a}", f"v{b}") for a, b in combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got1 = {r.id: r.community for r in label_propagation(df).collect()}
+    got2 = {r.id: r.community for r in label_propagation(df).collect()}
+    assert got1 == got2
+    # each clique converges to its smallest label
+    assert {got1[f"u{i}"] for i in range(4)} == {"u0"}
+    assert {got1[f"v{i}"] for i in range(4)} == {"v0"}

@@ -237,3 +237,39 @@ def test_min_max_insert_only_rejects_deletes(spark):
     )
     with _pytest.raises(ValueError, match="not delta-maintainable"):
         maintain_min_max_insert_only(base, delta, ["k"], "v")
+
+
+def test_maintain_sum_count_merges_null_group_keys(spark):
+    from mitoscape_spark.operators.incremental import maintain_sum_count
+
+    base = spark.createDataFrame(
+        [(None, 10.0, 2), ("a", 1.0, 1)],
+        "k string, sum_value double, n long",
+    )
+    delta = spark.createDataFrame(
+        [(None, 5.0, "insert"), ("a", 2.0, "insert")],
+        "k string, v double, op string",
+    )
+    got = {
+        r.k: (r.sum_value, r.n)
+        for r in maintain_sum_count(base, delta, ["k"], "v").collect()
+    }
+    # NULL is ONE group (groupBy semantics), not two split rows
+    assert got == {None: (15.0, 3), "a": (3.0, 2)}
+
+
+def test_min_max_insert_only_null_op_rejected(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.incremental import (
+        maintain_min_max_insert_only,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "k string, min_value double, max_value double"
+    )
+    delta = spark.createDataFrame(
+        [("a", -999.0, None)], "k string, v double, op string"
+    )
+    with _pytest.raises(ValueError, match="non-insert"):
+        maintain_min_max_insert_only(base, delta, ["k"], "v")

@@ -743,3 +743,83 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     assert by_left[200].r_ts is None
     # the late sentinel itself is still within its window: not emitted
     assert 800 not in by_left
+
+
+def test_upsert_sink_read_failure_does_not_wipe_snapshot(spark, tmp_path):
+    """A failing merge (schema drift) must PROPAGATE, not silently
+    overwrite the snapshot with the bad batch's few rows."""
+    import os
+
+    import pytest as _pytest
+
+    from mitoscape_spark.streaming.sinks import upsert_to_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, val string"
+    )
+    good.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    q = upsert_to_parquet(
+        spark.readStream.schema(good.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out,
+        ckpt,
+        keys=["k"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 2
+
+    # schema-drifted batch: missing the 'val' column entirely
+    bad = spark.createDataFrame([(9,)], "k long")
+    bad.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    q2 = upsert_to_parquet(
+        spark.readStream.schema(bad.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out,
+        str(tmp_path / "ckpt2"),
+        keys=["k"],
+    )
+    with _pytest.raises(Exception):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    # original snapshot intact — NOT wiped down to the bad batch
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_upsert_sink_order_col_picks_last_write(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.streaming.sinks import upsert_to_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
+        "k long, val string, seq long",
+    )
+    batch.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    q = upsert_to_parquet(
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out,
+        ckpt,
+        keys=["k"],
+        order_col="seq",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: r.val for r in spark.read.parquet(out).collect()}
+    assert got == {1: "new", 2: "only"}  # max seq wins, deterministic
