@@ -39,6 +39,15 @@ def pack_sequences(
     pack_id is where the row *starts*, matching concatenate-then-split
     semantics.
     """
+    # DIV requires an integral operand; a double order column would
+    # fail analysis deep in the plan — validate here with a clear
+    # message (fractional keys also break the uniqueness contract)
+    order_type = df.schema[order_col].dataType.simpleString()
+    if order_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pack_sequences/global_row_number need an integral "
+            f"order_col; {order_col!r} is {order_type}"
+        )
     rows = df.select(
         order_col,
         F.col(tokens_col).cast("long").alias(tokens_col),

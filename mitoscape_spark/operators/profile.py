@@ -146,6 +146,26 @@ def suppress_rare_combinations(
     """k-anonymity enforcement by suppression: drop every row whose
     quasi-identifier combination has fewer than ``k`` occurrences.
     Anti-join against the (small) below-k group list — the surviving
-    corpus streams through; only the rare-combination keys shuffle."""
-    rare = k_anonymity_report(df, quasi_cols, k).select(*quasi_cols)
-    return df.join(rare, quasi_cols, "left_anti")
+    corpus streams through; only the rare-combination keys shuffle.
+
+    The anti-join is NULL-SAFE: a NULL quasi-identifier is a real
+    (and often highly identifying) group — a plain equi-join would
+    never match it and the supposedly-suppressed rows would survive
+    the privacy filter."""
+    import functools
+
+    rare = (
+        k_anonymity_report(df, quasi_cols, k)
+        .select(*quasi_cols)
+        .select(
+            *[F.col(c).alias(f"_rare_{c}") for c in quasi_cols]
+        )
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(c).eqNullSafe(F.col(f"_rare_{c}"))
+            for c in quasi_cols
+        ],
+    )
+    return df.join(rare, cond, "left_anti")

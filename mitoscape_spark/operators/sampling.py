@@ -36,7 +36,12 @@ def hex_threshold(fraction: float) -> str:
 
 
 def _hash_prefix(key_col: str, salt: str) -> Column:
-    key = F.col(key_col).cast("string")
+    # NULL keys hash as a fixed sentinel instead of propagating NULL
+    # (md5(NULL)=NULL would make every keep/drop predicate NULL and
+    # silently drop the rows at ANY fraction — even 1.0)
+    key = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("__null_key__")
+    )
     if salt:
         key = F.concat(F.lit(salt), key)
     return F.substring(F.md5(key), 1, _PREFIX_LEN)
@@ -47,9 +52,10 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided purely by ``md5(salt || key)``.
 
-    Distinct ``salt`` values give independent samples from the same key
-    space (e.g. disjoint train/validation splits via complementary
-    thresholds on different salts).
+    Distinct ``salt`` values give INDEPENDENT samples — two salted
+    samples overlap ~f1·f2 of the corpus. For DISJOINT splits use
+    complementary bands on the SAME hash (``assign_splits``); different
+    salts can never guarantee disjointness.
     """
     return df.where(_hash_prefix(key_col, salt) < F.lit(hex_threshold(fraction)))
 
@@ -70,8 +76,15 @@ def assign_splits(
     expr: Column = F.lit(None).cast("string")
     hi = 0.0
     bands = []
-    for name, fraction in fractions.items():
+    items = list(fractions.items())
+    for i, (name, fraction) in enumerate(items):
         lo, hi = hi, hi + fraction
+        # float accumulation: fractions summing to 1.0 can land at
+        # 0.999…9, turning the last band's cap into 'ffff' and
+        # NULL-splitting the 1/65536 of keys whose prefix is 'ffff'
+        # — snap the final band to the keep-all sentinel instead
+        if i == len(items) - 1 and abs(hi - 1.0) < 1e-9:
+            hi = 1.0
         bands.append((name, hex_threshold(lo), hex_threshold(hi)))
     for name, lo_t, hi_t in reversed(bands):
         expr = F.when((h >= lo_t) & (h < hi_t), name).otherwise(expr)
@@ -167,11 +180,18 @@ def temperature_mix(
     )
     order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    # null-safe budget join: a NULL stratum is a real group (groupBy
+    # produced a budget row for it); a plain equi-join would silently
+    # drop every NULL-stratum document from the mix
+    b = budgets.withColumnRenamed(stratum_col, "_stratum_b")
     return (
-        df.join(F.broadcast(budgets), stratum_col)
+        df.join(
+            F.broadcast(b),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum_b")),
+        )
         .withColumn("_rank", F.row_number().over(w))
         .where(F.col("_rank") <= F.col("_budget"))
-        .drop("_rank", "_budget")
+        .drop("_rank", "_budget", "_stratum_b")
     )
 
 
@@ -190,9 +210,19 @@ def top_fraction_per_key(
     percent_rank (deterministic: score desc, id tiebreak) <= fraction.
     One window shuffle partitioned by key; same skew caveat as
     cap_per_key.
+
+    Small-key bias, documented: percent_rank keeps
+    floor(fraction·(n−1))+1 rows, so tiny keys over-keep (a 3-row key
+    at 0.5 keeps 2 = 67%) and every key keeps ≥1 row for any
+    fraction > 0 — the desirable behavior for "don't empty weak
+    sources". ``fraction <= 0`` keeps nothing (explicitly special-
+    cased: the top row's percent_rank is 0.0 and would otherwise
+    always pass).
     """
     from pyspark.sql import Window
 
+    if fraction <= 0.0:
+        return df.where(F.lit(False))
     w = Window.partitionBy(key_col).orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 from mitoscape_spark.catalog import load_table
 
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -35,11 +38,17 @@ def events_stream(
     # the file stream source ingests directories; sf_dir holds every
     # table's parquet, so expose the events file alone through a
     # symlink dir (a real deployment lands stream files in their own
-    # directory to begin with)
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
+    # directory to begin with). One CACHED dir per sf_dir — repeated
+    # calls otherwise leak a /tmp dir each — and an ABSOLUTE target
+    # (a relative sf_dir would resolve against /tmp and dangle).
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = _STREAM_DIRS.get(target)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            target, os.path.join(stream_dir, "events.parquet")
+        )
+        _STREAM_DIRS[target] = stream_dir
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -194,12 +203,19 @@ def stream_stream_join(
     that delay. The same watermark+range bound applies, so outer state
     is no larger than inner state.
     """
-    l = left.select(
+    def _ts(side: DataFrame) -> DataFrame:
+        # same ntz guard as the dedup helpers: EventTimeWatermark
+        # rejects TIMESTAMP_NTZ (pyarrow-written parquet default)
+        if dict(side.dtypes)["ts"] == "timestamp_ntz":
+            side = side.withColumn("ts", F.col("ts").cast("timestamp"))
+        return side
+
+    l = _ts(left).select(
         F.col(on).alias("l_key"),
         F.col("ts").alias("l_ts"),
         F.col("event_id").alias("l_event"),
     ).withWatermark("l_ts", watermark)
-    r = right.select(
+    r = _ts(right).select(
         F.col(on).alias("r_key"),
         F.col("ts").alias("r_ts"),
         F.col("event_id").alias("r_event"),

@@ -209,3 +209,57 @@ def test_global_row_number_matches_window_and_avoids_single_partition(
         got.explain("formatted")
     plan = buf.getvalue()
     assert "row_number" not in plan.lower().replace("global_row", "")
+
+
+def test_assign_splits_full_fractions_leave_no_null(spark):
+    from mitoscape_spark.operators.sampling import assign_splits
+
+    df = spark.range(200000).withColumnRenamed("id", "k")
+    out = assign_splits(df, "k", {"a": 0.2, "b": 0.7, "c": 0.1})
+    # 0.2+0.7+0.1 accumulates to 0.999...9 in floats: without the
+    # final-band snap, prefix 'ffff' keys (~3 in 200k) went NULL
+    assert out.where("split IS NULL").count() == 0
+
+
+def test_sampling_null_keys_not_dropped(spark):
+    from mitoscape_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, None)],
+        "doc_id long, lang string",
+    )
+    # fraction=1.0 must keep EVERYTHING, null keys included
+    assert deterministic_sample(
+        df.withColumn("k", F.col("lang")), "k", 1.0
+    ).count() == 4
+    # null stratum participates in the mix (budget row exists for it)
+    mixed = temperature_mix(df, "lang", "doc_id", total=4, alpha=1.0)
+    langs = sorted(
+        (r.lang if r.lang is not None else "<null>")
+        for r in mixed.collect()
+    )
+    assert "<null>" in langs and "en" in langs
+
+
+def test_top_fraction_zero_keeps_nothing(spark):
+    from mitoscape_spark.operators.sampling import top_fraction_per_key
+
+    df = spark.createDataFrame(
+        [("s", 1.0, 1), ("s", 2.0, 2)], "src string, score double, id long"
+    )
+    assert top_fraction_per_key(df, "src", "score", 0.0, "id").count() == 0
+
+
+def test_pack_sequences_rejects_double_order_col(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1.5, 3)], "k double, n_tokens long"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        pack_sequences(df, order_col="k")

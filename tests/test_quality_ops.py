@@ -294,3 +294,15 @@ def test_k_anonymity_suppression_enforces_k(spark):
         ).collect()
     }
     assert sizes == {("US", "a"): 6, ("DE", "b"): 4}
+
+
+def test_suppress_rare_combinations_null_keys_suppressed(spark):
+    from mitoscape_spark.operators.profile import (
+        suppress_rare_combinations,
+    )
+
+    rows = [("US",)] * 6 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "country string")
+    kept = suppress_rare_combinations(df, ["country"], k=5).collect()
+    # the NULL group (size 2 < k) must actually be suppressed
+    assert [r.country for r in kept] == ["US"] * 6
