@@ -374,7 +374,12 @@ def embedding_near_duplicates(
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).where(F.col("v").isNotNull())
+    # the NULL-vector filter above is load-bearing, not cosmetic:
+    # collect_list SKIPS nulls, so a null vector would desynchronize
+    # the packed ids/vecs lists and silently attribute every later
+    # vector in the block to the WRONG id (null vectors can match
+    # nothing anyway)
     if n_blocks is None:
         stats = e.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
@@ -614,6 +619,15 @@ def connected_components_propagation(
         labels = updated
         if changed == 0:
             break
+    else:
+        # same contract as the star variant: silently-wrong labels
+        # (one true component split in several) are worse than an error
+        raise RuntimeError(
+            "connected_components_propagation did not converge in "
+            f"{max_iterations} rounds (component diameter exceeds the "
+            "budget); raise max_iterations or use connected_components "
+            "(log-rounds star variant)"
+        )
     return labels
 
 
@@ -677,7 +691,11 @@ def sparse_near_duplicates(
         )
     norm = postings.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("_n")
-    )
+    ).where(F.col("_n") > 0)
+    # zero-norm docs (all-zero weights) are dropped via the inner
+    # join below rather than divided by: under ANSI mode (session
+    # default) w/0 ABORTS the job, and a zero vector has cosine 0
+    # to everything regardless
     p = (
         postings.join(norm, id_col)
         .select(
@@ -790,7 +808,12 @@ def ngram_jaccard_pairs_prefix(
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     prefix_len = (
-        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+        # epsilon-nudge before ceil: 0.07*100 is 7.000000000000001 in
+        # doubles, and an overshot ceil SHORTENS the prefix below the
+        # sound bound (threshold-boundary pairs silently missed)
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
     )
     prefix = (
         ordered.join(sizes, "doc_id")

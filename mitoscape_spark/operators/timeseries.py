@@ -46,13 +46,22 @@ def ewma_daily(
 
     — two cumulative sums over the per-key day order, rescaled per
     row. Weights are renormalized (so the first day's ewma equals its
-    total). Day offsets are computed from each key's FIRST day, which
-    keeps d^(-t_i) bounded by the key's history length (no overflow
-    at any absolute date).
+    total). Day offsets are computed from each key's FIRST day, so the
+    validity horizon depends on HISTORY LENGTH, not absolute dates.
+
+    Numeric validity horizon (checked, not hoped): d^(-t) overflows
+    double once a key's day span exceeds ~308/log10(1/d) days (~6.5k
+    days at d=0.9, ~1k at d=0.5). Histories past the horizon would
+    yield Inf/NaN silently; this raises instead — truncate the input
+    window (contributions older than ~40 half-lives are below double
+    precision anyway) or chunk by era.
     """
+    import math
+
     from pyspark.sql import Window
 
     daily = daily_rollup(events, key_col, ts_col, value_col)
+    max_span = int(250.0 / max(math.log10(1.0 / decay), 1e-12))
     w_all = Window.partitionBy("key")
     w_cum = (
         Window.partitionBy("key")
@@ -62,6 +71,13 @@ def ewma_daily(
     with_t = daily.withColumn(
         "_t", F.datediff("day", F.min("day").over(w_all)).cast("double")
     )
+    worst = with_t.agg(F.max("_t")).head()[0] or 0.0
+    if worst > max_span:
+        raise ValueError(
+            f"ewma_daily: a key spans {int(worst)} days; decay={decay} "
+            f"is numerically valid to ~{max_span} days (d^-t overflows "
+            "double past that). Truncate history or chunk by era."
+        )
     inv = F.pow(F.lit(decay), -F.col("_t"))
     num = F.sum(F.col("total") * inv).over(w_cum) * F.pow(
         F.lit(decay), F.col("_t")

@@ -52,20 +52,20 @@ def zorder_layout(
     from pyspark.sql import functions as F
 
     bits = min(bits, 10)  # 1024 quantile buckets per dim is plenty
-    zparts = []
-    ranked = df
-    for i, c in enumerate(cols):
-        r = f"_rank_{i}"
-        disc = QuantileDiscretizer(
-            inputCol=c,
-            outputCol=r,
-            numBuckets=1 << bits,
-            relativeError=1.0 / (1 << (bits + 2)),
-            handleInvalid="keep",
-        )
-        ranked = disc.fit(ranked).transform(ranked)
+    zparts = [f"_rank_{i}" for i in range(len(cols))]
+    # ONE multi-column fit = one quantile pass over the data; a
+    # per-column loop costs k full scans (and re-executes earlier
+    # Bucketizers inside later fits' lineage)
+    disc = QuantileDiscretizer(
+        inputCols=list(cols),
+        outputCols=zparts,
+        numBucketsArray=[1 << bits] * len(cols),
+        relativeError=1.0 / (1 << (bits + 2)),
+        handleInvalid="keep",
+    )
+    ranked = disc.fit(df).transform(df)
+    for r in zparts:
         ranked = ranked.withColumn(r, F.col(r).cast("long"))
-        zparts.append(r)
 
     # Rescale every rank to the full bit width: a low-cardinality
     # column fills fewer buckets than requested (duplicate splits
@@ -78,14 +78,11 @@ def zorder_layout(
             r, (F.col(r) * scale / max(1, maxes[r])).cast("long")
         )
 
-    # interleave bits of all rank columns into one long (JVM-side ops)
-    z = F.lit(0).cast("long")
-    for bit in range(bits):
-        for i, r in enumerate(zparts):
-            src_bit = F.shiftright(F.col(r), bit).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(
-                F.shiftleft(src_bit, bit * len(zparts) + i).cast("long")
-            )
+    # interleave via the ONE shared Morton implementation (a second
+    # inline copy with different bit-significance order was a
+    # maintenance trap — a curve fix in one place silently skipped
+    # the other)
+    z = interleave_bits([F.col(r) for r in zparts], bits)
     return (
         ranked.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
@@ -124,9 +121,15 @@ def compact_table(
     n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # colocate each partition value's rows: a plain round-robin
+        # repartition feeding a dynamic partitionBy opens up to
+        # n_files x |partition values| files — re-creating the
+        # small-files disease this function treats
+        df = df.repartition(n_files, *partition_cols)
+        writer = df.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(out_path)
     return n_files
 

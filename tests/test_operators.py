@@ -1205,3 +1205,46 @@ def test_ivfpq_probe_prunes_cells(spark, emb):
     )
     scanned = index.where(F.col("centroid").isin(list(probe)))
     assert 0 < scanned.count() < index.count()  # real pruning happened
+
+
+def test_embedding_neardup_null_vectors_excluded_not_misattributed(spark):
+    from mitoscape_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),          # failed embed: must not shift later ids
+        (2, [1.0, 0.0]),    # true near-dup of 0
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_duplicates(df, threshold=0.99).collect()}
+    assert pairs == {(0, 2)}
+
+
+def test_sparse_neardup_zero_norm_doc_dropped_not_crash(spark):
+    from mitoscape_spark.operators.dedup import sparse_near_duplicates
+
+    rows = [
+        (0, 0, 1.0), (0, 1, 1.0),
+        (1, 0, 1.0), (1, 1, 1.0),     # duplicate of 0
+        (2, 3, 0.0),                  # zero-norm doc
+    ]
+    df = spark.createDataFrame(rows, "id long, idx int, w double")
+    pairs = sparse_near_duplicates(
+        df, n_dims=4, threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_connected_components_propagation_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.dedup import (
+        connected_components_propagation,
+    )
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagation(df, max_iterations=3)

@@ -88,3 +88,24 @@ def test_ewma_first_day_equals_total(spark):
     rows = {r["key"]: r for r in ewma_daily(ev).collect()}
     assert rows[1]["ewma"] == rows[1]["total"]
     assert rows[2]["ewma"] == rows[2]["total"]
+
+
+def test_ewma_raises_past_numeric_horizon(spark):
+    """A key whose history exceeds the float validity horizon must
+    fail loudly, not return Inf/NaN ewma values."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.timeseries import ewma_daily
+
+    rows = [
+        (1, dt.datetime(2000, 1, 1), 1.0),
+        (1, dt.datetime(2006, 1, 1), 2.0),  # ~2200-day span
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    with _pytest.raises(ValueError, match="numerically valid"):
+        ewma_daily(df, decay=0.5)
+    # same span is fine at a slower decay (horizon ~6500 days)
+    out = ewma_daily(df, decay=0.9).collect()
+    assert all(r.ewma == r.ewma for r in out)  # no NaN
