@@ -88,6 +88,56 @@ def ewma_daily(
     )
 
 
+def seasonal_decompose_dow(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition + anomaly flags on the global
+    daily total: ``total = seasonal (dow mean) + residual``; a day is
+    anomalous when |residual| > sigma·stddev(residual).
+
+    Everything is partial+final hash aggregation and two 1-row/7-row
+    broadcasts back onto the (tiny) daily series — the raw events are
+    scanned once for the rollup and never again, so the plan's cost is
+    the rollup's at any scale. Additive decomposition by calendar
+    circle is the STL-lite every metrics pipeline wants before alerting;
+    fully SQL-expressible, so the driver hash-matches it against DuckDB.
+
+    Day-of-week numbering is pinned to ISO (1=Mon..7=Sun) explicitly in
+    both engines — Spark's ``dayofweek`` is 1=Sun, DuckDB's ``dow`` is
+    0=Sun; silent off-by-one here would "pass" on symmetric corpora and
+    corrupt real ones.
+    """
+    daily = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(value_col).alias("total"))
+    )
+    # ISO weekday: Spark weekday() is 0=Mon..6=Sun
+    daily = daily.withColumn("dow", (F.weekday("day") + F.lit(1)).cast("int"))
+    seasonal = daily.groupBy("dow").agg(F.avg("total").alias("dow_avg"))
+    with_season = daily.join(F.broadcast(seasonal), "dow").withColumn(
+        "resid", F.col("total") - F.col("dow_avg")
+    )
+    spread = with_season.agg(
+        F.stddev_samp("resid").alias("_sd")
+    )
+    return (
+        with_season.crossJoin(F.broadcast(spread))
+        .select(
+            "day",
+            "dow",
+            F.round("total", 4).alias("total"),
+            F.round("dow_avg", 4).alias("dow_avg"),
+            F.round("resid", 4).alias("resid"),
+            (F.abs("resid") > F.lit(sigma) * F.col("_sd"))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
 def daily_gapfill(
     events: DataFrame,
     key_col: str = "user_id",

@@ -2710,9 +2710,72 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency heavy hitters (operators/heavyhitters.py): users
+    with >= 80 events, via per-partition candidate generation (pigeonhole
+    bound, no distinct-key shuffle) + broadcast-semi recount. The oracle
+    states the naive GROUP BY ... HAVING — results must agree EXACTLY
+    because the candidate set is a proven superset and the recount is
+    exact."""
+    from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return exact_heavy_hitters(events, ["user_id"], 80).orderBy("user_id")
+
+
+def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition + 3-sigma anomaly flags over
+    the global daily revenue series (operators/timeseries.py::
+    seasonal_decompose_dow). Raw events are scanned once for the daily
+    rollup; seasonal means and the residual spread are tiny broadcasts
+    back onto it. ISO weekday numbering pinned in both engines."""
+    from mitoscape_spark.operators.timeseries import seasonal_decompose_dow
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
+
+
+def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension load (operators/scd.py): customer snapshot
+    as version 0, one derived change batch (custkey%7 rows re-addressed,
+    custkey%13 minted as new members under key+1e6, including no-op
+    updates that must NOT version) applied as batch 1. The oracle states
+    the closed/unchanged/opened union directly; null-safe tracked-column
+    comparison on both sides."""
+    from mitoscape_spark.operators.scd import scd2_apply, scd2_init
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dim = scd2_init(base, batch_id=0)
+    changes = (
+        base.where(F.col("id") % 7 == 0)
+        .select("id", F.upper("name").alias("name"), "seg")
+        .unionByName(
+            base.where(F.col("id") % 13 == 0).select(
+                (F.col("id") + F.lit(1_000_000)).alias("id"),
+                "name",
+                F.lit("NEW").alias("seg"),
+            )
+        )
+        .unionByName(
+            # no-op updates: identical payload must NOT mint a version
+            base.where((F.col("id") % 11 == 0) & (F.col("id") % 7 != 0))
+        )
+    )
+    return scd2_apply(
+        dim, changes, ["id"], ["name", "seg"], batch_id=1
+    ).orderBy("id", "is_current", "effective_from")
+
+
 QUERIES = {
     "ext_window_rank": ext_window_rank,
     "ext_bm25_search": ext_bm25_search,
+    "ext_heavy_hitters": ext_heavy_hitters,
+    "ext_seasonal_dow": ext_seasonal_dow,
+    "ext_scd2": ext_scd2,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -2931,6 +2994,73 @@ _TABLE_CHANGES_ORACLE = """
 """
 
 ORACLE = {
+    "ext_heavy_hitters": """
+        SELECT user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 80
+        ORDER BY user_id
+    """,
+    "ext_seasonal_dow": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, SUM(value) AS total
+            FROM events GROUP BY 1
+        ), d2 AS (
+            SELECT day, CAST(isodow(day) AS INT) AS dow, total FROM daily
+        ), season AS (
+            SELECT dow, AVG(total) AS dow_avg FROM d2 GROUP BY dow
+        ), j AS (
+            SELECT d2.day, d2.dow, d2.total, season.dow_avg,
+                   d2.total - season.dow_avg AS resid
+            FROM d2 JOIN season USING (dow)
+        ), s AS (SELECT STDDEV_SAMP(resid) AS sd FROM j)
+        SELECT day, dow,
+               ROUND(total, 4) AS total,
+               ROUND(dow_avg, 4) AS dow_avg,
+               ROUND(resid, 4) AS resid,
+               CAST(ABS(resid) > 3.0 * s.sd AS INT) AS is_anomaly
+        FROM j, s
+        ORDER BY day
+    """,
+    "ext_scd2": """
+        WITH base AS (
+            SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg
+            FROM customer
+        ), chg AS (
+            SELECT id, UPPER(name) AS name, seg FROM base WHERE id % 7 = 0
+            UNION ALL
+            SELECT id + 1000000, name, 'NEW' FROM base WHERE id % 13 = 0
+            UNION ALL
+            SELECT id, name, seg FROM base
+            WHERE id % 11 = 0 AND id % 7 <> 0
+        ), closed AS (
+            SELECT b.id, b.name, b.seg,
+                   0 AS effective_from, 1 AS effective_to, 0 AS is_current
+            FROM base b JOIN chg c ON b.id = c.id
+            WHERE b.name IS DISTINCT FROM c.name
+               OR b.seg IS DISTINCT FROM c.seg
+        ), unchanged AS (
+            SELECT b.id, b.name, b.seg,
+                   0 AS effective_from, CAST(NULL AS INT) AS effective_to,
+                   1 AS is_current
+            FROM base b LEFT JOIN chg c ON b.id = c.id
+            WHERE c.id IS NULL
+               OR (b.name IS NOT DISTINCT FROM c.name
+                   AND b.seg IS NOT DISTINCT FROM c.seg)
+        ), opened AS (
+            SELECT c.id, c.name, c.seg,
+                   1 AS effective_from, CAST(NULL AS INT) AS effective_to,
+                   1 AS is_current
+            FROM chg c LEFT JOIN base b ON b.id = c.id
+            WHERE b.id IS NULL
+               OR b.name IS DISTINCT FROM c.name
+               OR b.seg IS DISTINCT FROM c.seg
+        )
+        SELECT * FROM closed
+        UNION ALL SELECT * FROM unchanged
+        UNION ALL SELECT * FROM opened
+        ORDER BY id, is_current, effective_from
+    """,
     "ext_bm25_search": _BM25_ORACLE,
     "ext_triangle_count": _TRIANGLE_ORACLE,
     "ext_table_changes": _TABLE_CHANGES_ORACLE,

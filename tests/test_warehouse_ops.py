@@ -1,0 +1,181 @@
+"""Heavy hitters (exact two-pass), SCD Type-2, seasonal decomposition."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mitoscape_spark.operators.heavyhitters import (
+    exact_heavy_hitters,
+    local_candidates,
+)
+from mitoscape_spark.operators.scd import scd2_apply, scd2_init
+from mitoscape_spark.operators.timeseries import seasonal_decompose_dow
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_matches_naive_groupby(spark, sf_t2):
+    events = spark.read.parquet(f"{sf_t2}/events.parquet")
+    got = {
+        (r.user_id, r.n)
+        for r in exact_heavy_hitters(events, ["user_id"], 80).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 80)
+        .collect()
+    }
+    assert got == want and got  # non-vacuous at sf0.01
+
+
+def test_heavy_hitters_exact_across_many_partitions(spark):
+    # key 7 appears 40x scattered over 16 partitions — per-partition
+    # counts are small, the pigeonhole bound (ceil(40/16)=3) must still
+    # surface it; keys under threshold must drop even if locally dense
+    rows = [(7,)] * 40 + [(i,) for i in range(100, 130)] * 1 + [(8,)] * 9
+    df = spark.createDataFrame(rows, "k long").repartition(16)
+    out = exact_heavy_hitters(df, ["k"], 10).collect()
+    assert {(r.k, r.n) for r in out} == {(7, 40)}
+
+
+def test_heavy_hitters_null_key_counted(spark):
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [(1,)] * 5 + [(2,)], "k long"
+    ).repartition(3)
+    out = {(r.k, r.n) for r in exact_heavy_hitters(df, ["k"], 5).collect()}
+    assert out == {(None, 5), (1, 5)}
+
+
+def test_heavy_hitters_multi_column_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 6 + [("a", 2)] * 4 + [("b", 1)] * 6, "s string, k long"
+    ).repartition(4)
+    out = {
+        (r.s, r.k, r.n)
+        for r in exact_heavy_hitters(df, ["s", "k"], 5).collect()
+    }
+    assert out == {("a", 1, 6), ("b", 1, 6)}
+
+
+def test_local_candidates_superset_never_misses(spark):
+    # adversarial spread: a true heavy hitter split as thinly as
+    # possible across partitions is still locally >= ceil(T/P) somewhere
+    df = spark.createDataFrame([(1,)] * 17 + [(2,)] * 3, "k long").repartition(8)
+    cands = {r.k for r in local_candidates(df, ["k"], 3).collect()}
+    assert 1 in cands
+
+
+# ------------------------------------------------------------------------ SCD2
+
+
+def _dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "addr-a", "gold"), (2, "addr-b", "silver"), (3, None, "gold")],
+        "id long, addr string, tier string",
+    )
+    return scd2_init(snap, batch_id=0)
+
+
+def test_scd2_noop_change_mints_no_version(spark):
+    dim = _dim(spark)
+    changes = spark.createDataFrame(
+        [(2, "addr-b", "silver")], "id long, addr string, tier string"
+    )
+    out = scd2_apply(dim, changes, ["id"], ["addr", "tier"], batch_id=1)
+    assert out.count() == 3
+    assert out.where(F.col("is_current") == 1).count() == 3
+
+
+def test_scd2_change_closes_and_opens(spark):
+    dim = _dim(spark)
+    changes = spark.createDataFrame(
+        [(1, "addr-z", "gold"), (9, "addr-n", "bronze")],
+        "id long, addr string, tier string",
+    )
+    out = scd2_apply(dim, changes, ["id"], ["addr", "tier"], batch_id=1)
+    rows = {
+        (r.id, r.addr, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    }
+    assert (1, "addr-a", 0, 1, 0) in rows  # closed old version
+    assert (1, "addr-z", 1, None, 1) in rows  # opened new version
+    assert (9, "addr-n", 1, None, 1) in rows  # brand-new key
+    assert (2, "addr-b", 0, None, 1) in rows  # untouched passes through
+    assert len(rows) == 5
+
+
+def test_scd2_null_tracked_value_transitions(spark):
+    # NULL -> value and value -> NULL are real changes (null-safe diff);
+    # NULL == NULL is a no-op
+    dim = _dim(spark)
+    changes = spark.createDataFrame(
+        [(3, None, "gold"), (2, None, "silver")],
+        "id long, addr string, tier string",
+    )
+    out = scd2_apply(dim, changes, ["id"], ["addr", "tier"], batch_id=1)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[3]) == 1 and by_id[3][0].is_current == 1  # no-op
+    assert {(r.addr, r.is_current) for r in by_id[2]} == {
+        ("addr-b", 0),
+        (None, 1),
+    }  # value -> NULL closed + reopened
+
+
+def test_scd2_second_batch_stacks_history(spark):
+    dim = _dim(spark)
+    c1 = spark.createDataFrame(
+        [(1, "addr-z", "gold")], "id long, addr string, tier string"
+    )
+    v1 = scd2_apply(dim, c1, ["id"], ["addr", "tier"], batch_id=1)
+    c2 = spark.createDataFrame(
+        [(1, "addr-q", "gold")], "id long, addr string, tier string"
+    )
+    v2 = scd2_apply(v1, c2, ["id"], ["addr", "tier"], batch_id=2)
+    hist = sorted(
+        (r.effective_from, r.effective_to, r.addr, r.is_current)
+        for r in v2.where(F.col("id") == 1).collect()
+    )
+    assert hist == [
+        (0, 1, "addr-a", 0),
+        (1, 2, "addr-z", 0),
+        (2, None, "addr-q", 1),
+    ]
+
+
+# ---------------------------------------------------------------- seasonal/dow
+
+
+def test_seasonal_decompose_dow_math(spark):
+    # 3 weeks of synthetic dailies: value = 100 + 10*iso_dow, except one
+    # spiked Wednesday — seasonal mean absorbs the weekly ramp, the
+    # spike alone crosses the 3-sigma fence
+    rows = []
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for d in range(21):
+        day = base + datetime.timedelta(days=d)
+        iso = day.isoweekday()
+        v = 100.0 + 10 * iso + (500.0 if d == 9 else 0.0)  # d=9: Wed wk2
+        rows.append((d, day, v))
+    df = spark.createDataFrame(rows, "id long, ts timestamp, value double")
+    out = seasonal_decompose_dow(df, sigma=3.0)
+    assert out.count() == 21
+    flagged = [r for r in out.collect() if r.is_anomaly]
+    assert [str(r.day) for r in flagged] == ["2024-01-10"]
+    # unspiked dows decompose exactly: residual 0
+    clean = {r.resid for r in out.collect() if r.dow != 3}
+    assert clean == {0.0}
+
+
+def test_seasonal_decompose_iso_dow_labels(spark):
+    df = spark.createDataFrame(
+        [(0, datetime.datetime(2024, 1, 7), 1.0)],  # a Sunday
+        "id long, ts timestamp, value double",
+    )
+    assert seasonal_decompose_dow(df).head().dow == 7
