@@ -2735,6 +2735,50 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distances (operators/graph.py::shortest_hops) from
+    supplier 1 over the undirected bulk-order supplier–part graph,
+    bounded at 3 hops. Frontier BFS — per-round work tracks NEWLY
+    reached nodes; the oracle states the unrolled hop-set expansion
+    with a MIN over levels, which must agree exactly because hop
+    minimality is independent of expansion strategy."""
+    from mitoscape_spark.operators.graph import shortest_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        li.where(F.col("l_quantity") >= 48)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    undirected = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = spark.range(1, 2).select(F.col("id"))
+    return shortest_hops(undirected, sources, max_hops=3).orderBy("id")
+
+
+def ext_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash
+    (operators/images.py): decode the synthetic PPM/BMP corpus once
+    (Arrow mapInPandas), 64-bit aHash, 4×16-bit banded equi-join +
+    bit_count verify — exact for hamming <= 3, never all-pairs.
+    Rows-only (DuckDB cannot decode images); hash math and
+    banding recall are pinned vs brute force in tests/test_images.py."""
+    from mitoscape_spark.operators.images import (
+        average_hashes,
+        phash_near_duplicates,
+    )
+    from mitoscape_spark.sources.multimodal import synthetic_decodable_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_decodable_media(spark, docs)
+    pairs = phash_near_duplicates(average_hashes(media), max_hamming=3)
+    return pairs.orderBy("id_a", "id_b").limit(1000)
+
+
 def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension load (operators/scd.py): customer snapshot
     as version 0, one derived change batch (custkey%7 rows re-addressed,
@@ -2776,6 +2820,8 @@ QUERIES = {
     "ext_heavy_hitters": ext_heavy_hitters,
     "ext_seasonal_dow": ext_seasonal_dow,
     "ext_scd2": ext_scd2,
+    "ext_image_phash": ext_image_phash,
+    "ext_graph_bfs": ext_graph_bfs,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3060,6 +3106,25 @@ ORACLE = {
         UNION ALL SELECT * FROM unchanged
         UNION ALL SELECT * FROM opened
         ORDER BY id, is_current, effective_from
+    """,
+    "ext_graph_bfs": """
+        WITH e AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d
+            FROM lineitem WHERE l_quantity >= 48
+        ), ed AS (
+            SELECT s, d FROM e UNION SELECT d, s FROM e
+        ), d0 AS (SELECT CAST(1 AS BIGINT) AS id),
+        h1 AS (SELECT DISTINCT ed.d AS id FROM ed JOIN d0 ON ed.s = d0.id),
+        h2 AS (SELECT DISTINCT ed.d AS id FROM ed JOIN h1 ON ed.s = h1.id),
+        h3 AS (SELECT DISTINCT ed.d AS id FROM ed JOIN h2 ON ed.s = h2.id),
+        lv AS (
+            SELECT id, 0 AS dist FROM d0
+            UNION ALL SELECT id, 1 FROM h1
+            UNION ALL SELECT id, 2 FROM h2
+            UNION ALL SELECT id, 3 FROM h3
+        )
+        SELECT id, CAST(MIN(dist) AS INT) AS dist
+        FROM lv GROUP BY id ORDER BY id
     """,
     "ext_bm25_search": _BM25_ORACLE,
     "ext_triangle_count": _TRIANGLE_ORACLE,

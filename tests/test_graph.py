@@ -184,3 +184,34 @@ def test_lpa_deterministic_with_string_ids(spark):
     # each clique converges to its smallest label
     assert {got1[f"u{i}"] for i in range(4)} == {"u0"}
     assert {got1[f"v{i}"] for i in range(4)} == {"v0"}
+
+
+def test_shortest_hops_hand_graph(spark):
+    from mitoscape_spark.operators.graph import shortest_hops
+
+    # 1->2->3->4->5 chain plus shortcut 1->4; node 9 unreachable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {
+        (r.id, r.dist)
+        for r in shortest_hops(edges, sources, max_hops=10).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 1), (5, 2)}
+
+
+def test_shortest_hops_bounded_and_isolated_source(spark):
+    from mitoscape_spark.operators.graph import shortest_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    # source 7 touches no edge: still settled at dist 0
+    sources = spark.createDataFrame([(1,), (7,)], "id long")
+    got = {
+        (r.id, r.dist)
+        for r in shortest_hops(edges, sources, max_hops=2).collect()
+    }
+    assert got == {(1, 0), (7, 0), (2, 1), (3, 2)}  # 4 is beyond the bound
