@@ -169,3 +169,32 @@ def suppress_rare_combinations(
         ],
     )
     return df.join(rare, cond, "left_anti")
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], digits: int = 6
+) -> DataFrame:
+    """Tall Pearson sample-correlation matrix (col_a, col_b, corr) for
+    every unordered column pair — ONE aggregation job for all pairs
+    (n·(n-1)/2 corr aggregates ride a single partial+final hash agg; no
+    per-pair rescans, no driver-side math). NULL-containing rows drop
+    per-pair (corr's own semantics), constant columns yield NULL corr.
+    Rounded for cross-engine hash stability.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        raise ValueError("need at least two columns")
+    one = df.agg(
+        *[
+            F.round(F.corr(a, b), digits).alias(f"_c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )

@@ -2735,6 +2735,48 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (pipeline/quality_model.py): hashed-TF
+    logistic regression distilled from the Gopher rule teacher, scoring
+    every document; output is the score histogram (decile, n_docs).
+    Rows-only — LR training is iterative float optimization, not
+    SQL-expressible; teacher/student separation is pinned in
+    tests/test_quality_model.py."""
+    from mitoscape_spark.pipeline.quality_model import (
+        bootstrap_labels,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = bootstrap_labels(docs)
+    model = train_quality_model(labeled, seed=7)
+    scores = score_quality(model, docs)
+    return (
+        scores.select(
+            F.least(F.floor(F.col("prob_good") * 10), F.lit(9))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("decile")
+    )
+
+
+def ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures (operators/profile.py::correlation_matrix) — all 6 pairs
+    in ONE aggregation job (no per-pair rescans). Oracle: DuckDB's
+    corr(), same sample semantics, rounded for float stability."""
+    from mitoscape_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], digits=4
+    ).orderBy("col_a", "col_b")
+
+
 def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop distances (operators/graph.py::shortest_hops) from
     supplier 1 over the undirected bulk-order supplier–part graph,
@@ -2822,6 +2864,8 @@ QUERIES = {
     "ext_scd2": ext_scd2,
     "ext_image_phash": ext_image_phash,
     "ext_graph_bfs": ext_graph_bfs,
+    "ext_corr_matrix": ext_corr_matrix,
+    "ext_quality_model": ext_quality_model,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3106,6 +3150,27 @@ ORACLE = {
         UNION ALL SELECT * FROM unchanged
         UNION ALL SELECT * FROM opened
         ORDER BY id, is_current, effective_from
+    """,
+    "ext_corr_matrix": """
+        WITH one AS (
+            SELECT
+                ROUND(corr(l_quantity, l_extendedprice), 4) AS c0,
+                ROUND(corr(l_quantity, l_discount), 4) AS c1,
+                ROUND(corr(l_quantity, l_tax), 4) AS c2,
+                ROUND(corr(l_extendedprice, l_discount), 4) AS c3,
+                ROUND(corr(l_extendedprice, l_tax), 4) AS c4,
+                ROUND(corr(l_discount, l_tax), 4) AS c5
+            FROM lineitem
+        )
+        SELECT col_a, col_b, corr FROM (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS corr FROM one
+            UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM one
+            UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM one
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM one
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM one
+            UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM one
+        )
+        ORDER BY col_a, col_b
     """,
     "ext_graph_bfs": """
         WITH e AS (

@@ -179,3 +179,38 @@ def test_seasonal_decompose_iso_dow_labels(spark):
         "id long, ts timestamp, value double",
     )
     assert seasonal_decompose_dow(df).head().dow == 7
+
+
+# ------------------------------------------------------------------ corr matrix
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from mitoscape_spark.operators.profile import correlation_matrix
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(200)
+    y = 2 * x + rng.randn(200) * 0.1
+    z = rng.randn(200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert abs(got[("x", "y")] - np.corrcoef(x, y)[0, 1]) < 1e-6
+    assert abs(got[("y", "z")] - np.corrcoef(y, z)[0, 1]) < 1e-6
+
+
+def test_correlation_matrix_is_one_job(spark):
+    from mitoscape_spark.operators.profile import correlation_matrix
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_tax"])
+    # single aggregation: exactly one Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
