@@ -1,18 +1,30 @@
-"""As-of join — for every left row, the single most recent right row
-at or before its timestamp (brief's canonical custom-operator example;
-absent from both the reference and Spark's built-ins).
+"""As-of join — for every left row, the single nearest right row at or
+before (backward) / at or after (forward) its timestamp (brief's
+canonical custom-operator example; absent from both the reference and
+Spark's built-ins).
 
 The naive plan (join on key + time-range, then keep rank-1 per left
 row) amplifies rows by the per-key right-side history. The merge
 pattern here is the scale path: UNION both sides tagged by origin, one
-window per key ordered by (time, origin, tie-break), and carry the last
-right-side payload forward (`F.last(ignorenulls=True)`) — each left row
-then holds exactly the latest right row ≤ its time. One shuffle, one
-sort, zero row amplification, works at any right-side density.
+window per key ordered by time, and carry the nearest right-side row
+forward (`F.last(ignorenulls=True)`) — each left row then holds exactly
+the nearest qualifying right row. One shuffle, one sort, zero row
+amplification, works at any right-side density.
 
-Tie rules: a right row AT the left row's timestamp matches (inclusive);
-right rows sharing (key, time) resolve to the greatest ``tiebreak``
-(deterministic).
+Row atomicity: the right row's payload (and its match time) travels as
+ONE struct, not per-column carries. Independent per-column
+``last(ignorenulls=True)`` would resurrect an OLDER row's value for any
+column that is NULL in the nearest row — silently stitching together a
+row that never existed (the packed-parallel-state desync class,
+SCALE.md §13). The struct is non-null exactly when the right row
+exists, so NULL payload fields pass through faithfully.
+
+Tie rules: a right row AT the left row's timestamp matches in both
+directions (inclusive); right rows sharing (key, time) resolve to the
+greatest ``tiebreak`` (deterministic). ``tolerance`` (in the time
+column's native units; seconds for timestamps) nulls the payload when
+the matched row is farther than the bound — pandas ``merge_asof``
+parity, evaluated AFTER the merge so it's a free column predicate.
 """
 
 from __future__ import annotations
@@ -30,19 +42,41 @@ def asof_join(
     right_time: str,
     payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: all ``left`` columns + the latest ``payload``
-    columns from ``right`` with right_time ≤ left_time (null when no
-    right row precedes). ``on`` is the equi-key (same name both sides).
-    """
+    """Left as-of join: all ``left`` columns + the nearest ``payload``
+    columns from ``right`` (null when no right row qualifies). ``on``
+    is the equi-key (same name both sides)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    def _to_num(col):
+        # seconds-as-double for every temporal type (TIMESTAMP_NTZ has
+        # no direct numeric cast; route through TIMESTAMP — the session
+        # is pinned to UTC so the detour is lossless), native value for
+        # numerics
+        kind = right.schema[right_time].dataType.typeName()
+        if kind in ("timestamp", "timestamp_ntz", "date"):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
     lcols = left.columns
+    null_pack = F.lit(None).cast(
+        "struct<" + ",".join(
+            ["_mt:double"]
+            + [
+                f"_p_{c}:{right.schema[c].dataType.simpleString()}"
+                for c in payload
+            ]
+        ) + ">"
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols if c != on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
-          for c in payload],
+        null_pack.alias("_pack"),
         F.lit(None).cast("long").alias("_tb"),
     )
     r = right.select(
@@ -51,25 +85,38 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c != on],
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(
+            _to_num(F.col(right_time)).alias("_mt"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload],
+        ).alias("_pack"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tb"),
     )
-    # right rows sort before left rows at equal time (inclusive ≤);
-    # among right rows at equal time, the greatest tie-break wins
+    # iteration order puts the MATCHING right row last before each left
+    # row: right rows sort before left rows at equal time (inclusive
+    # match); among right rows at equal time the greatest tie-break is
+    # seen last and wins the carry
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_is_left", "_tb")
+        .orderBy(t_order, F.col("_is_left").asc(), F.col("_tb").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    merged = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+    merged = (
+        l.unionByName(r)
+        .select("*", F.last("_pack", ignorenulls=True).over(w).alias("_hit"))
+        .where(F.col("_is_left") == 1)
     )
-    return merged.where(F.col("_is_left") == 1).select(
+    if tolerance is not None:
+        gap = (
+            _to_num(F.col("_t")) - F.col("_hit._mt")
+            if direction == "backward"
+            else F.col("_hit._mt") - _to_num(F.col("_t"))
+        )
+        merged = merged.withColumn(
+            "_hit", F.when(gap <= F.lit(float(tolerance)), F.col("_hit"))
+        )
+    return merged.select(
         F.col("_k").alias(on),
         *[F.col(c) for c in lcols if c != on],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload],
+        *[F.col(f"_hit._p_{c}").alias(c) for c in payload],
     )

@@ -1248,3 +1248,65 @@ def test_connected_components_propagation_raises_on_nonconvergence(spark):
     df = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_propagation(df, max_iterations=3)
+
+
+def test_asof_join_row_atomicity_with_null_payload_fields(spark):
+    # the NEAREST right row has a NULL field: the result must carry that
+    # NULL, never resurrect the older row's value for just that column
+    import datetime as dt
+
+    from mitoscape_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame([(1, 9, t(10))], ["k", "lid", "lt"])
+    right = spark.createDataFrame(
+        [(1, t(3), 30, 3.0), (1, t(8), 80, None)], ["k", "rt", "rid", "val"]
+    )
+    row = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        payload=["rid", "val"],
+    ).head()
+    assert (row.rid, row.val) == (80, None)  # atomic: both from the t(8) row
+
+
+def test_asof_join_forward_direction(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(9))], ["k", "lid", "lt"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 11), (1, t(7), 12), (1, t(20), 13)], ["k", "rt", "rid"]
+    )
+    rows = {
+        (r.k, r.lid): r.rid
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            payload=["rid"], direction="forward",
+        ).collect()
+    }
+    assert rows[(1, 100)] == 11  # inclusive at-time
+    assert rows[(1, 101)] == 13  # nearest following
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    from mitoscape_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(4))], ["k", "lid", "lt"]
+    )
+    right = spark.createDataFrame([(1, t(3), 30)], ["k", "rt", "rid"])
+    rows = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            payload=["rid"], tolerance=2 * 86400.0,  # 2 days in seconds
+        ).collect()
+    }
+    assert rows[101] == 30   # 1 day gap: within tolerance
+    assert rows[100] is None  # 7 day gap: nulled
