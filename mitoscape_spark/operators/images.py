@@ -149,3 +149,112 @@ def phash_near_duplicates(
         .distinct()  # a pair can agree on several bands
     )
     return pairs
+
+
+def video_frame_hashes(
+    media: DataFrame, every_n: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """(media_id, frame_idx, phash): perceptual hash of sampled frames.
+
+    Composes the multimodal plumbing end-to-end: ``frame_sample``
+    (sources/multimodal.py) windows the payload into per-frame bytes in
+    place — no shuffle, frames stay with their source partition — and
+    each sampled frame decodes (PPM/BMP) + aHashes in the same Arrow
+    batch. Non-decodable frames drop silently (profiling counts them
+    upstream); cost is one scan ∝ sampled frames.
+    """
+    from mitoscape_spark.sources.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        frame_sample,
+    )
+
+    frames = frame_sample(media, every_n=every_n, max_frames=max_frames)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for media_id, frame_idx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                if frame is None:
+                    continue
+                raw = bytes(frame)
+                try:
+                    if raw[:2] == b"P6":
+                        px = decode_ppm(raw)
+                    elif raw[:2] == b"BM":
+                        px = decode_bmp(raw)
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                val = _ahash64(px)
+                ids.append(media_id)
+                idxs.append(frame_idx)
+                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        run, "media_id long, frame_idx int, phash long"
+    )
+
+
+def video_near_duplicates(
+    frame_hashes: DataFrame, min_overlap: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, shared, jaccard): video pairs whose sampled-frame
+    hash SETS overlap at least ``min_overlap`` (Jaccard) — re-encodes,
+    container changes, and brightness tweaks keep most frame hashes
+    intact, so shared-hash counting finds them without comparing pixel
+    data across videos.
+
+    Scale shape = the inverted-index dedup family: candidates come from
+    an equi-join on phash (only videos SHARING a frame hash ever meet;
+    a hot hash — e.g. an all-black frame — is the skew case: drop
+    hashes whose posting list exceeds a cap before joining, exactly the
+    stop-gram treatment text dedup uses), then one grouped count +
+    broadcast of per-video set sizes.
+    """
+    sigs = frame_hashes.select("media_id", "phash").distinct()
+    sizes = sigs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(
+        F.col("media_id").alias("id_a"), F.col("n").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("media_id").alias("id_b"), F.col("n").alias("_nb")
+    )
+    return (
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("_na") + F.col("_nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_overlap)
+    )

@@ -2821,6 +2821,26 @@ def ext_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
+def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicates over the synthetic multi-frame corpus:
+    frame_sample windows payloads in place → per-frame aHash (Arrow
+    batches) → shared-hash inverted-index join + Jaccard over frame-hash
+    sets (operators/images.py::video_near_duplicates). Rows-only
+    (decode is not SQL-expressible); planted re-encode recall pinned in
+    tests/test_images.py."""
+    from mitoscape_spark.operators.images import (
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+    from mitoscape_spark.sources.multimodal import synthetic_video_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    videos = synthetic_video_corpus(spark, docs, n_frames=8)
+    hashes = video_frame_hashes(videos, every_n=2)
+    pairs = video_near_duplicates(hashes, min_overlap=0.5)
+    return pairs.orderBy("id_a", "id_b").limit(1000)
+
+
 def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension load (operators/scd.py): customer snapshot
     as version 0, one derived change batch (custkey%7 rows re-addressed,
@@ -2866,6 +2886,7 @@ QUERIES = {
     "ext_graph_bfs": ext_graph_bfs,
     "ext_corr_matrix": ext_corr_matrix,
     "ext_quality_model": ext_quality_model,
+    "ext_video_neardup": ext_video_neardup,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,

@@ -509,3 +509,62 @@ def audio_spectral_features(
             )
 
     return media.mapInPandas(run, out_schema)
+
+
+def synthetic_video_corpus(spark: SparkSession, docs: DataFrame,
+                           n_frames: int = 8) -> DataFrame:
+    """Deterministic multi-frame "videos": payload = ``n_frames``
+    concatenated equal-size binary-PPM frames (each independently
+    decodable), meta.n_frames set accordingly — so ``frame_sample``'s
+    fixed-width byte windows align exactly with frame boundaries.
+
+    Content is a pure function of doc_id; every doc_id % 4 == 1 video is
+    an EDIT of its predecessor (identical frames except the first, which
+    is re-shot from a different seed — the re-upload-with-new-intro
+    case) — the near-duplicate planted pairs downstream dedup must
+    find. Generation is distributed (mapInPandas), nothing driver-side.
+    """
+
+    def _frame(seed: int, f: int) -> bytes:
+        px = (
+            (np.arange(8 * 8 * 3, dtype=np.int64) * (seed * 31 + f * 7 + 11))
+            % 251
+        ).astype(np.uint8)
+        return encode_ppm(8, 8, px.tobytes())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                # near-dup partner: share the EVEN seed's frames,
+                # replace only frame 0
+                is_edit = doc_id % 4 == 1
+                seed = doc_id - 1 if is_edit else doc_id
+                frames = [
+                    _frame(seed + 100_003, f) if f == 0 and is_edit
+                    else _frame(seed, f)
+                    for f in range(n_frames)
+                ]
+                ids.append(doc_id)
+                payloads.append(b"".join(frames))
+                metas.append(n_frames)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "n_frames": metas}
+            )
+
+    flat = docs.select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary, n_frames int"
+    )
+    return flat.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        "payload",
+        F.struct(
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("n_frames"),
+            F.lit("ppm-frames").alias("format"),
+        ).alias("meta"),
+    )

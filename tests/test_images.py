@@ -90,3 +90,43 @@ def test_phash_query_runs_on_synthetic_corpus(spark, sf_smoke):
     assert list(out.columns) == ["id_a", "id_b", "hamming"]
     assert all(r.hamming <= 3 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_video_near_dup_finds_planted_reencodes(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.images import (
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+    from mitoscape_spark.sources.multimodal import synthetic_video_corpus
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(40)
+    videos = synthetic_video_corpus(spark, docs, n_frames=8)
+    hashes = video_frame_hashes(videos, every_n=1)
+    pairs = video_near_duplicates(hashes, min_overlap=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every (4k, 4k+1) planted re-encode pair must surface
+    planted = {
+        (i, i + 1)
+        for i in range(0, 40, 4)
+        if i + 1 < 40
+    }
+    assert planted <= got
+    # jaccard bounded and ids ordered
+    for r in pairs.collect():
+        assert 0.0 < r.jaccard <= 1.0 and r.id_a < r.id_b
+
+
+def test_video_frame_hashes_sampling(spark, sf_smoke):
+    from mitoscape_spark.operators.images import video_frame_hashes
+    from mitoscape_spark.sources.multimodal import synthetic_video_corpus
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(4)
+    videos = synthetic_video_corpus(spark, docs, n_frames=8)
+    h_all = video_frame_hashes(videos, every_n=1)
+    h_half = video_frame_hashes(videos, every_n=2)
+    assert h_all.count() == 4 * 8
+    assert h_half.count() == 4 * 4
+    idxs = {r.frame_idx for r in h_half.collect()}
+    assert idxs == {0, 2, 4, 6}
