@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -64,6 +65,60 @@ def running_user_stats(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+HOT_OUTPUT_SCHEMA = "key string, n long"
+HOT_STATE_SCHEMA = "n long"
+
+
+def _make_hot_key_updater(threshold: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        n += seen
+        state.update((n,))
+        # emit ONLY once a key is hot — downstream sees the heavy-hitter
+        # set grow live, never the long tail (update-mode output stays
+        # proportional to hot keys, not distinct keys)
+        if n >= threshold and seen:
+            yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+    return update
+
+
+def streaming_hot_keys(
+    keyed: DataFrame,
+    threshold: int,
+    key_col: str = "key",
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Streaming heavy hitters: per-key running counts in keyed state;
+    a key surfaces (and keeps updating) once its lifetime count reaches
+    ``threshold`` — the live analog of
+    operators/heavyhitters.exact_heavy_hitters, with the same contract
+    (exact lifetime counts) but micro-batch latency.
+
+    State is one long per distinct key — the state-store budget is the
+    key space, same as every keyed stateful op; pair with a state
+    timeout when keys churn (an evicted key restarts its count, the
+    documented trade)."""
+    return (
+        keyed.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            _make_hot_key_updater(threshold),
+            outputStructType=HOT_OUTPUT_SCHEMA,
+            stateStructType=HOT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
     )
 
 

@@ -823,3 +823,51 @@ def test_upsert_sink_order_col_picks_last_write(spark, tmp_path):
         q.stop()
     got = {r.k: r.val for r in spark.read.parquet(out).collect()}
     assert got == {1: "new", 2: "only"}  # max seq wins, deterministic
+
+
+def test_streaming_hot_keys_matches_batch_heavy_hitters(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
+    from mitoscape_spark.streaming.stateful import streaming_hot_keys
+
+    # keep event_id so the split preserves multiplicity (subtract on a
+    # bare user_id projection would set-dedup the rows)
+    events = load_table(spark, SF, "events").select("event_id", "user_id")
+    stream_dir = str(tmp_path / "hotstream")
+    half = events.count() // 2
+    first = events.limit(half)
+    second = events.subtract(first)  # user sets overlap across batches
+    first.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_hot_keys(stream, threshold=50, key_col="user_id")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hot_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    updates = spark.sql("SELECT * FROM hot_smoke").collect()
+    final = {}
+    for r in updates:  # appended in batch order; last update wins
+        prev = final.get(r.key)
+        if prev is None or r.n >= prev:
+            final[r.key] = r.n
+    want = {
+        str(r.user_id): r.n
+        for r in exact_heavy_hitters(events, ["user_id"], 50).collect()
+    }
+    assert final == want and want  # same hot set, exact lifetime counts
+    # keys below threshold never surfaced
+    assert all(n >= 50 for n in final.values())
