@@ -1,0 +1,96 @@
+"""Distribution-drift detection between two table versions: per-column
+PSI (population stability index) over equi-width histograms.
+
+The monitoring primitive for a 100 TB ingest: "did this week's data
+shift against the reference snapshot" must be answerable WITHOUT
+eyeballing dashboards. PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref);
+the industry folklore thresholds (≈0.1 watch, ≈0.25 act) make it a
+gateable number.
+
+Plan shape: ONE scan per side regardless of column count — columns melt
+to tall (col_name, value) rows via ``stack`` (a projection, no
+shuffle), bin edges come from a 1-row aggregate over the REFERENCE side
+(broadcast back), and each side reduces to ≤ |cols|·bins rows with one
+partial+final hash agg. The PSI math then runs on that tiny table.
+Zero-count bins are clamped to a shared epsilon (the standard PSI
+regularization — identical in the DuckDB oracle, so results hash-match
+cross-engine).
+
+Binning contract: edges are the reference's [min, max] split
+equi-width; current-side values OUTSIDE the reference range clip into
+the edge bins (drift beyond the seen range lands in bins 0/bins-1 —
+visible, not dropped). A constant reference column (min == max) puts
+everything in bin 0 and PSI degenerates to out-of-range mass, which is
+exactly what you want flagged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def _melt(df: DataFrame, cols: list[str]) -> DataFrame:
+    args = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    return df.select(
+        F.expr(f"stack({len(cols)}, {args}) AS (col_name, value)")
+    ).where(F.col("value").isNotNull())
+
+
+def _bin_counts(
+    tall: DataFrame, edges: DataFrame, bins: int, n_name: str
+) -> DataFrame:
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    bin_expr = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("_lo")) / width), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+    )
+    return (
+        tall.join(F.broadcast(edges), "col_name")
+        .select("col_name", bin_expr.cast("int").alias("bin"))
+        .groupBy("col_name", "bin")
+        .agg(F.count(F.lit(1)).alias(n_name))
+    )
+
+
+def drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """(col_name, psi): one row per numeric column, higher = more drift."""
+    ref_tall = _melt(reference, cols)
+    cur_tall = _melt(current, cols)
+    edges = ref_tall.groupBy("col_name").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    ref_counts = _bin_counts(ref_tall, edges, bins, "n_ref")
+    cur_counts = _bin_counts(cur_tall, edges, bins, "n_cur")
+    joined = ref_counts.join(cur_counts, ["col_name", "bin"], "full_outer")
+    totals = joined.groupBy("col_name").agg(
+        F.sum(F.coalesce("n_ref", F.lit(0))).alias("_tr"),
+        F.sum(F.coalesce("n_cur", F.lit(0))).alias("_tc"),
+    )
+    p_ref = F.greatest(
+        F.coalesce("n_ref", F.lit(0)) / F.col("_tr"), F.lit(EPS)
+    )
+    p_cur = F.greatest(
+        F.coalesce("n_cur", F.lit(0)) / F.col("_tc"), F.lit(EPS)
+    )
+    return (
+        joined.join(F.broadcast(totals), "col_name")
+        .select(
+            "col_name",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_term"),
+        )
+        .groupBy("col_name")
+        .agg(F.round(F.sum("_term"), digits).alias("psi"))
+    )

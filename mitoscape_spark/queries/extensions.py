@@ -2735,6 +2735,24 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (operators/drift.py): PSI of the
+    post-1997 lineitem slice against the pre-1997 reference, three
+    measures at once — one scan per side regardless of column count
+    (stack melt → broadcast bin edges → two tiny hash aggs). The oracle
+    restates the identical floor/clamp/epsilon arithmetic in SQL, so
+    results hash-match bit-for-bit."""
+    from mitoscape_spark.operators.drift import drift_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = "1997-01-01"
+    ref = li.where(F.col("l_shipdate") < split)
+    cur = li.where(F.col("l_shipdate") >= split)
+    return drift_report(
+        ref, cur, ["l_quantity", "l_extendedprice", "l_discount"], bins=10
+    ).orderBy("col_name")
+
+
 def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate (pipeline/quality_model.py): hashed-TF
     logistic regression distilled from the Gopher rule teacher, scoring
@@ -2887,6 +2905,7 @@ QUERIES = {
     "ext_corr_matrix": ext_corr_matrix,
     "ext_quality_model": ext_quality_model,
     "ext_video_neardup": ext_video_neardup,
+    "ext_drift_psi": ext_drift_psi,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3171,6 +3190,69 @@ ORACLE = {
         UNION ALL SELECT * FROM unchanged
         UNION ALL SELECT * FROM opened
         ORDER BY id, is_current, effective_from
+    """,
+    "ext_drift_psi": """
+        WITH refm AS (
+            SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        ), curm AS (
+            SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        ), edges AS (
+            SELECT col_name, MIN(value) AS lo, MAX(value) AS hi
+            FROM refm WHERE value IS NOT NULL GROUP BY col_name
+        ), rb AS (
+            SELECT r.col_name,
+                   CASE WHEN (e.hi - e.lo) / 10 <= 0 THEN 0
+                        ELSE CAST(LEAST(GREATEST(FLOOR(
+                            (r.value - e.lo) / ((e.hi - e.lo) / 10)), 0), 9)
+                        AS INT) END AS bin,
+                   COUNT(*) AS n_ref
+            FROM refm r JOIN edges e USING (col_name)
+            WHERE r.value IS NOT NULL
+            GROUP BY 1, 2
+        ), cb AS (
+            SELECT c.col_name,
+                   CASE WHEN (e.hi - e.lo) / 10 <= 0 THEN 0
+                        ELSE CAST(LEAST(GREATEST(FLOOR(
+                            (c.value - e.lo) / ((e.hi - e.lo) / 10)), 0), 9)
+                        AS INT) END AS bin,
+                   COUNT(*) AS n_cur
+            FROM curm c JOIN edges e USING (col_name)
+            WHERE c.value IS NOT NULL
+            GROUP BY 1, 2
+        ), j AS (
+            SELECT COALESCE(rb.col_name, cb.col_name) AS col_name,
+                   COALESCE(rb.bin, cb.bin) AS bin,
+                   COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+            FROM rb FULL OUTER JOIN cb
+              ON rb.col_name = cb.col_name AND rb.bin = cb.bin
+        ), t AS (
+            SELECT col_name, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+            FROM j GROUP BY col_name
+        )
+        SELECT j.col_name,
+               ROUND(SUM(
+                   (GREATEST(n_cur / t.tc, 1e-6)
+                    - GREATEST(n_ref / t.tr, 1e-6))
+                   * LN(GREATEST(n_cur / t.tc, 1e-6)
+                        / GREATEST(n_ref / t.tr, 1e-6))
+               ), 6) AS psi
+        FROM j JOIN t ON j.col_name = t.col_name
+        GROUP BY j.col_name
+        ORDER BY j.col_name
     """,
     "ext_corr_matrix": """
         WITH one AS (
