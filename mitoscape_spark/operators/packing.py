@@ -104,3 +104,76 @@ def global_row_number(
         bucket_width=bucket_width,
     ).select(order_col, F.col("start_offset").alias(out_col))
     return df.join(numbered, order_col)
+
+
+def bin_pack_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_groups: int = 32,
+) -> DataFrame:
+    """No-straddle packing: assign whole rows to packs of capacity
+    ``budget`` via first-fit-decreasing — the variant for SFT/eval data
+    where documents must NOT split across sequences (pack_sequences
+    above is the concatenate-and-split pretraining variant).
+
+    Global FFD is inherently sequential, so the distributed shape is
+    partition-local FFD: rows scatter deterministically into
+    ``n_groups`` groups by id hash, each group packs independently in
+    one Arrow batch (sorted descending, first-fit — the 11/9·OPT+1
+    classic, additive across groups), and pack ids are globally unique
+    as (group << 32) | local. Waste stays within the FFD bound per
+    group; more groups = more parallelism but up to one extra
+    partially-filled pack per group — size n_groups to corpus/1e5 rows,
+    not cores (the trailing-pack waste is the price of parallelism and
+    is measured in tests).
+
+    A row larger than ``budget`` cannot pack — it fails loudly (JVM-side
+    raise in the same pass) rather than silently truncating.
+    """
+    import pandas as pd
+
+    # the guard rides the LIVE weight column — a separate guard column
+    # would be dead code and Catalyst's column pruning would silently
+    # optimize the raise away
+    guarded_w = F.when(
+        F.col(tokens_col) > budget,
+        F.raise_error(
+            F.concat(
+                F.lit(f"bin_pack_ffd: row exceeds budget {budget}: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(tokens_col).cast("long"))
+    rows = df.select(
+        F.col(id_col),
+        guarded_w.alias("_w"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_groups)).alias("_grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["_grp"].iloc[0])
+        pdf = pdf.sort_values(
+            ["_w", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # current fill per local pack
+        assign: list[int] = []
+        for w in pdf["_w"]:
+            w = int(w)
+            for i, f in enumerate(fills):  # first fit
+                if f + w <= budget:
+                    fills[i] = f + w
+                    assign.append(i)
+                    break
+            else:
+                fills.append(w)
+                assign.append(len(fills) - 1)
+        pdf["pack_id"] = [(grp << 32) | a for a in assign]
+        return pdf[[id_col, "_w", "pack_id"]].rename(
+            columns={"_w": tokens_col}
+        )
+
+    return rows.groupBy("_grp").applyInPandas(
+        pack, f"{id_col} long, {tokens_col} long, pack_id long"
+    )

@@ -2735,6 +2735,29 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle first-fit-decreasing packing of documents (token
+    budget 600, whitespace token counts): per-pack (n_docs, fill) for
+    the fullest 200 packs. Partition-local FFD (operators/packing.py::
+    bin_pack_ffd) — rows-only (bin packing isn't SQL-expressible);
+    budget/waste/determinism pinned in tests."""
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = bin_pack_ffd(docs, budget=600, n_groups=8)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill"),
+        )
+        .orderBy(F.col("fill").desc(), "pack_id")
+        .limit(200)
+    )
+
+
 def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (operators/drift.py): PSI of the
     post-1997 lineitem slice against the pre-1997 reference, three
@@ -2906,6 +2929,7 @@ QUERIES = {
     "ext_quality_model": ext_quality_model,
     "ext_video_neardup": ext_video_neardup,
     "ext_drift_psi": ext_drift_psi,
+    "ext_pack_ffd": ext_pack_ffd,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,

@@ -267,3 +267,52 @@ def test_drift_psi_constant_reference_column(spark):
     # limitation, not a crash)
     psi = {r.col_name: r.psi for r in drift_report(ref, cur, ["x"]).collect()}
     assert psi["x"] == 0.0
+
+
+# ------------------------------------------------------------------- FFD packs
+
+
+def test_bin_pack_ffd_respects_budget_and_covers_all_rows(spark):
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 900 + 50).alias("n_tokens"),
+    )
+    out = bin_pack_ffd(df, budget=1000, n_groups=8)
+    rows = out.collect()
+    assert len(rows) == 500
+    fills = {}
+    for r in rows:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+    assert all(f <= 1000 for f in fills.values())
+    # FFD quality: total waste bounded (every pack but the last per
+    # group is > half full under FFD)
+    total = sum(r.n_tokens for r in rows)
+    assert len(fills) <= (total // 1000 + 1) * 2
+
+
+def test_bin_pack_ffd_oversized_row_fails_loudly(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception) as ei:
+        bin_pack_ffd(df, budget=1000).collect()
+    assert "exceeds budget" in str(ei.value)
+
+
+def test_bin_pack_ffd_deterministic(spark):
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 13) % 500 + 1).alias("n_tokens"),
+    )
+    a = {(r.doc_id, r.pack_id) for r in bin_pack_ffd(df, budget=600).collect()}
+    b = {(r.doc_id, r.pack_id) for r in bin_pack_ffd(df, budget=600).collect()}
+    assert a == b
