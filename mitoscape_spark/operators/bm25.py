@@ -184,3 +184,57 @@ def read_bm25_topk(
         F.col("bucket").isin(buckets) & F.col("token").isin(terms)
     )
     return _score_topk(hit, stats, k, k1, b)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 15,
+    depth: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    ranking by reciprocal-rank fusion —
+    ``rrf = Σ_channels 1/(rrf_k + rank)`` (Cormack et al. 2009), the
+    fusion modern RAG stacks default to because it needs no score
+    calibration between channels.
+
+    Both channels produce their top-``depth`` lists exactly as their
+    standalone operators do (pruned postings scan / brute-force or
+    ANN-backed cosine), each a TakeOrderedAndProject — the fused join
+    then touches 2·depth rows, nothing corpus-sized. Ranks are assigned
+    on ROUNDED scores with id tie-breaks, which makes the whole fusion
+    deterministic and lets the DuckDB oracle reproduce it bit-for-bit
+    (rank-on-raw-floats would diverge on summation order).
+    A document surfacing in only one channel contributes only that
+    channel's term (standard RRF semantics).
+    """
+    from pyspark.sql import Window as W
+
+    from mitoscape_spark.operators.similarity import topk_cosine
+
+    lex = bm25_search(docs, query, k=depth, id_col=id_col)
+    dense = topk_cosine(embeddings, query_vec, k=depth, id_col=vec_id_col)
+    w_lex = W.orderBy(F.col("bm25").desc(), F.col(id_col))
+    w_dense = W.orderBy(F.col("cos").desc(), F.col("id"))
+    lex_r = lex.select(
+        F.col(id_col).alias("id"), F.row_number().over(w_lex).alias("r_lex")
+    )
+    dense_r = dense.select(
+        "id", F.row_number().over(w_dense).alias("r_dense")
+    )
+    fused = lex_r.join(dense_r, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "r_lex",
+        "r_dense",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "id").limit(k)

@@ -2735,6 +2735,22 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/bm25.py::hybrid_search_rrf): BM25
+    top-50 ∪ dense-cosine top-50 fused by reciprocal-rank fusion,
+    top-15 out. Ranks assign on ROUNDED scores with id tie-breaks, so
+    the DuckDB oracle reproduces the fusion exactly; the fused join
+    touches 100 rows however large the corpus."""
+    from mitoscape_spark.operators.bm25 import hybrid_search_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return hybrid_search_rrf(
+        docs, emb, "vector join fast", list(qv), k=15, depth=50
+    )
+
+
 def ext_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-straddle first-fit-decreasing packing of documents (token
     budget 600, whitespace token counts): per-pack (n_docs, fill) for
@@ -2930,6 +2946,7 @@ QUERIES = {
     "ext_video_neardup": ext_video_neardup,
     "ext_drift_psi": ext_drift_psi,
     "ext_pack_ffd": ext_pack_ffd,
+    "ext_hybrid_search": ext_hybrid_search,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3214,6 +3231,74 @@ ORACLE = {
         UNION ALL SELECT * FROM unchanged
         UNION ALL SELECT * FROM opened
         ORDER BY id, is_current, effective_from
+    """,
+    "ext_hybrid_search": """
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        postings AS (
+            SELECT token, doc_id, dl, COUNT(*) AS tf
+            FROM toks
+            WHERE token IN ('fast', 'join', 'vector')
+            GROUP BY token, doc_id, dl
+        ),
+        dfs AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM toks
+            WHERE token IN ('fast', 'join', 'vector')
+            GROUP BY token
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   AVG(len(string_split(text, ' '))) AS avgdl
+            FROM documents
+        ),
+        lex AS (
+            SELECT doc_id AS id,
+                   ROUND(SUM(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM postings
+            JOIN dfs USING (token)
+            CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 50
+        ),
+        lexr AS (
+            SELECT id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS INT)
+                       AS r_lex
+            FROM lex
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        dense AS (
+            SELECT vec_id AS id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos
+            FROM embeddings, q
+            ORDER BY cos DESC, id LIMIT 50
+        ),
+        denser AS (
+            SELECT id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS INT)
+                       AS r_dense
+            FROM dense
+        )
+        SELECT COALESCE(l.id, d.id) AS id,
+               ROUND(COALESCE(1.0 / (60 + r_lex), 0)
+                     + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf,
+               r_lex, r_dense
+        FROM lexr l FULL OUTER JOIN denser d ON l.id = d.id
+        ORDER BY rrf DESC, id LIMIT 15
     """,
     "ext_drift_psi": """
         WITH refm AS (

@@ -108,3 +108,42 @@ def test_bm25_persisted_index_prunes_partitions(spark, tmp_path):
     # PartitionFilters (directory pruning), not a post-scan Filter
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters:", 1)[1][:200]
+
+
+def test_hybrid_rrf_fusion_math(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.bm25 import bm25_search, hybrid_search_rrf
+    from mitoscape_spark.operators.similarity import topk_cosine
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 0).head().embedding)
+    out = hybrid_search_rrf(docs, emb, "vector join fast", qv, k=10, depth=20)
+    rows = out.collect()
+    assert len(rows) == 10
+    # recompute rrf from the channel ranks independently
+    lex = bm25_search(docs, "vector join fast", k=20).collect()
+    dense = topk_cosine(emb, qv, k=20).collect()
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex, key=lambda r: (-r.bm25, r.doc_id))
+        )
+    }
+    dense_rank = {
+        r.id: i + 1
+        for i, r in enumerate(sorted(dense, key=lambda r: (-r.cos, r.id)))
+    }
+    for r in rows:
+        want = 0.0
+        if r.id in lex_rank:
+            want += 1.0 / (60 + lex_rank[r.id])
+        if r.id in dense_rank:
+            want += 1.0 / (60 + dense_rank[r.id])
+        assert abs(r.rrf - round(want, 6)) < 1e-9
+        assert (r.r_lex is None) == (r.id not in lex_rank)
+        assert (r.r_dense is None) == (r.id not in dense_rank)
+    # descending fused order
+    vals = [r.rrf for r in rows]
+    assert vals == sorted(vals, reverse=True)
