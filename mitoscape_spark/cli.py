@@ -282,6 +282,42 @@ def cmd_prep(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_drift(args, spark: SparkSession) -> int:
+    """PSI drift report between two parquet snapshots, columns chosen
+    by the caller — exit code 2 when any column crosses the alert
+    threshold, so schedulers can gate downstream jobs on it."""
+    from mitoscape_spark.operators.drift import drift_report
+
+    ref = spark.read.parquet(args.reference)
+    cur = spark.read.parquet(args.current)
+    cols = args.columns.split(",")
+    rows = drift_report(ref, cur, cols, bins=args.bins).orderBy(
+        F.col("psi").desc()
+    ).collect()
+    worst = 0.0
+    for r in rows:
+        print(f"drift: {r.col_name} psi={r.psi}")
+        worst = max(worst, r.psi or 0.0)
+    if worst >= args.alert:
+        print(f"drift: ALERT worst psi {worst} >= {args.alert}")
+        return 2
+    return 0
+
+
+def cmd_hot_keys(args, spark: SparkSession) -> int:
+    """Exact heavy hitters of a column (two-pass candidate/recount)."""
+    from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
+
+    df = spark.read.parquet(args.input)
+    out = exact_heavy_hitters(
+        df, args.columns.split(","), args.threshold
+    ).orderBy(F.col("n").desc())
+    for r in out.limit(args.limit).collect():
+        key = ",".join(str(r[c]) for c in args.columns.split(","))
+        print(f"hot: {key} n={r.n}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mitoscape-spark")
     p.add_argument("--threads", type=int, default=None,
@@ -354,6 +390,26 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--skip-rules", action="store_true")
     pp.add_argument("--skip-near-dedup", action="store_true")
     pp.set_defaults(fn=cmd_prep)
+
+    dr = sub.add_parser(
+        "drift", help="PSI drift report between two parquet snapshots"
+    )
+    dr.add_argument("--reference", required=True)
+    dr.add_argument("--current", required=True)
+    dr.add_argument("--columns", required=True, help="comma-separated")
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--alert", type=float, default=0.25,
+                    help="exit 2 when any psi >= this")
+    dr.set_defaults(fn=cmd_drift)
+
+    hk = sub.add_parser(
+        "hot-keys", help="exact heavy hitters of key column(s)"
+    )
+    hk.add_argument("--input", required=True)
+    hk.add_argument("--columns", required=True, help="comma-separated")
+    hk.add_argument("--threshold", type=int, required=True)
+    hk.add_argument("--limit", type=int, default=50)
+    hk.set_defaults(fn=cmd_hot_keys)
     return p
 
 

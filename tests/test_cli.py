@@ -294,3 +294,36 @@ def test_cli_table_count_zorder_bloom_merge(spark, tmp_path):
     ) == 0
     rows = {r.k: r.x for r in snap.read(spark, t).collect()}
     assert rows[5] == 999 and rows[100] == 1 and len(rows) == 21
+
+
+def test_cli_drift_alert_exit_code(spark, tmp_path, capsys):
+    ref_p = str(tmp_path / "ref")
+    shifted_p = str(tmp_path / "cur")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x").write.parquet(ref_p)
+    spark.range(1000).selectExpr(
+        "CAST(id % 100 + 500 AS DOUBLE) AS x"
+    ).write.parquet(shifted_p)
+    # identical snapshots: clean exit
+    assert main(
+        ["drift", "--reference", ref_p, "--current", ref_p,
+         "--columns", "x"], spark=spark,
+    ) == 0
+    # shifted: alert exit
+    assert main(
+        ["drift", "--reference", ref_p, "--current", shifted_p,
+         "--columns", "x"], spark=spark,
+    ) == 2
+    assert "ALERT" in capsys.readouterr().out
+
+
+def test_cli_hot_keys(spark, tmp_path, capsys):
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(7,)] * 30 + [(1,)] * 3, "k long"
+    ).write.parquet(p)
+    assert main(
+        ["hot-keys", "--input", p, "--columns", "k", "--threshold", "10"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "hot: 7 n=30" in out and "1" not in out.replace("n=30", "")
