@@ -39,10 +39,31 @@ def apply_changes(
     op_col: str = "op",
 ) -> DataFrame:
     """CDC apply: ``changes`` carries an op column — 'D' deletes the
-    key, anything else ('I'/'U') upserts the row. Delete-then-upsert in
-    one pass: all change keys are anti-joined out of the target, then
-    the non-delete change rows are appended."""
-    upserts = changes.where(F.col(op_col) != "D").drop(op_col)
+    key, 'I'/'U' upserts the row. Delete-then-upsert in one pass: all
+    change keys are anti-joined out of the target, then the upsert rows
+    are appended.
+
+    An op outside {D, I, U} — including NULL — RAISES. The previous
+    ``op != 'D'`` form silently DELETED such rows (NULL != 'D' is NULL
+    → dropped from upserts, while the key anti-join still removed the
+    target row): a malformed feed must stop the apply, not erase data.
+    The guard rides the op column itself so column pruning can't
+    optimize it away on the key-only anti-join branch."""
+    guarded_op = F.when(
+        F.col(op_col).isin("D", "I", "U"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_changes: unknown CDC op: "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    checked = changes.withColumn(op_col, guarded_op)
+    # the upsert branch's filter evaluates the guarded op for EVERY
+    # change row (filters are never pruned), so bad rows raise even
+    # though the key-only anti-join branch never reads the op
+    upserts = checked.where(F.col(op_col) != "D").drop(op_col)
     untouched = target.join(
         changes.select(*keys).distinct(), keys, "left_anti"
     )

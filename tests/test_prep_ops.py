@@ -263,3 +263,35 @@ def test_pack_sequences_rejects_double_order_col(spark):
     )
     with _pytest.raises(TypeError, match="integral"):
         pack_sequences(df, order_col="k")
+
+
+def test_apply_changes_unknown_op_raises_not_deletes(spark):
+    from mitoscape_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    bad = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "Z")], "k long, v string, op string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        apply_changes(target, bad, ["k"]).collect()
+    assert "unknown CDC op" in str(ei.value)
+
+
+def test_apply_changes_valid_ops_still_work(spark):
+    from mitoscape_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", "U"), (2, None, "D"), (4, "d", "I")],
+        "k long, v string, op string",
+    )
+    got = {
+        (r.k, r.v) for r in apply_changes(target, changes, ["k"]).collect()
+    }
+    assert got == {(1, "a2"), (3, "c"), (4, "d")}
