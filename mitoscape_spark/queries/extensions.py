@@ -2735,6 +2735,29 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY rf, ls
+"""
+
+
+def ext_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the asymmetric subset cube/rollup can't
+    state): three chosen set combinations in ONE pass via Catalyst's
+    Expand — map-side ×3 replication, one shuffle, no per-set rescans.
+    Identical SQL text runs on DuckDB."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/bm25.py::hybrid_search_rrf): BM25
     top-50 ∪ dense-cosine top-50 fused by reciprocal-rank fusion,
@@ -2947,6 +2970,7 @@ QUERIES = {
     "ext_drift_psi": ext_drift_psi,
     "ext_pack_ffd": ext_pack_ffd,
     "ext_hybrid_search": ext_hybrid_search,
+    "ext_sql_grouping_sets": ext_sql_grouping_sets,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3232,6 +3256,7 @@ ORACLE = {
         UNION ALL SELECT * FROM opened
         ORDER BY id, is_current, effective_from
     """,
+    "ext_sql_grouping_sets": _GROUPING_SETS_SQL,
     "ext_hybrid_search": """
         WITH toks AS (
             SELECT doc_id,
