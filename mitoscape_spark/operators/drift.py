@@ -72,22 +72,34 @@ def drift_report(
     edges = ref_tall.groupBy("col_name").agg(
         F.min("value").alias("_lo"), F.max("value").alias("_hi")
     )
-    ref_counts = _bin_counts(ref_tall, edges, bins, "n_ref")
-    cur_counts = _bin_counts(cur_tall, edges, bins, "n_cur")
+    # the |cols|-row edges table feeds BOTH bin passes; a lazy local
+    # checkpoint computes it once and reuses the materialized rows
+    # (without it each pass re-runs the reference scan + agg subtree)
+    edges = edges.localCheckpoint(eager=False)
+    from pyspark.sql import Window as W
+
+    # per-column totals ride a window over the ALREADY-AGGREGATED
+    # counts (≤ |cols|·bins rows) instead of a separate aggregate
+    # joined back: a totals-join formulation makes Catalyst evaluate
+    # the whole scan subtree twice (no exchange reuse across differing
+    # aggregates) — measured as 16 parquet scans where 3 are inherent
+    # (one edges pass + one bin pass per side)
+    w = W.partitionBy("col_name")
+    ref_counts = _bin_counts(ref_tall, edges, bins, "n_ref").withColumn(
+        "_tr", F.sum("n_ref").over(w)
+    )
+    cur_counts = _bin_counts(cur_tall, edges, bins, "n_cur").withColumn(
+        "_tc", F.sum("n_cur").over(w)
+    )
     joined = ref_counts.join(cur_counts, ["col_name", "bin"], "full_outer")
-    totals = joined.groupBy("col_name").agg(
-        F.sum(F.coalesce("n_ref", F.lit(0))).alias("_tr"),
-        F.sum(F.coalesce("n_cur", F.lit(0))).alias("_tc"),
-    )
-    p_ref = F.greatest(
-        F.coalesce("n_ref", F.lit(0)) / F.col("_tr"), F.lit(EPS)
-    )
-    p_cur = F.greatest(
-        F.coalesce("n_cur", F.lit(0)) / F.col("_tc"), F.lit(EPS)
-    )
+    # a bin missing on one side carries that side's total via the other
+    # rows of its column — recover it with a max window over the join
+    tr = F.max("_tr").over(w)
+    tc = F.max("_tc").over(w)
+    p_ref = F.greatest(F.coalesce("n_ref", F.lit(0)) / tr, F.lit(EPS))
+    p_cur = F.greatest(F.coalesce("n_cur", F.lit(0)) / tc, F.lit(EPS))
     return (
-        joined.join(F.broadcast(totals), "col_name")
-        .select(
+        joined.select(
             "col_name",
             ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_term"),
         )
