@@ -144,6 +144,80 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    signatures: DataFrame, band_size: int = DEFAULT_BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band, band_key): LSH band signatures — the persistable
+    index state behind both the one-shot and incremental pair paths."""
+    return (
+        # integer DIV: DuckDB's CAST(x/2 AS INT) rounds while Spark's
+        # cast truncates — both sides use explicit integer division
+        signatures.withColumn("band", F.expr(f"seed DIV {band_size}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s.minhash,
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_bands: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_size: int = DEFAULT_SHINGLE,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dedup: candidate pairs INVOLVING the new batch
+    only, plus the updated band index. Returns ``(pairs, new_bands)``
+    where ``pairs`` = exactly ``minhash_candidate_pairs(old ∪ new) −
+    minhash_candidate_pairs(old)`` (equality pinned in tests) and the
+    caller persists ``corpus_bands ∪ new_bands`` for the next batch.
+
+    This is THE production dedup shape at 100 TB: a daily increment
+    must not re-pair the whole corpus. Cost per batch: shingle+hash the
+    NEW docs only, then one equi-join of the (small) new band table
+    against the persisted corpus band index — Catalyst broadcasts the
+    new side, so the corpus index is probed in place, never shuffled.
+    Old×old pairs were emitted by earlier batches; new×new pairs come
+    from the ordinary self-join on the batch (batch-sized, tiny).
+    """
+    new_bands = minhash_bands(
+        minhash_signatures(new_docs, num_hashes, shingle_size), band_size
+    )
+    nb, cb = new_bands.alias("nb"), corpus_bands.alias("cb")
+    cross = (
+        cb.join(
+            F.broadcast(nb),
+            (F.col("cb.band") == F.col("nb.band"))
+            & (F.col("cb.band_key") == F.col("nb.band_key"))
+            & (F.col("cb.doc_id") != F.col("nb.doc_id")),
+        )
+        .select(
+            F.least("cb.doc_id", "nb.doc_id").alias("doc_a"),
+            F.greatest("cb.doc_id", "nb.doc_id").alias("doc_b"),
+        )
+    )
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+    return cross.unionAll(within).distinct(), new_bands
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     band_size: int = DEFAULT_BAND_SIZE,
@@ -170,23 +244,7 @@ def minhash_candidate_pairs(
     the ext_dedup_near pipeline passes a cap because its keep-set
     provably cannot change.
     """
-    bands = (
-        # integer DIV: DuckDB's CAST(x/2 AS INT) rounds while Spark's
-        # cast truncates — both sides use explicit integer division
-        signatures.withColumn("band", F.expr(f"seed DIV {band_size}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s.minhash,
-                ),
-                ",",
-            ).alias("band_key")
-        )
-    )
+    bands = minhash_bands(signatures, band_size)
     if max_bucket_size is not None:
         # one extra hash-agg keyed like the join: per-bucket size + the
         # star representative (min doc_id)

@@ -2735,6 +2735,31 @@ def ext_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(events, sigma=3.0).orderBy("day")
 
 
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (operators/dedup.py::
+    incremental_minhash_pairs): the daily-increment shape — docs < 400
+    are the already-indexed corpus (persisted band index), docs >= 400
+    arrive as the new batch; only pairs INVOLVING the batch are
+    computed (the new band table broadcasts against the corpus index —
+    the corpus is probed, never re-paired). The oracle states the
+    from-scratch pair set restricted to batch-involving pairs, which
+    must match exactly."""
+    from mitoscape_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_bands = minhash_bands(
+        minhash_signatures(docs.where(F.col("doc_id") < 400))
+    )
+    pairs, _ = incremental_minhash_pairs(
+        old_bands, docs.where(F.col("doc_id") >= 400)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 _GROUPING_SETS_SQL = """
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
@@ -2971,6 +2996,7 @@ QUERIES = {
     "ext_pack_ffd": ext_pack_ffd,
     "ext_hybrid_search": ext_hybrid_search,
     "ext_sql_grouping_sets": ext_sql_grouping_sets,
+    "ext_incremental_dedup": ext_incremental_dedup,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3650,6 +3676,26 @@ ORACLE = {
                MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
         FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
         GROUP BY doc_id, seed ORDER BY doc_id, seed
+    """,
+    "ext_incremental_dedup": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sig AS (
+            SELECT doc_id, seed,
+                   MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+            FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   string_agg(minhash, ',' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE b.doc_id >= 400 OR a.doc_id >= 400
+        ORDER BY doc_a, doc_b
     """,
     "ext_minhash_pairs": f"""
         WITH {_TOKS}, {_SHINGLES3},

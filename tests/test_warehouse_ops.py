@@ -316,3 +316,59 @@ def test_bin_pack_ffd_deterministic(spark):
     a = {(r.doc_id, r.pack_id) for r in bin_pack_ffd(df, budget=600).collect()}
     b = {(r.doc_id, r.pack_id) for r in bin_pack_ffd(df, budget=600).collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ incremental LSH
+
+
+def test_incremental_minhash_pairs_equals_from_scratch_delta(spark, sf_t2):
+    from mitoscape_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_t2}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+
+    old_bands = minhash_bands(minhash_signatures(old))
+    incr, new_bands = incremental_minhash_pairs(old_bands, new)
+
+    all_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    old_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(minhash_signatures(old)).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in incr.collect()}
+    assert got == all_pairs - old_pairs
+    # updated index equals the from-scratch index
+    merged = {
+        (r.doc_id, r.band, r.band_key)
+        for r in old_bands.unionByName(new_bands).collect()
+    }
+    scratch = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_bands(minhash_signatures(docs)).collect()
+    }
+    assert merged == scratch
+
+
+def test_incremental_minhash_reingested_doc_no_self_pair(spark):
+    from mitoscape_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(minhash_signatures(docs))
+    incr, _ = incremental_minhash_pairs(bands, docs)  # same doc re-fed
+    assert incr.count() == 0  # identical id never pairs with itself
