@@ -257,3 +257,78 @@ def aggregate_refresh_committer(
         )
 
     return refresh_batch
+
+
+def dedup_index_committer(index_dir: str, pairs_dir: str):
+    """(batch_df, batch_id) function for a STREAMING near-dedup
+    service: each micro-batch of documents is paired against the
+    persisted LSH band index (operators/dedup.py::
+    incremental_minhash_pairs — the corpus is probed, never re-paired),
+    discovered pairs append to one snapshot table, the batch's bands
+    append to the index table.
+
+    Exactly-once across TWO tables without a cross-table transaction,
+    by commit order + ledgers + a replay-safe pair computation:
+    the INDEX commits first (ledgered by batch_id), pairs second
+    (ledgered independently). A replay after a crash between the two
+    recomputes pairs against the index WITH the batch's bands already
+    present — which yields the identical pair set, because same-id
+    band rows never self-pair and batch-internal pairs dedupe —
+    then commits the pairs it first failed to. Every crash point
+    converges to the same two tables.
+    """
+    from mitoscape_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+
+    def _ledger(table_dir: str) -> set:
+        try:
+            return {
+                m.get("meta", {}).get("batch_id")
+                for m in snap.history(table_dir)
+            }
+        except Exception:
+            return set()
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus_bands = snap.read(spark, index_dir)
+        except ValueError:  # first batch: empty index, correct schema
+            corpus_bands = minhash_bands(
+                minhash_signatures(batch_df.limit(0))
+            )
+        pairs, new_bands = incremental_minhash_pairs(corpus_bands, batch_df)
+        if batch_id not in _ledger(index_dir):
+            snap.commit(
+                new_bands, index_dir, mode="append",
+                meta={"batch_id": batch_id},
+            )
+        if batch_id not in _ledger(pairs_dir):
+            snap.commit(
+                pairs, pairs_dir, mode="append",
+                meta={"batch_id": batch_id},
+            )
+
+    return commit_batch
+
+
+def stream_dedup_pairs(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming near-dedup service: documents in, (doc_a, doc_b)
+    candidate pairs + a growing LSH index out, exactly once."""
+    return (
+        stream.writeStream.foreachBatch(
+            dedup_index_committer(index_dir, pairs_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

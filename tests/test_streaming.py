@@ -871,3 +871,76 @@ def test_streaming_hot_keys_matches_batch_heavy_hitters(spark, tmp_path):
     assert final == want and want  # same hot set, exact lifetime counts
     # keys below threshold never surfaced
     assert all(n >= 50 for n in final.values())
+
+
+def test_stream_dedup_pairs_service_exactly_once(spark, tmp_path):
+    import os
+
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import (
+        dedup_index_committer,
+        stream_dedup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    stream_dir = str(tmp_path / "docstream")
+    first = docs.where(F.col("doc_id") < 250)
+    second = docs.where(F.col("doc_id") >= 250)
+    first.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    index_dir = str(tmp_path / "band_index")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = stream_dedup_pairs(
+        stream, index_dir, pairs_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in snap.read(spark, pairs_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert got == want and want  # streamed union == from-scratch pairs
+
+    # replaying an already-committed batch_id is a no-op on BOTH tables
+    v_idx = snap.latest_version(index_dir)
+    v_pairs = snap.latest_version(pairs_dir)
+    committer = dedup_index_committer(index_dir, pairs_dir)
+    committer(second, 1)  # same batch_id as the stream's second batch
+    assert snap.latest_version(index_dir) == v_idx
+    assert snap.latest_version(pairs_dir) == v_pairs
+
+    # crash-between-commits replay: wipe the pairs ledger entry by
+    # simulating a fresh batch id on the pairs side only is not
+    # possible without internals — instead verify the replay-safe pair
+    # computation directly: recomputing batch 1's pairs against the
+    # index that ALREADY contains batch 1's bands yields the same set
+    from mitoscape_spark.operators.dedup import incremental_minhash_pairs
+
+    full_index = snap.read(spark, index_dir)
+    replay_pairs, _ = incremental_minhash_pairs(full_index, second)
+    delta = {
+        (r.doc_a, r.doc_b) for r in replay_pairs.collect()
+    }
+    old_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(minhash_signatures(first)).collect()
+    }
+    assert delta == want - old_pairs
