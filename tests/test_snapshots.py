@@ -926,3 +926,31 @@ def test_vacuum_age_guard_skips_fresh_dirs_by_default(spark, tmp_path):
     assert snap.vacuum(t, min_age_seconds=0) == [
         os.path.join("data", "inflight")
     ]
+
+
+def test_schema_diff_reports_evolution(spark, tmp_path):
+    from mitoscape_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "evolve")
+    v1 = snap.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    v2 = snap.commit(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "k long, v string, score double"
+        ),
+        t,
+        mode="append",
+        allow_new_columns=True,
+    )
+    diff = snap.schema_diff(spark, t, v1, v2)
+    assert diff == [
+        {"change": "added", "column": "score",
+         "from_type": None, "to_type": "double"}
+    ]
+    assert snap.schema_diff(spark, t, v2, v2) == []
+    # direction matters: reversed diff reports a removal
+    assert snap.schema_diff(spark, t, v2, v1) == [
+        {"change": "removed", "column": "score",
+         "from_type": "double", "to_type": None}
+    ]
