@@ -174,6 +174,7 @@ def incremental_minhash_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_size: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dedup: candidate pairs INVOLVING the new batch
     only, plus the updated band index. Returns ``(pairs, new_bands)``
@@ -192,7 +193,26 @@ def incremental_minhash_pairs(
     new_bands = minhash_bands(
         minhash_signatures(new_docs, num_hashes, shingle_size), band_size
     )
-    nb, cb = new_bands.alias("nb"), corpus_bands.alias("cb")
+    cb = corpus_bands
+    if max_bucket_size is not None:
+        # hot-bucket guard, same contract as minhash_candidate_pairs:
+        # a batch doc landing in an over-cap CORPUS bucket (a huge
+        # duplicate cluster) links to the bucket's representative only
+        # — one row instead of cluster-size rows, connectivity
+        # preserved for the downstream components/keep-set
+        buckets = corpus_bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn"),
+            F.min("doc_id").alias("_rep"),
+        )
+        sized = corpus_bands.join(buckets, ["band", "band_key"])
+        cb = sized.where(F.col("_bn") <= max_bucket_size).drop(
+            "_bn", "_rep"
+        ).unionByName(
+            sized.where(F.col("_bn") > max_bucket_size)
+            .select("band", "band_key", F.col("_rep").alias("doc_id"))
+            .distinct()
+        )
+    nb, cb = new_bands.alias("nb"), cb.alias("cb")
     cross = (
         cb.join(
             F.broadcast(nb),
@@ -215,6 +235,33 @@ def incremental_minhash_pairs(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
     )
+    if max_bucket_size is not None:
+        # batch-internal buckets get the ordinary star treatment via
+        # the one-shot path's guard semantics: cap by linking over-cap
+        # members to the batch bucket's min id
+        wb = new_bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_wn"), F.min("doc_id").alias("_wrep")
+        )
+        wsized = new_bands.join(wb, ["band", "band_key"])
+        small = wsized.where(F.col("_wn") <= max_bucket_size)
+        sa, sb = small.alias("a"), small.alias("b")
+        within = sa.join(
+            sb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        ).unionAll(
+            wsized.where(
+                (F.col("_wn") > max_bucket_size)
+                & (F.col("doc_id") != F.col("_wrep"))
+            ).select(
+                F.col("_wrep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
     return cross.unionAll(within).distinct(), new_bands
 
 

@@ -372,3 +372,33 @@ def test_incremental_minhash_reingested_doc_no_self_pair(spark):
     bands = minhash_bands(minhash_signatures(docs))
     incr, _ = incremental_minhash_pairs(bands, docs)  # same doc re-fed
     assert incr.count() == 0  # identical id never pairs with itself
+
+
+def test_incremental_minhash_hot_bucket_cap_preserves_connectivity(spark):
+    import time as _time
+
+    from mitoscape_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(500)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10_000 + i, text) for i in range(50)], "doc_id long, text string"
+    )
+    bands = minhash_bands(minhash_signatures(corpus))
+    t0 = _time.perf_counter()
+    pairs, _ = incremental_minhash_pairs(bands, batch, max_bucket_size=16)
+    rows = pairs.collect()
+    elapsed = _time.perf_counter() - t0
+    # capped: output is linear (stars), not 500x50 cross + 50^2 within
+    assert len(rows) < 2000
+    # connectivity: every batch doc links into the corpus cluster
+    linked = {r.doc_b for r in rows} | {r.doc_a for r in rows}
+    assert all(10_000 + i in linked for i in range(50))
+    assert 0 in linked  # the corpus representative (min doc_id)
+    assert elapsed < 60
