@@ -259,7 +259,9 @@ def aggregate_refresh_committer(
     return refresh_batch
 
 
-def dedup_index_committer(index_dir: str, pairs_dir: str):
+def dedup_index_committer(
+    index_dir: str, pairs_dir: str, max_bucket_size: int | None = 256
+):
     """(batch_df, batch_id) function for a STREAMING near-dedup
     service: each micro-batch of documents is paired against the
     persisted LSH band index (operators/dedup.py::
@@ -301,7 +303,9 @@ def dedup_index_committer(index_dir: str, pairs_dir: str):
             corpus_bands = minhash_bands(
                 minhash_signatures(batch_df.limit(0))
             )
-        pairs, new_bands = incremental_minhash_pairs(corpus_bands, batch_df)
+        pairs, new_bands = incremental_minhash_pairs(
+            corpus_bands, batch_df, max_bucket_size=max_bucket_size
+        )
         if batch_id not in _ledger(index_dir):
             snap.commit(
                 new_bands, index_dir, mode="append",
@@ -321,12 +325,13 @@ def stream_dedup_pairs(
     index_dir: str,
     pairs_dir: str,
     checkpoint: str,
+    max_bucket_size: int | None = 256,
 ) -> StreamingQuery:
     """Streaming near-dedup service: documents in, (doc_a, doc_b)
     candidate pairs + a growing LSH index out, exactly once."""
     return (
         stream.writeStream.foreachBatch(
-            dedup_index_committer(index_dir, pairs_dir)
+            dedup_index_committer(index_dir, pairs_dir, max_bucket_size)
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
