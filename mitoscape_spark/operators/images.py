@@ -110,24 +110,28 @@ def average_hashes(media: DataFrame) -> DataFrame:
 
 
 def phash_near_duplicates(
-    hashes: DataFrame, max_hamming: int = 3
+    hashes: DataFrame, max_hamming: int = 3, n_bands: int | None = None
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs at hamming distance <= ``max_hamming``.
 
-    Sound for ``max_hamming <= 3``: 4 bands, <= 3 differing bits, so one
-    band is untouched and the banded equi-join sees the pair (same
-    pigeonhole as MinHash banding, but exact). Larger thresholds raise —
-    silently missing pairs is the one failure a dedup filter must not
-    have."""
-    if max_hamming >= N_BANDS:
+    Sound for ``max_hamming < n_bands``: <= max_hamming differing bits
+    across n_bands bands leaves one band untouched, so the banded
+    equi-join sees the pair (same pigeonhole as MinHash banding, but
+    exact). Larger thresholds raise — silently missing pairs is the one
+    failure a dedup filter must not have. ``n_bands`` defaults to the
+    band columns present in ``hashes`` (image aHash emits 4×16-bit;
+    audio fingerprints emit 8×8-bit for their noisier bit derivation)."""
+    if n_bands is None:
+        n_bands = len([c for c in hashes.columns if c.startswith("band")])
+    if max_hamming >= n_bands:
         raise ValueError(
-            f"banded pigeonhole is only sound for max_hamming < {N_BANDS}"
+            f"banded pigeonhole is only sound for max_hamming < {n_bands}"
         )
     banded = hashes.select(
         "media_id",
         "phash",
         F.posexplode(
-            F.array(*[F.col(f"band{i}") for i in range(N_BANDS)])
+            F.array(*[F.col(f"band{i}") for i in range(n_bands)])
         ).alias("band_idx", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")

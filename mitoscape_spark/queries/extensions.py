@@ -2946,6 +2946,26 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
+def ext_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicates (operators/audio.py): spectral 64-bit
+    fingerprints (Haitsma-Kalker differential-energy bits over
+    log-band rFFT) on the synthetic WAV corpus with planted re-mastered
+    clips, paired by the SAME banded-hamming plan image dedup uses
+    (8x8-bit bands, sound to hamming 7). Rows-only; the
+    fingerprint invariances and pairing recall are pinned in
+    tests/test_audio_fingerprint.py."""
+    from mitoscape_spark.operators.audio import audio_fingerprints
+    from mitoscape_spark.operators.images import phash_near_duplicates
+    from mitoscape_spark.sources.multimodal import synthetic_audio_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_audio_corpus(spark, docs)
+    pairs = phash_near_duplicates(
+        audio_fingerprints(media), max_hamming=7
+    )
+    return pairs.orderBy("id_a", "id_b").limit(1000)
+
+
 def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension load (operators/scd.py): customer snapshot
     as version 0, one derived change batch (custkey%7 rows re-addressed,
@@ -2997,6 +3017,7 @@ QUERIES = {
     "ext_hybrid_search": ext_hybrid_search,
     "ext_sql_grouping_sets": ext_sql_grouping_sets,
     "ext_incremental_dedup": ext_incremental_dedup,
+    "ext_audio_neardup": ext_audio_neardup,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,

@@ -181,6 +181,29 @@ def decode_wav(data: bytes) -> np.ndarray:
     raise ValueError(f"unsupported WAV sample width {width}")
 
 
+def decode_wav_pcm(data: bytes) -> np.ndarray:
+    """FULL-precision mono samples (float64, channel-averaged) — the
+    fingerprinting/DSP decode. ``decode_wav`` above quantizes to uint8
+    for the shared byte-histogram pipeline; spectral fingerprints need
+    the unquantized PCM (the >>8 rescale injects a noise floor that
+    flips differential-energy bits)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n, width, channels = w.getnframes(), w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples
+
+
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     """Binary PPM (P6, maxval 255) from packed RGB bytes."""
     assert len(rgb) == width * height * 3
@@ -566,5 +589,59 @@ def synthetic_video_corpus(spark: SparkSession, docs: DataFrame,
             F.lit(None).cast("int").alias("sample_rate"),
             F.col("n_frames"),
             F.lit("ppm-frames").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def synthetic_audio_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic WAV corpus with planted near-duplicates: every
+    doc_id % 4 == 1 clip is its predecessor's tone mix re-encoded at
+    70% amplitude with mild deterministic noise — the re-mastered
+    re-upload audio dedup must find. Distributed generation, content a
+    pure function of doc_id."""
+
+    def _clip(seed: int, amp: float, noise_seed: int | None) -> bytes:
+        n = 4096
+        t = np.arange(n)
+        f1, f2 = 20 + (seed * 13) % 180, 220 + (seed * 29) % 600
+        x = np.sin(2 * np.pi * f1 * t / n) + np.sin(2 * np.pi * f2 * t / n)
+        x = amp * x / 2
+        if noise_seed is not None:
+            rng = np.random.RandomState(noise_seed)
+            x = x + rng.randn(n) * amp * 0.003
+        return encode_wav(
+            np.clip(x, -32768, 32767).astype("<i2"), 8000
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                is_dup = doc_id % 4 == 1
+                seed = doc_id - 1 if is_dup else doc_id
+                payloads.append(
+                    _clip(
+                        seed,
+                        5600.0 if is_dup else 8000.0,
+                        doc_id if is_dup else None,
+                    )
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    flat = docs.select("doc_id").mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+    return flat.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("wav").alias("format"),
         ).alias("meta"),
     )
