@@ -73,7 +73,7 @@ def _fingerprint64(
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
-    """(media_id, phash, band0..band3) for decodable WAV rows — the
+    """(media_id, phash, band0..band7) for decodable WAV rows — the
     same schema ``phash_near_duplicates`` consumes, so audio pairs come
     from the identical banded plan as image pairs."""
     from pyspark.sql import types as T

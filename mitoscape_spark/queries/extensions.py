@@ -2946,6 +2946,70 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
+def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality near-dedup capstone: text MinHash pairs ∪ image
+    perceptual-hash pairs ∪ audio fingerprint pairs over ONE corpus
+    (documents + their derived media, shared doc_id key) feed a single
+    connected-components pass; each duplicate component keeps its
+    smallest id. A pair in ANY modality links the documents — the
+    union-graph semantics production multimodal dedup needs (a
+    re-encoded image with rewritten alt-text still collapses).
+    Output: per-modality pair counts + component/survivor totals (one
+    row). Rows-only; component math is pinned by the per-modality
+    operator tests + the connected-components suite."""
+    from mitoscape_spark.operators.audio import audio_fingerprints
+    from mitoscape_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mitoscape_spark.operators.images import (
+        average_hashes,
+        phash_near_duplicates,
+    )
+    from mitoscape_spark.sources.multimodal import (
+        synthetic_audio_corpus,
+        synthetic_decodable_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_pairs = minhash_candidate_pairs(
+        minhash_signatures(docs), max_bucket_size=256
+    )
+    image_pairs = phash_near_duplicates(
+        average_hashes(synthetic_decodable_media(spark, docs)),
+        max_hamming=3,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    audio_pairs = phash_near_duplicates(
+        audio_fingerprints(synthetic_audio_corpus(spark, docs)),
+        max_hamming=7,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    all_pairs = (
+        text_pairs.unionByName(image_pairs)
+        .unionByName(audio_pairs)
+        .distinct()
+    )
+    survivors = dedup_keep_canonical(docs, all_pairs)
+    return spark.createDataFrame(
+        [
+            (
+                docs.count(),
+                text_pairs.count(),
+                image_pairs.count(),
+                audio_pairs.count(),
+                all_pairs.count(),
+                survivors.count(),
+            )
+        ],
+        "n_docs long, n_text_pairs long, n_image_pairs long, "
+        "n_audio_pairs long, n_union_pairs long, n_survivors long",
+    )
+
+
 def ext_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicates (operators/audio.py): spectral 64-bit
     fingerprints (Haitsma-Kalker differential-energy bits over
@@ -3018,6 +3082,7 @@ QUERIES = {
     "ext_sql_grouping_sets": ext_sql_grouping_sets,
     "ext_incremental_dedup": ext_incremental_dedup,
     "ext_audio_neardup": ext_audio_neardup,
+    "ext_multimodal_dedup": ext_multimodal_dedup,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,

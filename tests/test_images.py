@@ -130,3 +130,19 @@ def test_video_frame_hashes_sampling(spark, sf_smoke):
     assert h_half.count() == 4 * 4
     idxs = {r.frame_idx for r in h_half.collect()}
     assert idxs == {0, 2, 4, 6}
+
+
+def test_multimodal_dedup_capstone_consistency(spark, sf_smoke):
+    from mitoscape_spark.queries.extensions import ext_multimodal_dedup
+
+    row = ext_multimodal_dedup(spark, sf_smoke).head()
+    assert row.n_docs == 500
+    # union graph is at least as connected as any single modality
+    assert row.n_union_pairs >= max(
+        row.n_text_pairs, row.n_image_pairs, row.n_audio_pairs
+    )
+    # survivors: at least one per corpus, fewer than total when any
+    # pairs exist, and enough to cover every doc not in a pair
+    assert 0 < row.n_survivors <= row.n_docs
+    if row.n_union_pairs:
+        assert row.n_survivors < row.n_docs
