@@ -318,6 +318,30 @@ def cmd_hot_keys(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_expect(args, spark: SparkSession) -> int:
+    """Run a JSON expectations file against a parquet table; print the
+    report; exit 3 when any rule fails — the ingest gate between
+    'load finished' and 'downstream may read'."""
+    import json as _json
+
+    from mitoscape_spark.operators.expectations import validate
+
+    with open(args.rules) as fh:
+        rules = _json.load(fh)
+    df = spark.read.parquet(args.input)
+    rows = validate(df, rules).collect()
+    failed = 0
+    for r in rows:
+        status = "ok" if r.passed else "FAIL"
+        print(f"expect: [{status}] {r.rule}({r.target}) "
+              f"violations={r.n_violations}")
+        failed += 0 if r.passed else 1
+    if failed:
+        print(f"expect: {failed}/{len(rows)} rules failed")
+        return 3
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mitoscape-spark")
     p.add_argument("--threads", type=int, default=None,
@@ -410,6 +434,13 @@ def build_parser() -> argparse.ArgumentParser:
     hk.add_argument("--threshold", type=int, required=True)
     hk.add_argument("--limit", type=int, default=50)
     hk.set_defaults(fn=cmd_hot_keys)
+
+    ex = sub.add_parser(
+        "expect", help="validate a parquet table against a JSON rule file"
+    )
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--rules", required=True, help="JSON list of rules")
+    ex.set_defaults(fn=cmd_expect)
     return p
 
 

@@ -2946,6 +2946,28 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
+def ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expectations.py)
+    over orders: six rules — five riding ONE aggregation pass, the
+    uniqueness rule one key-count agg — reported as (rule, violations,
+    passed). The oracle restates each count in SQL; results must match
+    exactly."""
+    from mitoscape_spark.operators.expectations import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "in_range", "col": "o_totalprice",
+         "lo": 1000.0, "hi": 400000.0},
+        {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-3]-"},
+        {"rule": "accepted_values", "col": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"rule": "expression", "name": "key_even", "sql": "o_orderkey % 2 = 0"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+    ]
+    return validate(orders, rules)
+
+
 def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality near-dedup capstone: text MinHash pairs ∪ image
     perceptual-hash pairs ∪ audio fingerprint pairs over ONE corpus
@@ -3083,6 +3105,7 @@ QUERIES = {
     "ext_incremental_dedup": ext_incremental_dedup,
     "ext_audio_neardup": ext_audio_neardup,
     "ext_multimodal_dedup": ext_multimodal_dedup,
+    "ext_expectations": ext_expectations,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3762,6 +3785,41 @@ ORACLE = {
                MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
         FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
         GROUP BY doc_id, seed ORDER BY doc_id, seed
+    """,
+    "ext_expectations": """
+        WITH v AS (
+            SELECT 0 AS rule_id, 'not_null' AS rule, 'o_custkey' AS target,
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                       AS n_violations
+            UNION ALL
+            SELECT 1, 'in_range', 'o_totalprice',
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0))
+            UNION ALL
+            SELECT 2, 'regex', 'o_orderpriority',
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+            UNION ALL
+            SELECT 3, 'accepted_values', 'o_orderstatus',
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F'))
+            UNION ALL
+            SELECT 4, 'expression', 'key_even',
+                   (SELECT COUNT(*) FROM orders
+                    WHERE NOT COALESCE(o_orderkey % 2 = 0, FALSE))
+            UNION ALL
+            SELECT 5, 'unique', 'o_orderkey',
+                   (SELECT COALESCE(SUM(n - 1), 0) FROM (
+                        SELECT COUNT(*) AS n FROM orders
+                        GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        )
+        SELECT rule_id, rule, target,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(n_violations = 0 AS INT) AS passed
+        FROM v ORDER BY rule_id
     """,
     "ext_incremental_dedup": f"""
         WITH {_TOKS}, {_SHINGLES3},

@@ -327,3 +327,25 @@ def test_cli_hot_keys(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "hot: 7 n=30" in out and "1" not in out.replace("n=30", "")
+
+
+def test_cli_expect_gate(spark, tmp_path, capsys):
+    import json
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "A"), (2, None)], "k long, s string"
+    ).write.parquet(p)
+    rules_ok = str(tmp_path / "ok.json")
+    rules_bad = str(tmp_path / "bad.json")
+    with open(rules_ok, "w") as f:
+        json.dump([{"rule": "unique", "cols": ["k"]}], f)
+    with open(rules_bad, "w") as f:
+        json.dump([{"rule": "not_null", "col": "s"}], f)
+    assert main(
+        ["expect", "--input", p, "--rules", rules_ok], spark=spark
+    ) == 0
+    assert main(
+        ["expect", "--input", p, "--rules", rules_bad], spark=spark
+    ) == 3
+    assert "FAIL" in capsys.readouterr().out

@@ -306,3 +306,42 @@ def test_suppress_rare_combinations_null_keys_suppressed(spark):
     kept = suppress_rare_combinations(df, ["country"], k=5).collect()
     # the NULL group (size 2 < k) must actually be suppressed
     assert [r.country for r in kept] == ["US"] * 6
+
+
+def test_expectations_report_and_one_job_shape(spark):
+    from mitoscape_spark.operators.expectations import validate
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "1-URGENT"),
+            (2, None, -5.0, "9-BAD"),
+            (2, "B", 2000.0, "2-HIGH"),
+        ],
+        "k long, s string, v double, pri string",
+    )
+    rules = [
+        {"rule": "not_null", "col": "s"},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 1000.0},
+        {"rule": "regex", "col": "pri", "pattern": "^[1-5]-"},
+        {"rule": "accepted_values", "col": "s", "values": ["A", "B"]},
+        {"rule": "expression", "name": "k_positive", "sql": "k > 0"},
+        {"rule": "unique", "cols": ["k"]},
+    ]
+    rows = {r.rule_id: r for r in validate(df, rules).collect()}
+    assert rows[0].n_violations == 1 and rows[0].passed == 0
+    assert rows[1].n_violations == 2  # -5 and 2000 out of range
+    assert rows[2].n_violations == 1  # 9-BAD
+    assert rows[3].n_violations == 0 and rows[3].passed == 1
+    assert rows[4].n_violations == 0
+    assert rows[5].n_violations == 1  # duplicate k=2 (count-1)
+    assert rows[5].target == "k"
+
+
+def test_expectations_null_expression_is_violation(spark):
+    from mitoscape_spark.operators.expectations import validate
+
+    df = spark.createDataFrame([(None,)], "x double")
+    rows = validate(
+        df, [{"rule": "expression", "name": "x_big", "sql": "x > 5"}]
+    ).collect()
+    assert rows[0].n_violations == 1  # NULL predicate = not met
