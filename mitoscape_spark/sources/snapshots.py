@@ -1142,3 +1142,35 @@ def schema_diff(
                  "from_type": old[col], "to_type": new[col]}
             )
     return diff
+
+
+def clone(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+) -> int:
+    """Clone one version of a table into a fresh single-version table —
+    the dev/test-branch primitive ("give me yesterday's table to
+    experiment on" without touching production history).
+
+    Data is re-committed through the ordinary commit path (deletion
+    vectors APPLIED, blooms/stats rebuilt for the clone's own layout),
+    so the clone is a self-contained v1 table with no references into
+    the source — vacuuming the source can never corrupt it. A
+    file-level shallow clone (manifest pointing at source files) would
+    be cheaper but couples the clone's integrity to the source's
+    retention policy; this engine's layer keeps tables self-contained.
+    """
+    df = read(spark, src_dir, version=version)
+    return commit(
+        df,
+        dst_dir,
+        mode="overwrite",
+        meta={
+            "cloned_from": src_dir,
+            "cloned_version": version
+            if version is not None
+            else latest_version(src_dir),
+        },
+    )

@@ -997,3 +997,26 @@ def test_concurrent_writers_serialize_without_lost_commits(spark, tmp_path):
     assert versions == list(range(1, 32))
     parents = {m["version"]: m["parent"] for m in hist}
     assert all(parents[v] == v - 1 for v in range(2, 32))
+
+
+def test_clone_is_self_contained(spark, tmp_path):
+    import shutil
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "branch")
+    snap.commit(spark.createDataFrame([(1, "a")], "k long, v string"), src)
+    snap.commit(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        src, mode="append",
+    )
+    v = snap.clone(spark, src, dst, version=1)  # clone the OLD version
+    assert v == 1
+    got = {(r.k, r.v) for r in snap.read(spark, dst).collect()}
+    assert got == {(1, "a")}  # version-1 contents only
+    meta = snap.history(dst)[0]["meta"]
+    assert meta["cloned_from"] == src and meta["cloned_version"] == 1
+    # self-contained: deleting the source leaves the clone readable
+    shutil.rmtree(src)
+    assert {(r.k, r.v) for r in snap.read(spark, dst).collect()} == {(1, "a")}
