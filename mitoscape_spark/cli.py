@@ -226,6 +226,25 @@ def cmd_table(args, spark: SparkSession) -> int:
             keys=args.key_col.split(","),
         )
         print(f"table: merged into version {v}")
+    elif args.action == "clone":
+        if not args.out:
+            raise SystemExit("table clone requires --out")
+        v = snap.clone(spark, args.table, args.out, version=args.version)
+        print(f"table: cloned to {args.out} (v{v})")
+    elif args.action == "schema-diff":
+        if args.from_version is None:
+            raise SystemExit("table schema-diff requires --from-version")
+        to_v = args.version or snap.latest_version(args.table)
+        changes = snap.schema_diff(
+            spark, args.table, args.from_version, to_v
+        )
+        if not changes:
+            print("table: schemas identical")
+        for c in changes:
+            print(
+                f"table: {c['change']} {c['column']} "
+                f"{c['from_type']} -> {c['to_type']}"
+            )
     return 0
 
 
@@ -384,7 +403,7 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("action", choices=[
         "commit", "read", "history", "compact", "vacuum", "restore",
         "delete", "delete-dv", "changes", "count", "zorder",
-        "bloom", "merge",
+        "bloom", "merge", "clone", "schema-diff",
     ])
     tb.add_argument("--table", required=True, help="snapshot table dir")
     tb.add_argument("--input", help="parquet path (commit)")

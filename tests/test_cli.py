@@ -349,3 +349,25 @@ def test_cli_expect_gate(spark, tmp_path, capsys):
         ["expect", "--input", p, "--rules", rules_bad], spark=spark
     ) == 3
     assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_table_clone_and_schema_diff(spark, tmp_path, capsys):
+    from mitoscape_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "branch")
+    snap.commit(spark.createDataFrame([(1,)], "k long"), t)
+    snap.commit(
+        spark.createDataFrame([(2, 1.5)], "k long, s double"),
+        t, mode="append", allow_new_columns=True,
+    )
+    assert main(
+        ["table", "clone", "--table", t, "--out", out, "--version", "1"],
+        spark=spark,
+    ) == 0
+    assert snap.read(spark, out).columns == ["k"]
+    assert main(
+        ["table", "schema-diff", "--table", t, "--from-version", "1"],
+        spark=spark,
+    ) == 0
+    assert "added s" in capsys.readouterr().out
