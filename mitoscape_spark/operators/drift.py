@@ -106,3 +106,80 @@ def drift_report(
         .groupBy("col_name")
         .agg(F.round(F.sum("_term"), digits).alias("psi"))
     )
+
+
+def drift_report_grouped(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    cols: list[str],
+    bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """(group, col_name, psi): PSI per stratum — "which SOURCE drifted"
+    rather than "did the corpus drift". Same one-scan-per-side shape;
+    bin edges derive from the reference PER (group, column), so each
+    stratum is judged against its own baseline (a global-edge variant
+    would report mixture shift as drift in every stratum). Groups
+    present on only one side are skipped (no baseline / no signal) —
+    detect those with a plain anti-join on distinct groups first.
+    """
+    from pyspark.sql import Window as W
+
+    def _melt_g(df: DataFrame) -> DataFrame:
+        args = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+        return df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"stack({len(cols)}, {args}) AS (col_name, value)"),
+        ).where(F.col("value").isNotNull())
+
+    ref_tall, cur_tall = _melt_g(reference), _melt_g(current)
+    edges = (
+        ref_tall.groupBy("grp", "col_name")
+        .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _counts(tall: DataFrame, n_name: str) -> DataFrame:
+        width = (F.col("_hi") - F.col("_lo")) / bins
+        bin_expr = F.when(width <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("_lo")) / width),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            )
+        )
+        return (
+            tall.join(F.broadcast(edges), ["grp", "col_name"])
+            .select("grp", "col_name", bin_expr.cast("int").alias("bin"))
+            .groupBy("grp", "col_name", "bin")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    w = W.partitionBy("grp", "col_name")
+    ref_counts = _counts(ref_tall, "n_ref").withColumn(
+        "_tr", F.sum("n_ref").over(w)
+    )
+    cur_counts = _counts(cur_tall, "n_cur").withColumn(
+        "_tc", F.sum("n_cur").over(w)
+    )
+    joined = ref_counts.join(
+        cur_counts, ["grp", "col_name", "bin"], "full_outer"
+    )
+    tr, tc = F.max("_tr").over(w), F.max("_tc").over(w)
+    p_ref = F.greatest(F.coalesce("n_ref", F.lit(0)) / tr, F.lit(EPS))
+    p_cur = F.greatest(F.coalesce("n_cur", F.lit(0)) / tc, F.lit(EPS))
+    return (
+        joined.select(
+            F.col("grp").alias(group_col),
+            "col_name",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_term"),
+            tr.alias("_tr2"),
+            tc.alias("_tc2"),
+        )
+        .where(F.col("_tr2").isNotNull() & F.col("_tc2").isNotNull())
+        .groupBy(group_col, "col_name")
+        .agg(F.round(F.sum("_term"), digits).alias("psi"))
+    )

@@ -402,3 +402,36 @@ def test_incremental_minhash_hot_bucket_cap_preserves_connectivity(spark):
     assert all(10_000 + i in linked for i in range(50))
     assert 0 in linked  # the corpus representative (min doc_id)
     assert elapsed < 60
+
+
+def test_drift_grouped_isolates_shifted_stratum(spark):
+    from mitoscape_spark.operators.drift import drift_report_grouped
+
+    ref = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    # stratum b shifts far out of its baseline; a unchanged
+    cur = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+        F.when(
+            F.col("id") % 2 == 0, (F.col("id") % 100).cast("double")
+        ).otherwise((F.col("id") % 100 + 500).cast("double")).alias("x"),
+    )
+    psi = {
+        (r.src, r.col_name): r.psi
+        for r in drift_report_grouped(ref, cur, "src", ["x"]).collect()
+    }
+    assert psi[("a", "x")] == 0.0
+    assert psi[("b", "x")] > 1.0
+
+
+def test_drift_grouped_one_sided_group_skipped(spark):
+    from mitoscape_spark.operators.drift import drift_report_grouped
+
+    ref = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "src string, x double")
+    cur = spark.createDataFrame(
+        [("a", 1.5), ("c", 9.0)], "src string, x double"
+    )
+    rows = drift_report_grouped(ref, cur, "src", ["x"]).collect()
+    assert {r.src for r in rows} == {"a"}  # c has no baseline: skipped
