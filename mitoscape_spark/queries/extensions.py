@@ -2946,6 +2946,22 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
+def ext_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum PSI (operators/drift.py::drift_report_grouped): does
+    any SOURCE's n_chars distribution drift between the first and
+    second half of the corpus, each source judged against its own
+    baseline edges. The oracle restates the identical per-(group,col)
+    floor/clamp/epsilon arithmetic."""
+    from mitoscape_spark.operators.drift import drift_report_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") < 250)
+    cur = docs.where(F.col("doc_id") >= 250)
+    return drift_report_grouped(
+        ref, cur, "source", ["n_chars"], bins=8
+    ).orderBy("source", "col_name")
+
+
 def ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations (operators/expectations.py)
     over orders: six rules — five riding ONE aggregation pass, the
@@ -3106,6 +3122,7 @@ QUERIES = {
     "ext_audio_neardup": ext_audio_neardup,
     "ext_multimodal_dedup": ext_multimodal_dedup,
     "ext_expectations": ext_expectations,
+    "ext_drift_by_source": ext_drift_by_source,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -3785,6 +3802,56 @@ ORACLE = {
                MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
         FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
         GROUP BY doc_id, seed ORDER BY doc_id, seed
+    """,
+    "ext_drift_by_source": """
+        WITH refm AS (
+            SELECT source AS grp, CAST(n_chars AS DOUBLE) AS value
+            FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL
+        ), curm AS (
+            SELECT source AS grp, CAST(n_chars AS DOUBLE) AS value
+            FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL
+        ), edges AS (
+            SELECT grp, MIN(value) AS lo, MAX(value) AS hi
+            FROM refm GROUP BY grp
+        ), rb AS (
+            SELECT r.grp,
+                   CASE WHEN (e.hi - e.lo) / 8 <= 0 THEN 0
+                        ELSE CAST(LEAST(GREATEST(FLOOR(
+                            (r.value - e.lo) / ((e.hi - e.lo) / 8)), 0), 7)
+                        AS INT) END AS bin,
+                   COUNT(*) AS n_ref
+            FROM refm r JOIN edges e USING (grp)
+            GROUP BY 1, 2
+        ), cb AS (
+            SELECT c.grp,
+                   CASE WHEN (e.hi - e.lo) / 8 <= 0 THEN 0
+                        ELSE CAST(LEAST(GREATEST(FLOOR(
+                            (c.value - e.lo) / ((e.hi - e.lo) / 8)), 0), 7)
+                        AS INT) END AS bin,
+                   COUNT(*) AS n_cur
+            FROM curm c JOIN edges e USING (grp)
+            GROUP BY 1, 2
+        ), j AS (
+            SELECT COALESCE(rb.grp, cb.grp) AS grp,
+                   COALESCE(rb.bin, cb.bin) AS bin,
+                   COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+            FROM rb FULL OUTER JOIN cb
+              ON rb.grp = cb.grp AND rb.bin = cb.bin
+        ), t AS (
+            SELECT grp, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+            FROM j GROUP BY grp
+        )
+        SELECT j.grp AS source, 'n_chars' AS col_name,
+               ROUND(SUM(
+                   (GREATEST(n_cur / t.tc, 1e-6)
+                    - GREATEST(n_ref / t.tr, 1e-6))
+                   * LN(GREATEST(n_cur / t.tc, 1e-6)
+                        / GREATEST(n_ref / t.tr, 1e-6))
+               ), 6) AS psi
+        FROM j JOIN t ON j.grp = t.grp
+        WHERE t.tr > 0 AND t.tc > 0
+        GROUP BY j.grp
+        ORDER BY source, col_name
     """,
     "ext_expectations": """
         WITH v AS (
