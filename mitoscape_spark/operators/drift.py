@@ -151,8 +151,10 @@ def drift_report_grouped(
                 F.lit(bins - 1),
             )
         )
+        # no broadcast hint: the edges table is |groups|·|cols| rows —
+        # unbounded in group cardinality; AQE broadcasts when it fits
         return (
-            tall.join(F.broadcast(edges), ["grp", "col_name"])
+            tall.join(edges, ["grp", "col_name"])
             .select("grp", "col_name", bin_expr.cast("int").alias("bin"))
             .groupBy("grp", "col_name", "bin")
             .agg(F.count(F.lit(1)).alias(n_name))

@@ -247,9 +247,11 @@ def video_near_duplicates(
     nb = sizes.select(
         F.col("media_id").alias("id_b"), F.col("n").alias("_nb")
     )
+    # no broadcast hint: the size table is |videos| rows — corpus-sized
+    # at scale; AQE converts to broadcast when it actually fits
     return (
-        shared.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
