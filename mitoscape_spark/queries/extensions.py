@@ -3013,32 +3013,46 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     text_pairs = minhash_candidate_pairs(
         minhash_signatures(docs), max_bucket_size=256
-    )
+    ).withColumn("m", F.lit("text"))
     image_pairs = phash_near_duplicates(
         average_hashes(synthetic_decodable_media(spark, docs)),
         max_hamming=3,
     ).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit("image").alias("m"),
     )
     audio_pairs = phash_near_duplicates(
         audio_fingerprints(synthetic_audio_corpus(spark, docs)),
         max_hamming=7,
     ).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit("audio").alias("m"),
     )
-    all_pairs = (
+    # each modality's pair pipeline runs EXACTLY once: the tagged union
+    # materializes via localCheckpoint, and every report figure below is
+    # a cheap job over the materialized pair set (the naive per-count
+    # formulation re-evaluated the three pipelines per figure — 3x the
+    # whole query)
+    tagged = (
         text_pairs.unionByName(image_pairs)
         .unionByName(audio_pairs)
-        .distinct()
+        .localCheckpoint(eager=True)
     )
+    by_m = {
+        r.m: r.n
+        for r in tagged.groupBy("m").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    all_pairs = tagged.select("doc_a", "doc_b").distinct()
     survivors = dedup_keep_canonical(docs, all_pairs)
     return spark.createDataFrame(
         [
             (
                 docs.count(),
-                text_pairs.count(),
-                image_pairs.count(),
-                audio_pairs.count(),
+                by_m.get("text", 0),
+                by_m.get("image", 0),
+                by_m.get("audio", 0),
                 all_pairs.count(),
                 survivors.count(),
             )
