@@ -527,3 +527,112 @@ class IVFPQIndex:
             F.col("centroid").isin([int(c) for c in probe])
         )
         return self.pq.topk(pruned.select("id", "codes"), query, k=k)
+
+
+# ---------------------------------------------------------- persistence
+#
+# Index state is the tiny fitted numpy arrays (centroids / codebooks —
+# KBs regardless of corpus size); the ENCODED TABLE is an ordinary
+# DataFrame the deployment persists as parquet partitioned by cell.
+# save/load here cover the fitted quantizers so a serving job can load
+# the index without re-sampling the corpus (and so two jobs can never
+# drift apart on quantizer state).
+
+def _save_state(path: str, meta: dict, arrays: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    np.savez(os.path.join(path, "state.npz"), **arrays)
+
+
+def _load_state(path: str) -> tuple[dict, dict]:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    arrays = dict(np.load(os.path.join(path, "state.npz")))
+    return meta, arrays
+
+
+def save_ivf(index: IVFFlatIndex, path: str) -> None:
+    if index.centroids is None:
+        raise ValueError("save_ivf: index not fitted")
+    _save_state(
+        path,
+        {
+            "kind": "ivf",
+            "n_centroids": index.n_centroids,
+            "n_probe": index.n_probe,
+            "n_iter": index.n_iter,
+            "seed": index.seed,
+            "train_sample": index.train_sample,
+        },
+        {"centroids": index.centroids},
+    )
+
+
+def load_ivf(path: str) -> IVFFlatIndex:
+    meta, arrays = _load_state(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"not an IVF index dir: {path}")
+    idx = IVFFlatIndex(
+        n_centroids=meta["n_centroids"],
+        n_probe=meta["n_probe"],
+        n_iter=meta["n_iter"],
+        seed=meta["seed"],
+        train_sample=meta["train_sample"],
+    )
+    idx.centroids = arrays["centroids"]
+    return idx
+
+
+def save_pq(index: PQIndex, path: str) -> None:
+    if index.codebooks is None:
+        raise ValueError("save_pq: index not fitted")
+    _save_state(
+        path,
+        {
+            "kind": "pq",
+            "m": index.m,
+            "k": index.k,
+            "train_sample": index.train_sample,
+            "n_iter": index.n_iter,
+            "seed": index.seed,
+        },
+        {"codebooks": index.codebooks},
+    )
+
+
+def load_pq(path: str) -> PQIndex:
+    meta, arrays = _load_state(path)
+    if meta.get("kind") != "pq":
+        raise ValueError(f"not a PQ index dir: {path}")
+    idx = PQIndex(
+        m=meta["m"],
+        k=meta["k"],
+        train_sample=meta["train_sample"],
+        n_iter=meta["n_iter"],
+        seed=meta["seed"],
+    )
+    idx.codebooks = arrays["codebooks"]
+    return idx
+
+
+def save_ivfpq(index: IVFPQIndex, path: str) -> None:
+    import os
+
+    save_ivf(index.ivf, os.path.join(path, "ivf"))
+    save_pq(index.pq, os.path.join(path, "pq"))
+
+
+def load_ivfpq(path: str) -> IVFPQIndex:
+    import os
+
+    idx = IVFPQIndex()
+    idx.ivf = load_ivf(os.path.join(path, "ivf"))
+    idx.pq = load_pq(os.path.join(path, "pq"))
+    return idx

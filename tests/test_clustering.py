@@ -199,3 +199,29 @@ def test_semantic_dedup_works_with_string_ids(spark):
         for r in semantic_dedup(df, k=2, threshold=0.9999, seed=3).collect()
     }
     assert kept == {"doc-a", "doc-c"}
+
+
+def test_ann_index_persistence_roundtrip(spark, tmp_path, sf_smoke):
+    import numpy as np
+
+    from mitoscape_spark.operators.similarity import (
+        IVFPQIndex,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    idx = IVFPQIndex(n_centroids=4, n_probe=2, m=8, k=8).fit(emb)
+    encoded = idx.encode(emb)
+    q = list(emb.where("vec_id = 0").head().embedding)
+    before = [(r.id, r.score) for r in idx.topk(encoded, q, k=5).collect()]
+
+    path = str(tmp_path / "ann_index")
+    save_ivfpq(idx, path)
+    restored = load_ivfpq(path)
+    assert np.array_equal(restored.ivf.centroids, idx.ivf.centroids)
+    assert np.array_equal(restored.pq.codebooks, idx.pq.codebooks)
+    after = [
+        (r.id, r.score) for r in restored.topk(encoded, q, k=5).collect()
+    ]
+    assert before == after  # serving job reproduces the fit job exactly
