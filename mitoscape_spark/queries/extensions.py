@@ -1744,6 +1744,35 @@ def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ joins/set-ops surface
+def ext_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'): each
+    order paired with that customer's FIRST event at or after the order
+    date — the other half of the merge-pattern contract (backward is
+    ext_asof_join). Equal-time ties resolve to the greatest event_id;
+    the oracle states the rank-1 formulation."""
+    from mitoscape_spark.operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_id"
+    )
+    out = asof_join(
+        orders,
+        events,
+        on="k",
+        left_time="o_orderdate",
+        right_time="ts",
+        payload=["event_id"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        F.col("k").alias("user_id"), "o_orderkey", "event_id"
+    ).orderBy("o_orderkey")
+
+
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the user's most recent order
     at or before the event (merge pattern — one shuffle, no row
@@ -3137,6 +3166,7 @@ QUERIES = {
     "ext_multimodal_dedup": ext_multimodal_dedup,
     "ext_expectations": ext_expectations,
     "ext_drift_by_source": ext_drift_by_source,
+    "ext_asof_forward": ext_asof_forward,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4802,6 +4832,21 @@ ORACLE = {
     "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
+    "ext_asof_forward": """
+        WITH ranked AS (
+            SELECT o.o_custkey AS user_id, o.o_orderkey, e.event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts ASC, e.event_id DESC
+                   ) AS rn
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        )
+        SELECT user_id, o_orderkey, event_id
+        FROM ranked WHERE rn = 1 ORDER BY o_orderkey
+    """,
     "ext_asof_join": """
         WITH ranked AS (
             SELECT e.event_id, e.user_id, o.o_orderkey,
