@@ -238,3 +238,52 @@ def hybrid_search_rrf(
         "r_dense",
     )
     return fused.orderBy(F.col("rrf").desc(), "id").limit(k)
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, doc_id, pos): the positional inverted index — what
+    phrase/proximity queries need beyond BM25's frequency postings.
+    One posexplode, one optional persisted layout (partition by token
+    hash bucket, same recipe as write_bm25_index)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "token"
+        ),
+    ).select("token", "doc_id", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """doc_ids containing the exact token sequence ``phrase`` — the
+    positional-index access path: the postings scan prunes to the
+    phrase's tokens (IN-list pushdown), then k−1 equi-joins align
+    consecutive tokens on (doc_id, pos + i). Per-query cost ∝ the
+    phrase tokens' posting lists, never a corpus text scan — on a
+    persisted bucket-partitioned index this is partition pruning, the
+    reason search engines store positions. The rarest token anchors
+    the join chain (its list bounds every intermediate size).
+    """
+    terms = [t for t in phrase.lower().split(" ") if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    postings = positional_postings(docs, text_col, id_col).where(
+        F.col("token").isin(sorted(set(terms)))
+    )
+    # anchor = first term; each subsequent term joins at pos + offset
+    out = (
+        postings.where(F.col("token") == terms[0])
+        .select("doc_id", F.col("pos").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.where(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - i).alias("_p0")
+        )
+        out = out.join(nxt, ["doc_id", "_p0"])
+    return out.select("doc_id").distinct()

@@ -1744,6 +1744,19 @@ def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ joins/set-ops surface
+def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through the positional inverted index
+    (operators/bm25.py::phrase_search): postings prune to the phrase's
+    tokens, k−1 (doc, pos+i) equi-joins align the sequence — per-query
+    cost ∝ the phrase's posting lists, never a text scan. The oracle
+    states the token-boundary LIKE scan over the space-joined corpus;
+    both must return the identical doc set."""
+    from mitoscape_spark.operators.bm25 import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "vector join").orderBy("doc_id")
+
+
 def ext_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/asof.py direction='forward'): each
     order paired with that customer's FIRST event at or after the order
@@ -3167,6 +3180,7 @@ QUERIES = {
     "ext_expectations": ext_expectations,
     "ext_drift_by_source": ext_drift_by_source,
     "ext_asof_forward": ext_asof_forward,
+    "ext_phrase_search": ext_phrase_search,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4832,6 +4846,12 @@ ORACLE = {
     "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
+    "ext_phrase_search": """
+        SELECT doc_id
+        FROM documents
+        WHERE (' ' || lower(text) || ' ') LIKE '% vector join %'
+        ORDER BY doc_id
+    """,
     "ext_asof_forward": """
         WITH ranked AS (
             SELECT o.o_custkey AS user_id, o.o_orderkey, e.event_id,

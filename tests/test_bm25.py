@@ -147,3 +147,23 @@ def test_hybrid_rrf_fusion_math(spark, sf_smoke):
     # descending fused order
     vals = [r.rrf for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_phrase_search_exact_sequences_only(spark):
+    from mitoscape_spark.operators.bm25 import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast vector join inside"),       # has the phrase
+            (2, "vector fast join"),              # tokens, wrong order
+            (3, "a vector Join here"),            # case-insensitive hit
+            (4, "vector"),                        # partial
+            (5, "x vector join vector join y"),   # multiple occurrences
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in phrase_search(docs, "vector join").collect()}
+    assert got == {1, 3, 5}
+    # single-token phrase degenerates to a token-membership lookup
+    got1 = {r.doc_id for r in phrase_search(docs, "vector").collect()}
+    assert got1 == {1, 2, 3, 4, 5}
