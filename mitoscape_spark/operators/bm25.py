@@ -287,3 +287,35 @@ def phrase_search(
         )
         out = out.join(nxt, ["doc_id", "_p0"])
     return out.select("doc_id").distinct()
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, min_gap): documents where ``term_a`` and ``term_b``
+    co-occur within ``window`` tokens, with the closest observed gap —
+    the NEAR/w operator. Same pruned positional-postings access path as
+    phrase_search; the per-doc position join is tiny (one token's
+    occurrences within one document), so the only real work is the two
+    posting-list fetches."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    postings = positional_postings(docs, text_col, id_col)
+    a = postings.where(F.col("token") == term_a.lower()).select(
+        "doc_id", F.col("pos").alias("_pa")
+    )
+    b = postings.where(F.col("token") == term_b.lower()).select(
+        "doc_id", F.col("pos").alias("_pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .withColumn("_gap", F.abs(F.col("_pa") - F.col("_pb")))
+        .where(F.col("_gap") <= window)
+        .groupBy("doc_id")
+        .agg(F.min("_gap").cast("int").alias("min_gap"))
+    )

@@ -1757,6 +1757,19 @@ def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, "vector join").orderBy("doc_id")
 
 
+def ext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/5 proximity retrieval (operators/bm25.py::proximity_search):
+    'vector' and 'slow' within 5 tokens, closest gap reported — two
+    pruned posting-list fetches + a per-doc position join. Oracle
+    restates it over DuckDB's 0-based unnested positions."""
+    from mitoscape_spark.operators.bm25 import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, "vector", "slow", window=5).orderBy(
+        "doc_id"
+    )
+
+
 def ext_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/asof.py direction='forward'): each
     order paired with that customer's FIRST event at or after the order
@@ -3181,6 +3194,7 @@ QUERIES = {
     "ext_drift_by_source": ext_drift_by_source,
     "ext_asof_forward": ext_asof_forward,
     "ext_phrase_search": ext_phrase_search,
+    "ext_proximity_search": ext_proximity_search,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4846,6 +4860,24 @@ ORACLE = {
     "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
+    "ext_proximity_search": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), p AS (
+            SELECT doc_id, i AS pos, t[i + 1] AS token
+            FROM toks, UNNEST(range(len(t))) AS r(i)
+        ), a AS (
+            SELECT doc_id, pos FROM p WHERE token = 'vector'
+        ), b AS (
+            SELECT doc_id, pos FROM p WHERE token = 'slow'
+        )
+        SELECT a.doc_id, CAST(MIN(ABS(a.pos - b.pos)) AS INT) AS min_gap
+        FROM a JOIN b USING (doc_id)
+        WHERE ABS(a.pos - b.pos) <= 5
+        GROUP BY a.doc_id
+        ORDER BY a.doc_id
+    """,
     "ext_phrase_search": """
         SELECT doc_id
         FROM documents

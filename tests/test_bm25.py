@@ -167,3 +167,23 @@ def test_phrase_search_exact_sequences_only(spark):
     # single-token phrase degenerates to a token-membership lookup
     got1 = {r.doc_id for r in phrase_search(docs, "vector").collect()}
     assert got1 == {1, 2, 3, 4, 5}
+
+
+def test_proximity_search_window_semantics(spark):
+    from mitoscape_spark.operators.bm25 import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta target"),   # gap 4 from alpha
+            (2, "alpha x x x x x x target"),        # gap 7: out of w=5
+            (3, "target alpha"),                    # gap 1, reversed order
+            (4, "alpha only here"),                 # missing term b
+            (5, "alpha target alpha far target"),   # min gap 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.min_gap
+        for r in proximity_search(docs, "ALPHA", "target", 5).collect()
+    }
+    assert got == {1: 4, 3: 1, 5: 1}
