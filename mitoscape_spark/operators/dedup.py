@@ -903,7 +903,11 @@ def ngram_jaccard_pairs_prefix(
         raise ValueError("prefix filtering needs 0 < threshold <= 1")
     from pyspark.sql import Window
 
-    sh = shingles(docs, shingle_size)
+    # the shingle explosion feeds FOUR consumers (df counts, ordered
+    # prefixes, per-doc sizes, verification sets) — materialize it once
+    # (lazy local checkpoint) instead of re-tokenizing the corpus per
+    # consumer (measured 22 s → ~13 s at sf0.1)
+    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ordered = sh.join(freq, "shingle").withColumn(
         "_pos",
@@ -920,10 +924,15 @@ def ngram_jaccard_pairs_prefix(
         - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
         + 1
     )
+    # materialize the prefix postings once: the candidate SELF-join
+    # consumes this subtree twice (freq join + per-doc window each
+    # time), and lineage re-evaluation there costs more than the
+    # materialized rows (measured at sf0.1)
     prefix = (
         ordered.join(sizes, "doc_id")
         .where(F.col("_pos") <= prefix_len)
         .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
     )
     cand = (
         prefix.alias("a")
@@ -938,10 +947,11 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
+    # sets also feeds two join branches (doc_a side, doc_b side)
     sets = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("sh_set"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets.select(
