@@ -784,6 +784,11 @@ def sparse_near_duplicates(
     """
     _require_integral_id(postings, id_col, "sparse_near_duplicates")
     margin = 1e-6
+    # postings feeds the block-count stats, the norm agg, AND the
+    # normalized projection — for callers whose postings lineage is
+    # expensive (TF-IDF: a fitted-pipeline transform + posexplode) the
+    # re-evaluations dominate; materialize once
+    postings = postings.localCheckpoint(eager=False)
     if n_blocks is None:
         stats = postings.agg(
             F.count(F.lit(1)).alias("nnz"),
@@ -810,11 +815,12 @@ def sparse_near_duplicates(
             F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
         )
     )
+    # both sides of the block cross-join consume `packed`
     packed = p.groupBy("block").agg(
         F.collect_list("id").alias("ids"),
         F.collect_list("idx").alias("idxs"),
         F.collect_list("w").alias("ws"),
-    )
+    ).localCheckpoint(eager=False)
     a = packed.select(
         F.col("block").alias("block_a"),
         F.col("ids").alias("ids_a"),
