@@ -435,3 +435,42 @@ def test_drift_grouped_one_sided_group_skipped(spark):
     )
     rows = drift_report_grouped(ref, cur, "src", ["x"]).collect()
     assert {r.src for r in rows} == {"a"}  # c has no baseline: skipped
+
+
+def test_heavy_hitters_threshold_one_degenerates_to_group_count(spark):
+    from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long").repartition(2)
+    got = {(r.k, r.n) for r in exact_heavy_hitters(df, ["k"], 1).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_heavy_hitters_empty_input(spark):
+    from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
+
+    df = spark.createDataFrame([], "k long")
+    assert exact_heavy_hitters(df, ["k"], 5).count() == 0
+
+
+def test_drift_psi_empty_current_reports_total_drift(spark):
+    from mitoscape_spark.operators.drift import drift_report
+
+    ref = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    cur = ref.where(F.lit(False))
+    psi = {r.col_name: r.psi for r in drift_report(ref, cur, ["x"]).collect()}
+    # every current bin collapses to epsilon: PSI blows up — absence of
+    # data is maximal drift, not a silent zero
+    assert psi["x"] > 5.0
+
+
+def test_scd2_empty_change_batch_is_identity(spark):
+    from mitoscape_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "a")], "id long, v string"), 0
+    )
+    empty = spark.createDataFrame([], "id long, v string")
+    out = scd2_apply(dim, empty, ["id"], ["v"], batch_id=1)
+    rows = [(r.id, r.v, r.effective_from, r.effective_to, r.is_current)
+            for r in out.collect()]
+    assert rows == [(1, "a", 0, None, 1)]
