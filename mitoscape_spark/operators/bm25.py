@@ -312,8 +312,16 @@ def proximity_search(
     b = postings.where(F.col("token") == term_b.lower()).select(
         "doc_id", F.col("pos").alias("_pb")
     )
+    # same-term proximity ("x NEAR x") must pair DISTINCT occurrences —
+    # without the guard every occurrence pairs with itself at gap 0
+    occ_guard = (
+        F.col("_pa") < F.col("_pb")
+        if term_a.lower() == term_b.lower()
+        else F.lit(True)
+    )
     return (
         a.join(b, "doc_id")
+        .where(occ_guard)
         .withColumn("_gap", F.abs(F.col("_pa") - F.col("_pb")))
         .where(F.col("_gap") <= window)
         .groupBy("doc_id")

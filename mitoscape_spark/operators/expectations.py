@@ -45,6 +45,12 @@ def _violation_expr(rule: dict) -> tuple[str, Column]:
         c = F.col(rule["col"])
         return rule["col"], c.isNotNull() & ~c.rlike(rule["pattern"])
     if kind == "accepted_values":
+        if not rule["values"]:
+            raise ValueError(
+                "accepted_values needs a non-empty values list "
+                "(an empty list would mean 'no value is ever legal' — "
+                "state that intent with a not_null + expression rule)"
+            )
         c = F.col(rule["col"])
         return rule["col"], c.isNotNull() & ~c.isin(*rule["values"])
     if kind == "expression":

@@ -138,10 +138,12 @@ def bin_pack_ffd(
     # would be dead code and Catalyst's column pruning would silently
     # optimize the raise away
     guarded_w = F.when(
-        F.col(tokens_col) > budget,
+        (F.col(tokens_col) > budget) | (F.col(tokens_col) < 0),
         F.raise_error(
             F.concat(
-                F.lit(f"bin_pack_ffd: row exceeds budget {budget}: "),
+                F.lit(
+                    f"bin_pack_ffd: row weight outside [0, {budget}]: "
+                ),
                 F.col(id_col).cast("string"),
             )
         ).cast("long"),

@@ -187,3 +187,21 @@ def test_proximity_search_window_semantics(spark):
         for r in proximity_search(docs, "ALPHA", "target", 5).collect()
     }
     assert got == {1: 4, 3: 1, 5: 1}
+
+
+def test_proximity_same_term_pairs_distinct_occurrences(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.bm25 import proximity_search
+
+    docs = spark.createDataFrame(
+        [(1, "echo x echo"), (2, "echo only once"), (3, "far echo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.min_gap
+        for r in proximity_search(docs, "echo", "echo", 5).collect()
+    }
+    # doc 1 has two occurrences 2 apart; single-occurrence docs must
+    # NOT self-pair at gap 0
+    assert got == {1: 2}

@@ -345,3 +345,13 @@ def test_expectations_null_expression_is_violation(spark):
         df, [{"rule": "expression", "name": "x_big", "sql": "x > 5"}]
     ).collect()
     assert rows[0].n_violations == 1  # NULL predicate = not met
+
+
+def test_expectations_empty_accepted_values_raises(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.expectations import validate
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        validate(df, [{"rule": "accepted_values", "col": "k", "values": []}])

@@ -303,7 +303,7 @@ def test_bin_pack_ffd_oversized_row_fails_loudly(spark):
     )
     with _pytest.raises(Exception) as ei:
         bin_pack_ffd(df, budget=1000).collect()
-    assert "exceeds budget" in str(ei.value)
+    assert "outside [0," in str(ei.value)
 
 
 def test_bin_pack_ffd_deterministic(spark):
@@ -474,3 +474,14 @@ def test_scd2_empty_change_batch_is_identity(spark):
     rows = [(r.id, r.v, r.effective_from, r.effective_to, r.is_current)
             for r in out.collect()]
     assert rows == [(1, "a", 0, None, 1)]
+
+
+def test_bin_pack_ffd_negative_weight_fails_loudly(spark):
+    import pytest as _pytest
+
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    df = spark.createDataFrame([(1, -5)], "doc_id long, n_tokens long")
+    with _pytest.raises(Exception) as ei:
+        bin_pack_ffd(df, budget=100).collect()
+    assert "outside [0," in str(ei.value)
