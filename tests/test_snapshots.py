@@ -1020,3 +1020,21 @@ def test_clone_is_self_contained(spark, tmp_path):
     # self-contained: deleting the source leaves the clone readable
     shutil.rmtree(src)
     assert {(r.k, r.v) for r in snap.read(spark, dst).collect()} == {(1, "a")}
+
+
+def test_clone_applies_deletion_vectors(spark, tmp_path):
+    from mitoscape_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "dv_src")
+    dst = str(tmp_path / "dv_clone")
+    snap.commit(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "k long, v string"),
+        src,
+    )
+    snap.delete_where_dv(spark, src, "k >= 7", key_col="k")
+    snap.clone(spark, src, dst)
+    got = {r.k for r in snap.read(spark, dst).collect()}
+    assert got == set(range(7))  # tombstoned rows do NOT resurrect
+    # and the clone carries no DV baggage: its manifest is a plain v1
+    assert snap.history(dst)[0].get("dvs") in (None, [])
