@@ -361,6 +361,39 @@ def cmd_expect(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_search(args, spark: SparkSession) -> int:
+    """Retrieval from the shell: BM25 ranked / exact phrase /
+    NEAR-window proximity over a documents parquet."""
+    from mitoscape_spark.operators.bm25 import (
+        bm25_search,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = spark.read.parquet(args.input)
+    if args.mode == "bm25":
+        for r in bm25_search(docs, args.query, k=args.k).collect():
+            print(f"search: doc {r.doc_id} bm25={r.bm25}")
+    elif args.mode == "phrase":
+        rows = phrase_search(docs, args.query).orderBy("doc_id").collect()
+        for r in rows[: args.k]:
+            print(f"search: doc {r.doc_id}")
+        print(f"search: {len(rows)} docs contain the phrase")
+    else:  # near
+        terms = args.query.split(" ")
+        if len(terms) != 2:
+            raise SystemExit("search --mode near needs exactly two terms")
+        rows = (
+            proximity_search(docs, terms[0], terms[1], window=args.window)
+            .orderBy("min_gap", "doc_id")
+            .collect()
+        )
+        for r in rows[: args.k]:
+            print(f"search: doc {r.doc_id} gap={r.min_gap}")
+        print(f"search: {len(rows)} docs match NEAR/{args.window}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mitoscape-spark")
     p.add_argument("--threads", type=int, default=None,
@@ -460,6 +493,15 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--input", required=True)
     ex.add_argument("--rules", required=True, help="JSON list of rules")
     ex.set_defaults(fn=cmd_expect)
+
+    se = sub.add_parser("search", help="BM25 / phrase / NEAR retrieval")
+    se.add_argument("--input", required=True, help="documents parquet")
+    se.add_argument("--query", required=True)
+    se.add_argument("--mode", choices=["bm25", "phrase", "near"],
+                    default="bm25")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--window", type=int, default=5, help="NEAR window")
+    se.set_defaults(fn=cmd_search)
     return p
 
 

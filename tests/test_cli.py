@@ -371,3 +371,30 @@ def test_cli_table_clone_and_schema_diff(spark, tmp_path, capsys):
         spark=spark,
     ) == 0
     assert "added s" in capsys.readouterr().out
+
+
+def test_cli_search_modes(spark, tmp_path, capsys):
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "fast vector join inside the engine"),
+            (2, "vector appears here and join far away at the end join"),
+            (3, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    assert main(
+        ["search", "--input", p, "--query", "vector join",
+         "--mode", "phrase"], spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "doc 1" in out and "1 docs contain" in out
+    assert main(
+        ["search", "--input", p, "--query", "vector join",
+         "--mode", "near", "--window", "3"], spark=spark,
+    ) == 0
+    assert "doc 1 gap=1" in capsys.readouterr().out
+    assert main(
+        ["search", "--input", p, "--query", "vector join"], spark=spark,
+    ) == 0
+    assert "bm25=" in capsys.readouterr().out
