@@ -189,3 +189,46 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def sequence_pattern_match(
+    events: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """(user_col, sequence) for users whose ORDERED event-type sequence
+    matches ``pattern`` — MATCH_RECOGNIZE-lite: the per-key sequence
+    renders to one delimited string (deterministic (ts, id) order) and
+    the row pattern is a plain regex over it. Funnels are the special
+    case 'a.*b.*c'; regex gives alternation/negation/repetition for
+    free, and the whole operator is one grouped aggregation + one
+    JVM-side rlike — no per-row Python, no state machine.
+
+    Memory note: one string per key, bounded by events-per-key × type
+    width — same budget class as any collect_list analytics; truncate
+    history upstream for unbounded keys.
+    """
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ),
+            lambda x: x["e"],
+        ),
+        sep,
+    )
+    return (
+        events.groupBy(user_col)
+        .agg(seq.alias("sequence"))
+        .where(F.col("sequence").rlike(pattern))
+    )

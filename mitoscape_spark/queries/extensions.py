@@ -1744,6 +1744,20 @@ def ext_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ joins/set-ops surface
+def ext_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/funnel.py::
+    sequence_pattern_match): users whose ordered event stream contains
+    signup → purchase with no error in between — one grouped agg + one
+    JVM rlike, regex staying in the RE2-compatible subset so the DuckDB
+    oracle (string_agg ORDER BY + regexp_matches) reproduces it
+    exactly."""
+    from mitoscape_spark.operators.funnel import sequence_pattern_match
+
+    events = load_table(spark, sf_dir, "events")
+    pat = "(^|>)signup>((click|view|signup|purchase)>)*purchase(>|$)"
+    return sequence_pattern_match(events, pat).orderBy("user_id")
+
+
 def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search through the positional inverted index
     (operators/bm25.py::phrase_search): postings prune to the phrase's
@@ -3195,6 +3209,7 @@ QUERIES = {
     "ext_asof_forward": ext_asof_forward,
     "ext_phrase_search": ext_phrase_search,
     "ext_proximity_search": ext_proximity_search,
+    "ext_pattern_match": ext_pattern_match,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4860,6 +4875,18 @@ ORACLE = {
     "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
+    "ext_pattern_match": """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS sequence
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, sequence FROM seqs
+        WHERE regexp_matches(sequence,
+            '(^|>)signup>((click|view|signup|purchase)>)*purchase(>|$)')
+        ORDER BY user_id
+    """,
     "ext_proximity_search": """
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS t

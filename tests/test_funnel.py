@@ -200,3 +200,32 @@ def test_windowed_funnel_unbounded_matches_plain(spark):
         for r in funnel_counts_windowed(ev, ["a", "b", "c"], 10**9).collect()
     }
     assert plain == wide
+
+
+def test_sequence_pattern_match_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.funnel import sequence_pattern_match
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: signup then purchase, clean path
+        (1, t(1), "signup", 1), (1, t(2), "view", 2), (1, t(3), "purchase", 3),
+        # user 2: error between signup and purchase
+        (2, t(1), "signup", 4), (2, t(2), "error", 5), (2, t(3), "purchase", 6),
+        # user 3: purchase BEFORE signup
+        (3, t(1), "purchase", 7), (3, t(2), "signup", 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    pat = "(^|>)signup>((click|view|signup|purchase)>)*purchase(>|$)"
+    got = {r.user_id for r in sequence_pattern_match(df, pat).collect()}
+    assert got == {1}
+    # ordering is deterministic: same-timestamp rows break ties by id
+    same_ts = spark.createDataFrame(
+        [(9, t(1), "b", 2), (9, t(1), "a", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    seq = sequence_pattern_match(same_ts, ".*").head().sequence
+    assert seq == "a>b"
