@@ -2829,6 +2829,38 @@ def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+_CONCENTRATION_SQL = """
+    WITH cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, rev,
+               NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        FROM cust
+    ), tot AS (SELECT SUM(rev) AS total FROM cust)
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(rev), 2) AS revenue,
+           ROUND(SUM(rev) / tot.total, 6) AS share
+    FROM ranked, tot
+    GROUP BY decile, tot.total
+    ORDER BY decile
+"""
+
+
+def ext_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration (Lorenz/decile) report: customers ranked by total
+    spend, split into revenue deciles, each decile's share of total —
+    the who-are-the-whales query every revenue dashboard carries. One
+    agg + one window over the AGGREGATED customer table (never the
+    facts) + a 1-row total broadcast. Identical SQL both engines
+    (deterministic NTILE tie-break by custkey)."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CONCENTRATION_SQL)
+
+
 _GROUPING_SETS_SQL = """
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
@@ -3210,6 +3242,7 @@ QUERIES = {
     "ext_phrase_search": ext_phrase_search,
     "ext_proximity_search": ext_proximity_search,
     "ext_pattern_match": ext_pattern_match,
+    "ext_revenue_concentration": ext_revenue_concentration,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4875,6 +4908,7 @@ ORACLE = {
     "ext_sql_volume_shipping": _VOLUME_SHIPPING_SQL,
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
+    "ext_revenue_concentration": _CONCENTRATION_SQL,
     "ext_pattern_match": """
         WITH seqs AS (
             SELECT user_id,
