@@ -2829,6 +2829,34 @@ def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+_COPURCHASE_SQL = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 200
+"""
+
+
+def ext_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset first pass (market-basket 2-itemsets): part
+    pairs co-occurring in >= 2 distinct orders. The (order, part)
+    dedup BEFORE the self-join is what keeps the pair space basket-
+    bounded (repeated lines of one part would square into the output);
+    per-order pair fan-out is basket_size², the A-priori cost model.
+    Identical SQL both engines."""
+    from mitoscape_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_COPURCHASE_SQL)
+
+
 _CONCENTRATION_SQL = """
     WITH cust AS (
         SELECT o_custkey, SUM(o_totalprice) AS rev
@@ -3243,6 +3271,7 @@ QUERIES = {
     "ext_proximity_search": ext_proximity_search,
     "ext_pattern_match": ext_pattern_match,
     "ext_revenue_concentration": ext_revenue_concentration,
+    "ext_copurchase_pairs": ext_copurchase_pairs,
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
@@ -4909,6 +4938,7 @@ ORACLE = {
     "ext_sql_order_priority": _ORDER_PRIORITY_SQL,
     "ext_sql_disjunctive_filter": _DISJUNCTIVE_FILTER_SQL,
     "ext_revenue_concentration": _CONCENTRATION_SQL,
+    "ext_copurchase_pairs": _COPURCHASE_SQL,
     "ext_pattern_match": """
         WITH seqs AS (
             SELECT user_id,
