@@ -72,12 +72,15 @@ def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _checked_in_prior_rounds() -> set[str]:
-    """Names already green in a recorded CORRECTNESS_r*.json.
+    """Names with ANY recorded verdict in a CORRECTNESS_r*.json.
 
     The driver checks a capped prefix of queries(); ordering
     never-driver-checked entries first guarantees every query gets a
     driver-recorded verdict across rounds instead of re-checking the
-    same 50.
+    same 50.  A recorded rows-only verdict (``err == "no_oracle"`` with
+    rows observed) counts as checked — only names the driver has never
+    touched at all go to the front (round-3 verdict defect #1: counting
+    only ``rows_match=true`` recycled the 9 rows-only names every round).
     """
     import glob
     import json
@@ -90,9 +93,7 @@ def _checked_in_prior_rounds() -> set[str]:
             with open(path) as fh:
                 report = json.load(fh)
             seen.update(
-                name
-                for name, res in report.items()
-                if isinstance(res, dict) and res.get("rows_match")
+                name for name, res in report.items() if isinstance(res, dict)
             )
         except Exception:  # malformed report — ignore, order is best-effort
             continue
@@ -103,7 +104,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mitoscape_spark.queries import QUERIES
 
     prior = _checked_in_prior_rounds()
-    ordered = sorted(QUERIES, key=lambda name: name in prior)
+    # never-driver-checked first; within those, the MitoScape-parity
+    # pipeline (mito_*) leads — 67 unchecked > the driver's 50-cap, so
+    # the parity queries must not land in the spill tail
+    ordered = sorted(
+        QUERIES,
+        key=lambda name: (
+            name in prior,
+            not name.startswith("mito_"),
+            # within unchecked, plain TPC-H SQL shapes are lowest-risk
+            # (pure declarative, locally hash-green) — let them take the
+            # >50-cap spill slots over novel operators
+            name.startswith("ext_sql_"),
+        ),
+    )
     return {name: _wrap(QUERIES[name]) for name in ordered}
 
 
