@@ -79,7 +79,12 @@ def asof_join(
         null_pack.alias("_pack"),
         F.lit(None).cast("long").alias("_tb"),
     )
-    r = right.select(
+    # pandas merge_asof parity on NULL keys: a right row with no
+    # timestamp can never be "nearest" — drop it before the union
+    # (otherwise it sorts to the front of the window and its non-null
+    # packed struct is carried as a phantom match for left rows with no
+    # real predecessor — round-3 advice).
+    r = right.where(F.col(right_time).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
@@ -95,7 +100,15 @@ def asof_join(
     # row: right rows sort before left rows at equal time (inclusive
     # match); among right rows at equal time the greatest tie-break is
     # seen last and wins the carry
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    # null-time LEFT rows must match nothing: sort them before every
+    # right row so the carry they see is null. asc() already puts nulls
+    # first; desc() defaults to nulls LAST (a null-time left row would
+    # inherit the earliest right row) — force nulls first.
+    t_order = (
+        F.col("_t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_t").desc_nulls_first()
+    )
     w = (
         W.partitionBy("_k")
         .orderBy(t_order, F.col("_is_left").asc(), F.col("_tb").asc())

@@ -3,15 +3,17 @@ dedup (text: dedup.py, image: images.py aHash, video: frame hashes).
 
 Fingerprint: decode WAV at full PCM precision (sources/multimodal.py::
 decode_wav_pcm — the uint8 histogram decode would inject a quantization
-noise floor), split
-the clip into ``n_windows`` equal windows, rFFT power in ``n_bands``
-log-spaced bands per window, one bit per (window, band) — set when the
-band's power is above its window's median. 8×8 = a 64-bit fingerprint
-that is invariant to amplitude scaling (median threshold is relative)
-and stable under small additive noise (band powers move, ranks mostly
-don't) — the Shazam-family constellation idea reduced to a fixed-width
-hash so the pairing stage can reuse the EXACT machinery image dedup
-uses: banded equi-join + ``bit_count`` hamming verify
+noise floor), split the clip into ``n_windows`` equal windows, rFFT
+power in ``n_bands`` log-spaced bands per window, then derive one bit
+per (window, band) cell by Haitsma–Kalker DOUBLE differencing —
+bit(w,b) = [ΔE(w,b) − ΔE(w−1,b) > 0] with ΔE the adjacent-band energy
+difference (see ``_fingerprint64``). 9×9 energy cells → 8×8 = a 64-bit
+fingerprint that is invariant to amplitude scaling (differences of a
+scaled spectrum keep their signs) and stable under small additive
+noise (a borderline band perturbs one bit, not a bit per window) —
+the Shazam-family constellation idea reduced to a fixed-width hash so
+the pairing stage can reuse the EXACT machinery image dedup uses:
+banded equi-join + ``bit_count`` hamming verify
 (operators/images.py::phash_near_duplicates). Audio bits flip more
 under noise than image aHash bits, so the hash splits into 8×8-bit
 bands — pigeonhole-sound up to hamming 7.

@@ -267,8 +267,13 @@ def phrase_search(
     consecutive tokens on (doc_id, pos + i). Per-query cost ∝ the
     phrase tokens' posting lists, never a corpus text scan — on a
     persisted bucket-partitioned index this is partition pruning, the
-    reason search engines store positions. The rarest token anchors
-    the join chain (its list bounds every intermediate size).
+    reason search engines store positions. The RAREST token anchors
+    the join chain (its list bounds every intermediate size): term
+    document frequencies come from one tiny k-row aggregate — the
+    dictionary lookup a persisted index serves from stored stats —
+    and the chain joins in ascending-df order (CBO is off by default,
+    so Spark executes inner-join chains in written order; the
+    anchoring must be done here, not hoped for from the optimizer).
     """
     terms = [t for t in phrase.lower().split(" ") if t]
     if not terms:
@@ -276,17 +281,27 @@ def phrase_search(
     postings = positional_postings(docs, text_col, id_col).where(
         F.col("token").isin(sorted(set(terms)))
     )
-    # anchor = first term; each subsequent term joins at pos + offset
-    out = (
-        postings.where(F.col("token") == terms[0])
-        .select("doc_id", F.col("pos").alias("_p0"))
+    # k-row df lookup (k = distinct phrase tokens); a token with zero
+    # postings sorts first and empties the chain at the anchor — the
+    # cheapest possible "no match" plan
+    dfs = {
+        r["token"]: r["df"]
+        for r in postings.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    order = sorted(
+        range(len(terms)), key=lambda i: (dfs.get(terms[i], 0), i)
     )
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = postings.where(F.col("token") == t).select(
+    # every term aligns to the phrase start: _p0 = pos − offset; join
+    # order is then free to follow rarity without breaking alignment
+    chain = None
+    for i in order:
+        nxt = postings.where(F.col("token") == terms[i]).select(
             "doc_id", (F.col("pos") - i).alias("_p0")
         )
-        out = out.join(nxt, ["doc_id", "_p0"])
-    return out.select("doc_id").distinct()
+        chain = nxt if chain is None else chain.join(nxt, ["doc_id", "_p0"])
+    return chain.select("doc_id").distinct()
 
 
 def proximity_search(

@@ -37,7 +37,6 @@ No counterpart in the reference (its aggregations are per-read-name,
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -82,10 +81,24 @@ def exact_heavy_hitters(
     other; the recount join uses ``eqNullSafe``)."""
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
-    # the pigeonhole bound needs the *input* partition count; this is a
-    # plan-time metadata lookup, not a job
-    n_parts = max(1, df.rdd.getNumPartitions())
-    local_threshold = max(1, math.ceil(threshold / n_parts))
+    # The pigeonhole bound needs the *actual* partition count of the
+    # candidate-generation job, but df.rdd.getNumPartitions() is a
+    # separate plan evaluation — input re-splitting or a changed file
+    # listing between the two evaluations could give the real job MORE
+    # partitions, making a ceil(T/P_est) bound too high and silently
+    # dropping true heavy hitters (round-3 advice). Derive the bound
+    # from a deliberate OVER-estimate instead: overestimating P only
+    # LOWERS the local threshold, which grows the (tiny) candidate set
+    # but keeps it a superset — exactness is preserved for any actual
+    # partition count up to 2× the larger of the plan estimate and the
+    # cluster's default parallelism. floor (not ceil) division for the
+    # same conservative reason.
+    n_parts = max(
+        1,
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    local_threshold = max(1, threshold // (2 * n_parts))
     candidates = local_candidates(df, key_cols, local_threshold).distinct()
     cond = None
     for k in key_cols:

@@ -273,11 +273,13 @@ def dedup_index_committer(
     by commit order + ledgers + a replay-safe pair computation:
     the INDEX commits first (ledgered by batch_id), pairs second
     (ledgered independently). A replay after a crash between the two
-    recomputes pairs against the index WITH the batch's bands already
-    present — which yields the identical pair set, because same-id
-    band rows never self-pair and batch-internal pairs dedupe —
-    then commits the pairs it first failed to. Every crash point
-    converges to the same two tables.
+    detects the batch's existing index commit and re-reads the corpus
+    AS-OF the version preceding it (snapshot time travel), so the pair
+    computation sees the identical corpus the first attempt saw —
+    exact even when ``max_bucket_size`` caps hot buckets (a bucket
+    that crosses the cap only after this batch's bands cannot alter
+    the replayed pair set). Every crash point converges to the same
+    two tables.
     """
     from mitoscape_spark.operators.dedup import (
         incremental_minhash_pairs,
@@ -287,18 +289,45 @@ def dedup_index_committer(
     from mitoscape_spark.sources import snapshots as snap
 
     def _ledger(table_dir: str) -> set:
+        # history() returns [] for a never-created table, so "missing"
+        # needs no handling; only tolerate a manifest vanishing mid-read
+        # (FileNotFoundError TOCTOU vs a concurrent vacuum) / a version
+        # probe race (ValueError from _load_manifest). Anything else —
+        # corrupt JSON, permission errors — must PROPAGATE and fail the
+        # micro-batch: returning an empty ledger here would make an
+        # already-committed batch look uncommitted and re-append its
+        # bands/pairs, silently breaking the exactly-once contract.
         try:
             return {
                 m.get("meta", {}).get("batch_id")
                 for m in snap.history(table_dir)
             }
-        except Exception:
+        except (FileNotFoundError, ValueError):
             return set()
+
+    def _index_version_before(batch_id: int) -> int | None:
+        """If this batch's bands are ALREADY committed to the index
+        (crash happened between the index and pairs commits), return
+        the index version preceding that commit; else None.
+
+        Reading the corpus as-of that version makes the replayed pair
+        computation see the IDENTICAL corpus the first attempt saw, so
+        convergence is exact even with ``max_bucket_size`` set (a
+        corpus bucket that crosses the cap only after this batch's
+        bands cannot change the replayed pair set — round-3 advice)."""
+        for m in snap.history(index_dir):
+            if m.get("meta", {}).get("batch_id") == batch_id:
+                return m["version"] - 1
+        return None
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        replay_parent = _index_version_before(batch_id)
         try:
-            corpus_bands = snap.read(spark, index_dir)
+            if replay_parent == 0:
+                # replaying the very first batch: pre-commit corpus empty
+                raise ValueError("empty pre-commit corpus")
+            corpus_bands = snap.read(spark, index_dir, version=replay_parent)
         except ValueError:  # first batch: empty index, correct schema
             corpus_bands = minhash_bands(
                 minhash_signatures(batch_df.limit(0))

@@ -642,6 +642,44 @@ def test_asof_join_semantics(spark):
     assert rows[(3, 300)] == (None, None)  # no right rows at all
 
 
+def test_asof_join_null_timestamps_never_match(spark):
+    """pandas merge_asof parity on nulls (round-3 advice): a right row
+    with NULL time is never 'nearest'; a left row with NULL time
+    matches nothing — in BOTH directions."""
+    import datetime as dt
+
+    from mitoscape_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, None), (2, 200, t(5))],
+        "k int, lid int, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 10, 0.0), (1, t(2), 11, 2.0), (2, None, 20, 0.0)],
+        "k int, rt timestamp, rid int, val double",
+    )
+    for direction, want in (
+        # backward: lid=100 matches rid=11 (t2 ≤ t5); the null-time
+        # right rows (rid 10/20) must not surface anywhere; null-time
+        # left (lid=101) matches nothing
+        ("backward", {(1, 100): (11, 2.0), (1, 101): (None, None),
+                      (2, 200): (None, None)}),
+        # forward: nothing at/after t5; null-time left still nothing
+        ("forward", {(1, 100): (None, None), (1, 101): (None, None),
+                     (2, 200): (None, None)}),
+    ):
+        rows = {
+            (r.k, r.lid): (r.rid, r.val)
+            for r in asof_join(
+                left, right, on="k", left_time="lt", right_time="rt",
+                payload=["rid", "val"], tiebreak="rid",
+                direction=direction,
+            ).collect()
+        }
+        assert rows == want, direction
+
+
 def test_fuzzy_pairs_blocking_and_bounds(spark):
     from mitoscape_spark.operators.fuzzy import fuzzy_pairs
 

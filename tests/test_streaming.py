@@ -944,3 +944,59 @@ def test_stream_dedup_pairs_service_exactly_once(spark, tmp_path):
         for r in minhash_candidate_pairs(minhash_signatures(first)).collect()
     }
     assert delta == want - old_pairs
+
+
+def test_dedup_committer_crash_replay_converges_with_bucket_cap(
+    spark, tmp_path
+):
+    """Round-3 advice: with max_bucket_size set, a crash between the
+    index and pairs commits must still converge to the no-crash pair
+    set. The committer now detects the batch's existing index commit
+    and re-reads the corpus AS-OF the preceding version, so a corpus
+    bucket that crosses the cap only WITH this batch's bands (10 > 8
+    here) cannot collapse the replayed pairs to representative-only
+    links."""
+    from mitoscape_spark.operators.dedup import incremental_minhash_pairs
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import dedup_index_committer
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+
+    def mk(ids, texts):
+        return spark.createDataFrame(
+            list(zip(ids, texts)), "doc_id long, text string"
+        )
+
+    # duplicate cluster spans the batches: 6 copies in batch 0 (under
+    # the cap of 8), 4 more in batch 1 (combined 10 — over the cap)
+    first = mk(range(6), [dup] * 6).unionByName(
+        mk([50], ["a completely different unique document text"])
+    )
+    second = mk(range(100, 104), [dup] * 4).unionByName(
+        mk([150], ["another unrelated singleton document here"])
+    )
+    cap = 8
+
+    def run(base, crash):
+        idx, prs = str(base / "idx"), str(base / "prs")
+        committer = dedup_index_committer(idx, prs, max_bucket_size=cap)
+        committer(first, 0)
+        if crash:
+            # simulate the crash point: batch 1's bands reach the
+            # index, the pairs commit never happens
+            corpus = snap.read(spark, idx)
+            _, nb = incremental_minhash_pairs(
+                corpus, second, max_bucket_size=cap
+            )
+            snap.commit(nb, idx, mode="append", meta={"batch_id": 1})
+        committer(second, 1)  # first run, or the post-crash replay
+        return (
+            {(r.doc_a, r.doc_b) for r in snap.read(spark, prs).collect()},
+            snap.latest_version(idx),
+        )
+
+    clean_pairs, v_clean = run(tmp_path / "clean", crash=False)
+    crash_pairs, v_crash = run(tmp_path / "crash", crash=True)
+    assert crash_pairs == clean_pairs and clean_pairs
+    # replay must not double-commit the batch's bands either
+    assert v_clean == v_crash == 2
