@@ -128,19 +128,36 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = 8192,
 ) -> DataFrame:
-    """(id_a, id_b, cos): exact cosine pairs ≥ threshold WITHIN each
+    """(id_a, id_b, cos): cosine pairs ≥ threshold WITHIN each
     cluster — the SemDeDup decomposition (Abbas et al. 2023): k-means
     first, quadratic verification only inside cells.
 
-    Each cluster is one ``applyInPandas`` group: a single GEMM over the
+    Each cluster is one ``applyInPandas`` group: a GEMM over the
     cluster's unit vectors, emitting only above-threshold index pairs.
-    The quadratic term is bounded by the LARGEST CLUSTER, not the
-    corpus — pick k ∝ corpus size (SemDeDup used k ≈ 0.1·√n·…; any
-    k keeping max-cluster ~10⁴–10⁵ rows works) and the per-task memory
-    and flops stay flat as n grows. Cross-cluster near-dups are
-    deliberately out of scope (the method's documented approximation);
-    the exact alternative is operators.dedup.embedding_near_duplicates.
+    The quadratic term is bounded by the LARGEST CELL — and because a
+    degenerate global fit (one giant cell) would otherwise go quadratic
+    with no loud failure (round-3 verdict #3), cells over
+    ``max_cell_size`` are guarded, the same contract as the LSH
+    hot-bucket star cap:
+
+    - an over-cap cell is recursively BISECTED by a deterministic local
+      spherical 2-means (finer-k SemDeDup semantics — pairs crossing a
+      bisection boundary are dropped, exactly the approximation a
+      larger global k would make), until every piece fits;
+    - a piece that will not split (a cohesive blob — near-identical
+      vectors, where bisection cannot make progress) emits a VERIFIED
+      representative star: members with cos(rep, x) ≥ threshold link to
+      the smallest-id member only. Connectivity is preserved for the
+      downstream connected-components/keep-set, so ``semantic_dedup``
+      output is unchanged for the giant-duplicate-cluster case while
+      per-task memory stays O(max_cell_size² + n·d).
+
+    ``max_cell_size=None`` disables the guard (exact within-cell
+    pairs whatever the fit). Cross-cluster near-dups are deliberately
+    out of scope (the method's documented approximation); the exact
+    alternative is operators.dedup.embedding_near_duplicates.
     """
     import numpy as np
     import pandas as pd
@@ -154,22 +171,81 @@ def semantic_dedup_pairs(
     id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: bisection seeds and star representatives become
+        # content-deterministic (groupBy hands rows in shuffle order)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         x = x / np.maximum(
             np.linalg.norm(x, axis=1, keepdims=True), 1e-12
         )
-        sims = x @ x.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
-        swap = ~(a < b)  # np.where-safe for numeric AND string ids
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+
+        def emit(a: np.ndarray, b: np.ndarray, cos: np.ndarray) -> None:
+            swap = ~(a < b)  # np.where-safe for numeric AND string ids
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_c.append(np.round(cos, 6))
+
+        def gemm(idx: np.ndarray) -> None:
+            sub = x[idx]
+            sims = sub @ sub.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ia):
+                emit(ids[idx][ia], ids[idx][ib], sims[ia, ib])
+
+        def star(idx: np.ndarray) -> None:
+            # idx is id-sorted; rep = smallest id. Verified links only.
+            rep, rest = idx[0], idx[1:]
+            cos = x[rest] @ x[rep]
+            hit = cos >= threshold
+            if hit.any():
+                emit(
+                    np.repeat(ids[rep], int(hit.sum())),
+                    ids[rest][hit],
+                    cos[hit],
+                )
+
+        def split(idx: np.ndarray) -> None:
+            n = len(idx)
+            if max_cell_size is None or n <= max_cell_size:
+                gemm(idx)
+                return
+            # deterministic spherical 2-means: seed with the min-id
+            # point and its cosine-farthest peer, 5 Lloyd rounds
+            sub = x[idx]
+            c0 = sub[0]
+            c1 = sub[int(np.argmin(sub @ c0))]
+            for _ in range(5):
+                side = (sub @ c1) > (sub @ c0)
+                if side.all() or not side.any():
+                    break
+                c0 = sub[~side].mean(axis=0)
+                c1 = sub[side].mean(axis=0)
+                c0 /= max(np.linalg.norm(c0), 1e-12)
+                c1 /= max(np.linalg.norm(c1), 1e-12)
+            side = (sub @ c1) > (sub @ c0)
+            small = int(min(side.sum(), n - side.sum()))
+            if small < max(1, n // 20):
+                # no progress — cohesive blob; cap-and-star like LSH
+                star(idx)
+                return
+            split(idx[~side])
+            split(idx[side])
+
+        split(np.arange(len(ids)))
+        if not out_a:  # typed empties — Arrow needs the id dtype
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0],
+                 "cos": np.empty(0, dtype=np.float64)}
+            )
         return pd.DataFrame(
             {
-                "id_a": lo,
-                "id_b": hi,
-                "cos": np.round(sims[ia, ib], 6),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
             }
         )
 
@@ -185,6 +261,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_cell_size: int | None = 8192,
 ) -> DataFrame:
     """Survivors after cluster-scoped near-dup removal: for every
     within-cluster near-dup component the smallest id is kept (rows in
@@ -197,7 +274,8 @@ def semantic_dedup(
         embeddings, k=k, vec_col=vec_col, id_col=id_col, seed=seed
     )
     pairs = semantic_dedup_pairs(
-        embeddings, assigned, threshold, id_col, vec_col
+        embeddings, assigned, threshold, id_col, vec_col,
+        max_cell_size=max_cell_size,
     )
     return dedup_keep_canonical(
         embeddings, pairs.withColumnRenamed("id_a", "doc_a")

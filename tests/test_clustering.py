@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from mitoscape_spark.operators.clustering import (
     balanced_sample,
@@ -199,6 +200,77 @@ def test_semantic_dedup_works_with_string_ids(spark):
         for r in semantic_dedup(df, k=2, threshold=0.9999, seed=3).collect()
     }
     assert kept == {"doc-a", "doc-c"}
+
+
+def test_semantic_dedup_cell_guard_giant_identical_cell(spark):
+    """Round-3 verdict #3: a degenerate fit (one giant cohesive cell)
+    must not go quadratic. 1,200 identical vectors in ONE cell with
+    max_cell_size=128: the guard's star fallback emits n−1 verified
+    links to the min id (not ~720k GEMM pairs), and the downstream
+    keep-set is byte-identical to the exact answer — only the min id
+    survives."""
+    n = 1200
+    df = spark.createDataFrame(
+        [(i, [3.0, 1.0, 4.0, 1.5]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = df.select("vec_id", F.lit(0).alias("cluster"))
+    pairs = semantic_dedup_pairs(
+        df, assigned, threshold=0.9999, max_cell_size=128
+    ).collect()
+    # star: linear edge count, all anchored at the representative
+    assert len(pairs) == n - 1
+    assert {p.id_a for p in pairs} == {0}
+    assert {p.id_b for p in pairs} == set(range(1, n))
+    assert all(p.cos >= 0.9999 for p in pairs)
+    kept = {
+        r.vec_id
+        # k=2 (pyspark KMeans requires k>1); identical points collapse
+        # both centers, so ties land every row in one giant cell anyway
+        for r in semantic_dedup(
+            df, k=2, threshold=0.9999, seed=5, max_cell_size=128
+        ).collect()
+    }
+    assert kept == {0}
+
+
+def test_semantic_dedup_cell_guard_bisection_recovers_blobs(spark):
+    """Over-cap cell holding two well-separated blobs: the local
+    2-means bisection must separate them, after which within-blob
+    pairs are EXACT (equal to brute force — no above-threshold pair
+    crosses the blob boundary, so nothing is lost to the split)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, center in enumerate(
+        (np.array([10.0, 0, 0, 0]), np.array([0, 10.0, 0, 0]))
+    ):
+        for j in range(50):
+            i = b * 1000 + j
+            v = center + rng.normal(scale=0.3, size=4)
+            rows.append((i, [float(x) for x in v]))
+            if j < 8:  # planted near-copies
+                w = v + rng.normal(scale=1e-4, size=4)
+                rows.append((i + 500, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.select("vec_id", F.lit(0).alias("cluster"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, assigned, threshold=0.9999, max_cell_size=64
+        ).collect()
+    }
+    vecs = {i: np.array(v) for i, v in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ua = vecs[a] / np.linalg.norm(vecs[a])
+            ub = vecs[b] / np.linalg.norm(vecs[b])
+            if ua @ ub >= 0.9999:
+                want.add((a, b))
+    assert got == want
+    assert len(want) >= 16  # every planted copy found
 
 
 def test_ann_index_persistence_roundtrip(spark, tmp_path, sf_smoke):
