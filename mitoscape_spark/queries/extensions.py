@@ -379,6 +379,44 @@ def ext_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_cluster_balance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checked invariants of k-means + balanced sampling (round-3
+    verdict #4 — the driver-checkable companion to the rows-only
+    ext_cluster_balance): every embedding assigned exactly once
+    (total_assigned matches the table count), at most k clusters
+    (k_ok), and the per-cluster sample quota exactly least(n, 20)
+    (quota_ok). The oracle derives total_assigned independently and
+    states the booleans as 1 — a double-assignment, dropped row, or
+    quota breach flips a value and hash-mismatches."""
+    from mitoscape_spark.operators.clustering import (
+        balanced_sample,
+        cluster_profiles,
+        fit_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = fit_clusters(emb, k=8)
+    prof = cluster_profiles(emb, assigned, centers)
+    sampled = (
+        balanced_sample(assigned, per_cluster=20)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        prof.join(sampled, "cluster", "left")
+        .na.fill(0, ["n_sampled"])
+        .agg(
+            F.sum("n").cast("long").alias("total_assigned"),
+            (F.count(F.lit(1)) <= F.lit(8)).cast("int").alias("k_ok"),
+            F.min(
+                (
+                    F.col("n_sampled") == F.least(F.col("n"), F.lit(20))
+                ).cast("int")
+            ).alias("quota_ok"),
+        )
+    )
+
+
 def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-EXPRESSION distinct counts via theta sketches (Spark 4
     DataSketches): per-event-type user sketches, then |A∩B| and |A∪B|
@@ -634,6 +672,45 @@ def ext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.col("n_members").desc(), "community")
         .limit(25)
+    )
+
+
+def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation against a SQL-stateable ground truth (round-3
+    verdict #4 — the driver-checkable companion to the rows-only
+    ext_communities): two disjoint cliques built from the nation table
+    (keys 0–11 / 12–24). Deterministic LPA converges each clique to
+    its minimum node id in one round — every neighbor label is
+    distinct, so the smallest-label tie-break wins everywhere — and
+    the oracle states the exact (community, size) rows with plain SQL.
+
+    Clique edges come from explode(sequence(k+1, max)) per node — a
+    JVM-side generator, not a cross join (the plan audit forbids
+    CartesianProduct repo-wide)."""
+    from mitoscape_spark.operators.graph import label_propagation
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    def clique(nodes: DataFrame, hi: int) -> DataFrame:
+        return nodes.where(F.col("k") < hi).select(
+            F.col("k").alias("src"),
+            F.explode(F.sequence(F.col("k") + 1, F.lit(hi))).alias("dst"),
+        )
+
+    edges = clique(n.where(F.col("k") <= 11), 11).unionByName(
+        clique(n.where(F.col("k") >= 12), 24)
+    )
+    return (
+        label_propagation(edges, max_iter=5)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("community")
     )
 
 
@@ -2951,6 +3028,40 @@ def ext_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pack_ffd_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checked invariants of the FFD packing (round-3 verdict #4 —
+    the driver-checkable companion to the rows-only ext_pack_ffd):
+    row multiset preserved (n_docs), token mass preserved
+    (total_tokens), every pack within budget (no_overflow), and pack
+    count at/above the ceil(Σtokens/budget) bin-packing lower bound
+    (lb_ok). The oracle derives the counts independently from the
+    documents table and states the booleans as 1 — any packing defect
+    (lost/duplicated row, overfull pack, impossible pack count) flips
+    a value and hash-mismatches."""
+    from mitoscape_spark.operators.packing import bin_pack_ffd
+
+    budget = 600
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = bin_pack_ffd(docs, budget=budget, n_groups=8)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_pack"),
+    )
+    return per_pack.agg(
+        F.sum("n_in_pack").cast("long").alias("n_docs"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.max(
+            (F.col("fill") > F.lit(budget)).cast("int")
+        ).alias("overflow_packs"),  # 0 iff every pack fits
+        (
+            F.count(F.lit(1))
+            >= F.ceil(F.sum("fill") / F.lit(float(budget)))
+        ).cast("int").alias("lb_ok"),
+    )
+
+
 def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (operators/drift.py): PSI of the
     post-1997 lineitem slice against the pre-1997 reference, three
@@ -3259,6 +3370,7 @@ QUERIES = {
     "ext_video_neardup": ext_video_neardup,
     "ext_drift_psi": ext_drift_psi,
     "ext_pack_ffd": ext_pack_ffd,
+    "ext_pack_ffd_invariants": ext_pack_ffd_invariants,
     "ext_hybrid_search": ext_hybrid_search,
     "ext_sql_grouping_sets": ext_sql_grouping_sets,
     "ext_incremental_dedup": ext_incremental_dedup,
@@ -3275,10 +3387,12 @@ QUERIES = {
     "ext_triangle_count": ext_triangle_count,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
+    "ext_cluster_balance_invariants": ext_cluster_balance_invariants,
     "ext_semantic_dedup": ext_semantic_dedup,
     "ext_theta_overlap": ext_theta_overlap,
     "ext_delete_vectors": ext_delete_vectors,
     "ext_communities": ext_communities,
+    "ext_communities_cliques": ext_communities_cliques,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3490,6 +3604,30 @@ _TABLE_CHANGES_ORACLE = """
 """
 
 ORACLE = {
+    "ext_communities_cliques": """
+        SELECT CAST(MIN(n_nationkey) AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM nation WHERE n_nationkey <= 11
+        UNION ALL
+        SELECT CAST(MIN(n_nationkey) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM nation WHERE n_nationkey >= 12
+        ORDER BY community
+    """,
+    "ext_pack_ffd_invariants": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens,
+               0 AS overflow_packs,
+               1 AS lb_ok
+        FROM documents
+    """,
+    "ext_cluster_balance_invariants": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_assigned,
+               1 AS k_ok,
+               1 AS quota_ok
+        FROM embeddings
+    """,
     "ext_heavy_hitters": """
         SELECT user_id, COUNT(*) AS n
         FROM events
