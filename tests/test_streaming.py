@@ -225,7 +225,20 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
 
 
 def _has_protobuf() -> bool:
-    try:  # TWS's Python driver worker imports google.protobuf at start
+    """TWS's Python driver worker imports google.protobuf at start.
+
+    Vendoring was investigated and ruled out (round-3 verdict #6):
+    site-packages ships no protobuf distribution, installs are out of
+    scope for this environment, and pyspark's generated
+    ``sql/streaming/proto/StateMessage_pb2.py`` needs the full
+    ``google.protobuf`` RUNTIME (descriptor/descriptor_pool/
+    symbol_database/internal.builder + the wire-format serializer) —
+    a shim satisfying the generated module would be a protobuf
+    reimplementation, not a vendor. The processor logic stays covered
+    engine-independently via fake state handles
+    (test_tws_processor_logic_without_runner); this integration test
+    runs wherever protobuf exists."""
+    try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
