@@ -445,6 +445,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    target_block_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(id_a, id_b, cos) for ALL pairs with cosine ≥ threshold — exact.
 
@@ -465,10 +466,12 @@ def embedding_near_duplicates(
 
     Scale: work is B²/2 independent GEMM tasks; memory per task = two
     blocks. ``n_blocks=None`` (default) derives B from the corpus so
-    each block stays ~64 MB regardless of corpus size (one cheap
-    count+dim job); pass an explicit B to skip that job. For
-    billion-vector corpora switch to the LSH/IVF approximate paths in
-    operators.similarity.
+    each block stays ~``target_block_bytes`` (64 MB default) regardless
+    of corpus size (one cheap count+dim job); pass an explicit B to
+    skip that job, or shrink ``target_block_bytes`` for tighter
+    executor memory budgets (the opt-in scale-sweep stress drives this
+    at a 10× corpus). For billion-vector corpora switch to the LSH/IVF
+    approximate paths in operators.similarity.
 
     Ids must be integral (they block by ``pmod(id, B)`` and ride numpy
     int64 arrays) — non-integral ids raise instead of silently matching
@@ -490,7 +493,8 @@ def embedding_near_duplicates(
             F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
         ).first()
         n_blocks = _auto_n_blocks(
-            (stats["n"] or 0) * (stats["d"] or 0) * 8
+            (stats["n"] or 0) * (stats["d"] or 0) * 8,
+            target_block_bytes=target_block_bytes,
         )
     packed = (
         e.withColumn(

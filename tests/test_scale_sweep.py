@@ -36,3 +36,63 @@ def test_query_completes_within_budget_at_sf01(spark, name):
         "check for quadratic row amplification, a serialized stage, or "
         "an AQE-coalesced exchange ahead of a row explosion (PERF.md §13)"
     )
+
+
+def test_gemm_block_memory_stays_bounded_at_10x(spark):
+    """Round-3 verdict #7: drive the blocked-GEMM path through a real
+    multi-block execution at a 10× corpus with a deliberately tiny
+    per-block budget, and assert the memory bound the auto-B math
+    promises actually holds in the materialized blocks.
+
+    20,000 synthetic 64-dim vectors (10× sf0.1 embeddings) with
+    ``target_block_bytes=256 KiB`` → B = ceil(10 MB/256 KiB) = 40
+    blocks, 820 block-pair GEMM tasks. Checks: (a) every packed block's
+    byte size ≤ 2× the target (pmod blocking is near-uniform; per-task
+    memory = two blocks, so this IS the executor bound); (b) all 500
+    planted near-duplicate pairs come back exactly, none invented —
+    multi-block candidate generation + re-score loses nothing across
+    block boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.dedup import (
+        _auto_n_blocks,
+        embedding_near_duplicates,
+    )
+
+    n, d, copies = 20_000, 64, 500
+    target = 256 << 10
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(n, d))
+    # plant: ids n..n+copies-1 are near-copies of ids 0..copies-1
+    dup = base[:copies] + rng.normal(scale=1e-4, size=(copies, d))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([base, dup]))
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+
+    n_total = n + copies
+    n_blocks = _auto_n_blocks(n_total * d * 8, target_block_bytes=target)
+    assert n_blocks >= 40  # genuinely multi-block, not the floor of 4
+    # (a) the materialized per-block payload honors the budget
+    block_bytes = (
+        emb.groupBy(F.pmod("vec_id", F.lit(n_blocks)).alias("b"))
+        .agg((F.count(F.lit(1)) * d * 8).alias("bytes"))
+        .agg(F.max("bytes").alias("mx"))
+        .first()["mx"]
+    )
+    assert block_bytes <= 2 * target
+    # (b) exactness across block boundaries at this scale
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            emb, threshold=0.99, target_block_bytes=target
+        ).collect()
+    }
+    want = {(i, n + i) for i in range(copies)}
+    # random 64-dim gaussians are near-orthogonal: planted pairs are
+    # the only cosines ≥ 0.99
+    assert got == want
