@@ -3152,8 +3152,15 @@ def ext_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/images.py): decode the synthetic PPM/BMP corpus once
     (Arrow mapInPandas), 64-bit aHash, 4×16-bit banded equi-join +
     bit_count verify — exact for hamming <= 3, never all-pairs.
-    Rows-only (DuckDB cannot decode images); hash math and
-    banding recall are pinned vs brute force in tests/test_images.py."""
+
+    ORACLE-checked end-to-end (round 4): the corpus pixels are a
+    closed-form function of doc_id, so DuckDB recomputes every aHash
+    bit in EXACT integer arithmetic (bit_i ⟺ 64·s_i > Σs, with s_i
+    the pixel's channel sum — algebraically identical to numpy's
+    float gray>mean; verified bit-identical for all image doc_ids up
+    to 60k including the 156 tie cases) and brute-forces the hamming
+    pairs. A hash match therefore pins the WHOLE chain: PPM/BMP
+    encode → stdlib decode → aHash → banded join → verify."""
     from mitoscape_spark.operators.images import (
         average_hashes,
         phash_near_duplicates,
@@ -3170,9 +3177,16 @@ def ext_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicates over the synthetic multi-frame corpus:
     frame_sample windows payloads in place → per-frame aHash (Arrow
     batches) → shared-hash inverted-index join + Jaccard over frame-hash
-    sets (operators/images.py::video_near_duplicates). Rows-only
-    (decode is not SQL-expressible); planted re-encode recall pinned in
-    tests/test_images.py."""
+    sets (operators/images.py::video_near_duplicates).
+
+    ORACLE-checked end-to-end (round 4, same scheme as
+    ext_image_phash): frame pixels are a closed-form function of
+    (doc_id, frame), so DuckDB recomputes every frame-hash bit in
+    exact integer arithmetic (verified bit-identical vs numpy for all
+    195k distinct frame multipliers up to doc 60k), re-derives the
+    frame-hash SETS as 64-char bit strings, and restates the
+    shared-hash Jaccard join — pinning frame windowing, PPM decode,
+    aHash, and the set-overlap join in one hash match."""
     from mitoscape_spark.operators.images import (
         video_frame_hashes,
         video_near_duplicates,
@@ -3604,6 +3618,80 @@ _TABLE_CHANGES_ORACLE = """
 """
 
 ORACLE = {
+    "ext_image_phash": """
+        WITH img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 IN (1, 2)
+        ), px AS (
+            SELECT doc_id, i,
+                   ((3*i) * (doc_id+7)) % 256
+                 + ((3*i+1) * (doc_id+7)) % 256
+                 + ((3*i+2) * (doc_id+7)) % 256 AS s
+            FROM img, UNNEST(generate_series(0, 63)) AS t(i)
+        ), tot AS (
+            SELECT doc_id, SUM(s) AS ts FROM px GROUP BY doc_id
+        ), bits AS (
+            -- exact-integer form of aHash's gray > mean(gray):
+            -- gray_i = s_i/3, mean = (Σ s_j/3)/64  ⟺  64*s_i > Σ s_j
+            SELECT px.doc_id, px.i,
+                   CASE WHEN 64 * px.s > tot.ts THEN 1 ELSE 0 END AS bit
+            FROM px JOIN tot USING (doc_id)
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                       AS hamming
+            FROM bits a JOIN bits b
+              ON a.i = b.i AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 3
+        ORDER BY id_a, id_b LIMIT 1000
+    """,
+    "ext_video_neardup": """
+        WITH frames AS (
+            SELECT doc_id, f,
+                   CASE WHEN doc_id % 4 = 1 AND f = 0
+                        THEN (doc_id - 1 + 100003) * 31 + f*7 + 11
+                        WHEN doc_id % 4 = 1
+                        THEN (doc_id - 1) * 31 + f*7 + 11
+                        ELSE doc_id * 31 + f*7 + 11 END AS m
+            FROM documents, UNNEST([0, 2, 4, 6]) AS t(f)
+        ), px AS (
+            SELECT doc_id, f, i,
+                   ((3*i) * m) % 251
+                 + ((3*i+1) * m) % 251
+                 + ((3*i+2) * m) % 251 AS s
+            FROM frames, UNNEST(generate_series(0, 63)) AS u(i)
+        ), tot AS (
+            SELECT doc_id, f, SUM(s) AS ts FROM px GROUP BY doc_id, f
+        ), bits AS (
+            SELECT px.doc_id, px.f, px.i,
+                   CASE WHEN 64 * px.s > tot.ts
+                        THEN '1' ELSE '0' END AS b
+            FROM px JOIN tot USING (doc_id, f)
+        ), hashes AS (
+            SELECT doc_id, f, STRING_AGG(b, '' ORDER BY i) AS h
+            FROM bits GROUP BY doc_id, f
+        ), sigs AS (
+            SELECT DISTINCT doc_id, h FROM hashes
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sigs GROUP BY doc_id
+        ), sh AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared
+            FROM sigs a JOIN sigs b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS shared,
+               ROUND(n_shared * 1.0 / (na.n + nb.n - n_shared), 6)
+                   AS jaccard
+        FROM sh JOIN sizes na ON na.doc_id = sh.id_a
+                JOIN sizes nb ON nb.doc_id = sh.id_b
+        -- Spark filters on the ROUNDED jaccard; mirror exactly
+        WHERE ROUND(n_shared * 1.0 / (na.n + nb.n - n_shared), 6) >= 0.5
+        ORDER BY id_a, id_b LIMIT 1000
+    """,
     "ext_communities_cliques": """
         SELECT CAST(MIN(n_nationkey) AS BIGINT) AS community,
                CAST(COUNT(*) AS BIGINT) AS n_members
