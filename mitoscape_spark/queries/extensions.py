@@ -714,6 +714,33 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pagerank_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank against a SQL-stateable ground truth (round 4 — the
+    driver-checkable companion to the rows-only ext_pagerank): on a
+    directed ring over the nation keys (k → (k+1) mod 25; out-degree 1
+    everywhere, no dangling mass) the uniform vector is the EXACT
+    fixed point — new = (1−d)/n + d·(1/n)/1 = 1/n every iteration —
+    so after any number of rounds every rank is 1/25, and the oracle
+    states it literally. Pins the iterative loop's contribution join,
+    dangling handling, and teleport arithmetic in one hash match."""
+    from mitoscape_spark.operators.graph import pagerank
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    edges = n.select(
+        F.col("k").alias("src"), ((F.col("k") + 1) % 25).alias("dst")
+    )
+    return (
+        pagerank(edges, damping=0.85, max_iter=20)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy("id")
+    )
+
+
 def ext_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector deletes (sources/snapshots.py::delete_where_dv):
     tombstone commit (no data rewrite), a re-insert of tombstoned keys
@@ -3407,6 +3434,7 @@ QUERIES = {
     "ext_delete_vectors": ext_delete_vectors,
     "ext_communities": ext_communities,
     "ext_communities_cliques": ext_communities_cliques,
+    "ext_pagerank_ring": ext_pagerank_ring,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3691,6 +3719,10 @@ ORACLE = {
         -- Spark filters on the ROUNDED jaccard; mirror exactly
         WHERE ROUND(n_shared * 1.0 / (na.n + nb.n - n_shared), 6) >= 0.5
         ORDER BY id_a, id_b LIMIT 1000
+    """,
+    "ext_pagerank_ring": """
+        SELECT CAST(n_nationkey AS BIGINT) AS id, 0.04 AS rank
+        FROM nation ORDER BY id
     """,
     "ext_communities_cliques": """
         SELECT CAST(MIN(n_nationkey) AS BIGINT) AS community,
