@@ -91,6 +91,49 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    salt: str = "",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """CONTENT-level leakage-safe train/val/test assignment: rows
+    connected by near-duplicate ``pairs`` are forced into the SAME
+    split, so a test document can never have a near-copy in train —
+    the standard eval-contamination guard for LLM training corpora
+    (``assign_splits`` above guards at the ENTITY level; this guards at
+    the content level, where leakage actually happens after dedup
+    finds transitive near-copy chains).
+
+    Composition: connected components over the pair edges (alternating
+    star, O(log n) rounds — operators/dedup.py) label every row with
+    its near-dup group (singletons group as themselves), then the
+    group key — not the row key — hashes into the split bands. One
+    component ⇒ one hash ⇒ one split, by construction; determinism and
+    proportions inherit from ``assign_splits``. Scale shape: the CC
+    state is |rows in any pair| (near-dup rows only), the labeling is
+    one left join, and the band assignment stays shuffle-free.
+    """
+    from mitoscape_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias("_cc_id"), F.col("component").alias("_cc")
+    )
+    grouped = (
+        df.join(comp, df[id_col] == comp["_cc_id"], "left")
+        .drop("_cc_id")
+        .withColumn("_grp", F.coalesce(F.col("_cc"), F.col(id_col)))
+        .drop("_cc")
+    )
+    return assign_splits(
+        grouped, "_grp", fractions, out_col=out_col, salt=salt
+    ).drop("_grp")
+
+
 def weighted_mix(
     df: DataFrame,
     stratum_col: str,

@@ -714,6 +714,50 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level leakage-safe splits (operators/sampling.py::
+    leakage_safe_splits): MinHash-LSH near-dup pairs → connected
+    components → the COMPONENT key (not the row key) hashes into the
+    80/20 bands, so no near-copy pair straddles train/test. The
+    readout is driver-checkable: n_docs matches the table count
+    (every row assigned), straddling_pairs is 0 by construction, and
+    both splits are populated — any leak or dropped row flips a value
+    and hash-mismatches."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mitoscape_spark.operators.sampling import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    assigned = leakage_safe_splits(
+        docs, pairs, {"train": 0.8, "test": 0.2}
+    ).select("doc_id", "split")
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("_spl_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("_spl_b")
+    )
+    straddle = (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_spl_a") != F.col("_spl_b")).cast("int")),
+                F.lit(0),
+            ).cast("long").alias("straddling_pairs")
+        )
+    )
+    stats = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count_distinct("split") == 2).cast("int").alias("both_splits"),
+    )
+    return stats.join(straddle, F.lit(True))
+
+
 def ext_pagerank_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank against a SQL-stateable ground truth (round 4 — the
     driver-checkable companion to the rows-only ext_pagerank): on a
@@ -3435,6 +3479,7 @@ QUERIES = {
     "ext_communities": ext_communities,
     "ext_communities_cliques": ext_communities_cliques,
     "ext_pagerank_ring": ext_pagerank_ring,
+    "ext_leakage_safe_split": ext_leakage_safe_split,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3723,6 +3768,12 @@ ORACLE = {
     "ext_pagerank_ring": """
         SELECT CAST(n_nationkey AS BIGINT) AS id, 0.04 AS rank
         FROM nation ORDER BY id
+    """,
+    "ext_leakage_safe_split": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               1 AS both_splits,
+               CAST(0 AS BIGINT) AS straddling_pairs
+        FROM documents
     """,
     "ext_communities_cliques": """
         SELECT CAST(MIN(n_nationkey) AS BIGINT) AS community,

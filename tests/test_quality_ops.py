@@ -156,6 +156,47 @@ def test_assign_splits_disjoint_total_deterministic(spark):
     assert s2 == {r.doc_id: r.split for r in rows}
 
 
+def test_leakage_safe_splits_components_never_straddle(spark):
+    """Content-level guard: every near-dup component lands in ONE
+    split — including a transitive chain whose endpoints share no
+    direct pair — and singletons keep assign_splits determinism."""
+    from mitoscape_spark.operators.sampling import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: chain {0,1,2,3}, pair {10,11}, singletons elsewhere
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_splits(
+        docs, pairs, {"train": 0.5, "test": 0.5}
+    )
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 40 and all(v in ("train", "test") for v in rows.values())
+    assert len({rows[i] for i in (0, 1, 2, 3)}) == 1  # chain together
+    assert rows[10] == rows[11]
+    # singletons follow the plain entity-level assignment on their own id
+    from mitoscape_spark.operators.sampling import assign_splits
+
+    plain = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            docs, "doc_id", {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    in_pairs = {0, 1, 2, 3, 10, 11}
+    assert all(rows[i] == plain[i] for i in rows if i not in in_pairs)
+    # deterministic under repartition
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_splits(
+            docs.repartition(7), pairs, {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    assert again == rows
+
+
 def test_assign_splits_holdout_band(spark):
     docs = load_table(spark, SF, "documents")
     out = assign_splits(docs, "doc_id", {"train": 0.5})
