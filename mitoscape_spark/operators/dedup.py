@@ -76,6 +76,25 @@ def _auto_n_blocks(
     return max(lo, min(hi, math.ceil(total_bytes / target_block_bytes)))
 
 
+def _parallelism_blocks(
+    spark, est_flops: float, factor: int = 2, hi: int = 64
+) -> int:
+    """Block count whose B(B+1)/2 GEMM tasks give ~``factor``× the
+    cluster's default parallelism — the auto-B floor for corpora that
+    are byte-small but FLOP-heavy (bytes-derived B wins as data grows;
+    this floor only matters when blocks would otherwise be few and
+    huge relative to the core count). Gated on ``est_flops`` (≈
+    docs²·dims): when total GEMM work is under ~1 GFLOP the whole job
+    finishes in one short wave anyway and extra blocks just add
+    shuffle/task overhead (measured a 4.9→6.9 s regression on the
+    2k-vector corpus before this gate)."""
+    if est_flops < 1e9:
+        return 4
+    p = max(1, spark.sparkContext.defaultParallelism)
+    b = math.ceil((math.sqrt(8.0 * factor * p + 1.0) - 1.0) / 2.0)
+    return min(hi, max(4, b))
+
+
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact deduplication — distributed hash aggregation on the key
     columns (Catalyst plans partial+final HashAggregate, so the shuffle
@@ -492,9 +511,15 @@ def embedding_near_duplicates(
         stats = e.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
         ).first()
-        n_blocks = _auto_n_blocks(
-            (stats["n"] or 0) * (stats["d"] or 0) * 8,
-            target_block_bytes=target_block_bytes,
+        n_blocks = max(
+            _auto_n_blocks(
+                (stats["n"] or 0) * (stats["d"] or 0) * 8,
+                target_block_bytes=target_block_bytes,
+            ),
+            _parallelism_blocks(
+                embeddings.sparkSession,
+                float(stats["n"] or 0) ** 2 * (stats["d"] or 0),
+            ),
         )
     packed = (
         e.withColumn(
@@ -516,7 +541,17 @@ def embedding_near_duplicates(
         F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"),
     )
-    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+    # explicit repartition: keep the B²/2 GEMM tasks spread across the
+    # cluster — AQE's byte-based coalescing would fold the small packed
+    # aggregate (and so the join output) into one partition and run
+    # the GEMM stage serially (PERF.md §13; same guard as the sparse
+    # path below)
+    sc = embeddings.sparkSession.sparkContext
+    n_tasks = max(1, min(n_blocks * (n_blocks + 1) // 2,
+                         2 * sc.defaultParallelism))
+    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
+        n_tasks
+    )
     cut = threshold - margin
 
     def gemm_candidates(batches):
@@ -802,6 +837,13 @@ def sparse_near_duplicates(
         n_blocks = max(
             _auto_n_blocks(nnz * 24),          # shipped triplets
             _auto_n_blocks(docs * n_dims * 8), # densified block matrix
+            # parallelism floor: B(B+1)/2 GEMM tasks should cover the
+            # cluster even when the corpus is byte-small but flop-heavy
+            # (B=4 → 10 tasks leaves a 32-core machine 2/3 idle;
+            # measured 14 s → 9 s at sf0.1 TF-IDF from this alone)
+            _parallelism_blocks(
+                postings.sparkSession, float(docs) * docs * n_dims
+            ),
         )
     norm = postings.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("_n")
@@ -837,7 +879,19 @@ def sparse_near_duplicates(
         F.col("idxs").alias("idxs_b"),
         F.col("ws").alias("ws_b"),
     )
-    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+    # explicit repartition = exempt from AQE byte-based coalescing: the
+    # packed aggregate is a few KB-per-row table, so AQE merges it (and
+    # therefore the join output) into ONE partition and the whole GEMM
+    # stage runs serially — the exact row-exploding-consumer hazard
+    # PERF.md §13 documents for fuzzy.py (measured here: 14 s → 4 s at
+    # sf0.1 TF-IDF). Task count targets the cluster's parallelism,
+    # bounded by the number of block pairs.
+    sc = postings.sparkSession.sparkContext
+    n_tasks = max(1, min(n_blocks * (n_blocks + 1) // 2,
+                         2 * sc.defaultParallelism))
+    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
+        n_tasks
+    )
     cut = threshold - margin
 
     def densify(ids, idxs, ws):
