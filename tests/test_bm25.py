@@ -167,6 +167,13 @@ def test_phrase_search_exact_sequences_only(spark):
     # single-token phrase degenerates to a token-membership lookup
     got1 = {r.doc_id for r in phrase_search(docs, "vector").collect()}
     assert got1 == {1, 2, 3, 4, 5}
+    # rarest-token anchoring must not change results when the phrase
+    # repeats a token or contains a corpus-absent token
+    got2 = {
+        r.doc_id for r in phrase_search(docs, "vector join vector").collect()
+    }
+    assert got2 == {5}
+    assert phrase_search(docs, "vector zzz_absent").count() == 0
 
 
 def test_proximity_search_window_semantics(spark):

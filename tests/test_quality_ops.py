@@ -197,6 +197,34 @@ def test_leakage_safe_splits_components_never_straddle(spark):
     assert again == rows
 
 
+def test_leakage_safe_splits_empty_pairs_degrades_to_entity_split(spark):
+    """With no near-dup pairs the content-level split must be exactly
+    the plain per-id assignment (singleton components group as
+    themselves)."""
+    from mitoscape_spark.operators.sampling import (
+        assign_splits,
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.split
+        for r in leakage_safe_splits(
+            docs, no_pairs, {"train": 0.7, "test": 0.3}
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            docs, "doc_id", {"train": 0.7, "test": 0.3}
+        ).collect()
+    }
+    assert got == want
+
+
 def test_assign_splits_holdout_band(spark):
     docs = load_table(spark, SF, "documents")
     out = assign_splits(docs, "doc_id", {"train": 0.5})
