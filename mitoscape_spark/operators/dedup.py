@@ -671,7 +671,11 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(small_min.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the signature agg right below is the first action,
+            # so ONE job per round materializes checkpoint + signature
+            # (eager=True ran a separate materialization job per round
+            # — pure fixed overhead on small graphs)
+            .localCheckpoint(eager=False)
         )
         sig_row = edges_new.agg(
             F.count(F.lit(1)).alias("n"),

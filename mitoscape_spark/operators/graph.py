@@ -80,7 +80,9 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the delta agg below is the first action, so one job
+            # per round materializes checkpoint + convergence check
+            .localCheckpoint(eager=False)
         )
         delta = (
             ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
@@ -241,7 +243,9 @@ def label_propagation(
                 ).alias("lbl")
             )
             .select(F.col("node").alias("id"), "lbl")
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes it (one job
+            # per round instead of two)
+            .localCheckpoint(eager=False)
         )
         changed = (
             labels.withColumnRenamed("lbl", "old")
