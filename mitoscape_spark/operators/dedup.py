@@ -1072,6 +1072,125 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    shingle_size: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, containment): pairs whose shingle-set CONTAINMENT
+    |A∩B| / min(|A|,|B|) ≥ threshold — the asymmetric near-dup measure.
+    Jaccard misses exactly these: a short document quoted inside a
+    10×-longer one has |A∩B| ≈ |A| (containment ≈ 1) but Jaccard ≈
+    |A|/|B| ≈ 0.1, so a Jaccard-thresholded dedup never links them.
+    Containment is the standard detector for quotes, boilerplate
+    inclusion, and subset re-posts.
+
+    Exact, via an ASYMMETRIC prefix filter: the pigeonhole bound
+    |A∩B| ≥ t·n_small forces a shared shingle within the SMALLER
+    document's first ``n − ceil(t·n) + 1`` rare-first-ordered shingles
+    (the larger side carries no such bound — a prefix×prefix join
+    would silently miss the quote-in-long-doc case), so candidates
+    come from prefix(smaller) ⋈ full-postings(larger), and the
+    verification intersects bounded per-doc sorted shingle-ID arrays.
+    Skew shape: a hot (stopword) shingle has huge full-side df but
+    near-zero PREFIX-side df under rare-first ordering, so per-shingle
+    join cost is df_full · df_prefix, not df_full² — the same reason
+    the Jaccard prefix path scales. Runs on the frozen long-id shingle
+    dictionary (see ngram_jaccard_pairs_prefix).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("containment prefix filter needs 0 < threshold <= 1")
+    from pyspark.sql import Window
+
+    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    shs = (
+        sh.join(freq, "shingle")
+        .select("doc_id", "_sid", "_df")
+        .localCheckpoint(eager=False)
+    )
+    ordered = shs.withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "_sid")
+        ),
+    )
+    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
+    )
+    prefix = (
+        ordered.join(sizes, "doc_id")
+        .where(F.col("_pos") <= prefix_len)
+        .select("doc_id", "_sid", "n")
+        .localCheckpoint(eager=False)
+    )
+    full = shs.join(sizes, "doc_id").select("doc_id", "_sid", "n")
+    # smaller side must produce the prefix hit; size ties break by id
+    # so each unordered pair is generated exactly once
+    cand = (
+        prefix.alias("p")
+        .join(
+            full.alias("q"),
+            (F.col("p._sid") == F.col("q._sid"))
+            & (
+                (F.col("p.n") < F.col("q.n"))
+                | (
+                    (F.col("p.n") == F.col("q.n"))
+                    & (F.col("p.doc_id") < F.col("q.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("p.doc_id").alias("_small"),
+            F.col("q.doc_id").alias("_large"),
+        )
+        .distinct()
+    )
+    sets = shs.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("_sid")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=False)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("_small"),
+                F.col("sh_set").alias("_sa"),
+                F.col("n").alias("na"),
+            ),
+            "_small",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("_large"),
+                F.col("sh_set").alias("_sb"),
+                F.col("n").alias("nb"),
+            ),
+            "_large",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.least(F.col("na"), F.col("nb")), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            F.least("_small", "_large").alias("doc_a"),
+            F.greatest("_small", "_large").alias("doc_b"),
+            "containment",
+        )
+    )
+
+
 def pair_metrics(
     predicted: DataFrame,
     truth: DataFrame,

@@ -714,6 +714,22 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT ≥ 0.8 pairs
+    (operators/dedup.py::ngram_containment_pairs) — catches a short
+    document quoted inside a long one, which Jaccard structurally
+    misses (|A∩B|/|A∪B| collapses as the size ratio grows). Exact via
+    the asymmetric prefix filter: prefix(smaller) ⋈ full postings; the
+    oracle restates containment with a plain shingle self-join, so the
+    hash match proves the prefix pruning loses nothing."""
+    from mitoscape_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level leakage-safe splits (operators/sampling.py::
     leakage_safe_splits): MinHash-LSH near-dup pairs → connected
@@ -3480,6 +3496,7 @@ QUERIES = {
     "ext_communities_cliques": ext_communities_cliques,
     "ext_pagerank_ring": ext_pagerank_ring,
     "ext_leakage_safe_split": ext_leakage_safe_split,
+    "ext_containment": ext_containment,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3774,6 +3791,23 @@ ORACLE = {
                1 AS both_splits,
                CAST(0 AS BIGINT) AS straddling_pairs
         FROM documents
+    """,
+    "ext_containment": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / LEAST(na.n, nb.n), 6) AS containment
+        FROM inter
+        JOIN sizes na ON na.doc_id = inter.doc_a
+        JOIN sizes nb ON nb.doc_id = inter.doc_b
+        WHERE ROUND(i * 1.0 / LEAST(na.n, nb.n), 6) >= 0.8
+        ORDER BY doc_a, doc_b
     """,
     "ext_communities_cliques": """
         SELECT CAST(MIN(n_nationkey) AS BIGINT) AS community,

@@ -1211,6 +1211,72 @@ def test_prefix_filtered_jaccard_rejects_zero_threshold(spark, docs):
         ngram_jaccard_pairs_prefix(docs, threshold=0.0)
 
 
+def test_containment_finds_quote_in_long_doc_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short doc quoted
+    verbatim inside a 10×-longer one has containment 1.0 but Jaccard
+    ≈ 0.1 — ngram_containment_pairs must link it, and the same-
+    threshold Jaccard path must (correctly, per its own semantics)
+    not."""
+    from mitoscape_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                      # the short original
+            (2, filler + " " + quote),       # quotes all of doc 1
+            (3, "totally different text about nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(cont) == {(1, 2)}
+    assert cont[(1, 2)] == 1.0  # every shingle of doc 1 is in doc 2
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_equals_bruteforce(spark, docs):
+    """Asymmetric prefix filter completeness: candidates from
+    prefix(smaller) ⋈ full postings must reproduce the brute-force
+    containment pairs exactly at multiple thresholds."""
+    from mitoscape_spark.operators.dedup import (
+        ngram_containment_pairs,
+        shingles,
+    )
+
+    corpus = docs.limit(100)
+    sets = {}
+    for r in shingles(corpus).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    for t in (0.5, 0.8):
+        want = {}
+        ids = sorted(sets)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                c = round(
+                    len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b])),
+                    6,
+                )
+                if c >= t:
+                    want[(a, b)] = c
+        got = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in ngram_containment_pairs(corpus, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+
 def test_ivfpq_composed_recall(spark, emb):
     from mitoscape_spark.operators.similarity import IVFPQIndex, topk_cosine
 
