@@ -3408,9 +3408,15 @@ def ext_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (Haitsma-Kalker differential-energy bits over
     log-band rFFT) on the synthetic WAV corpus with planted re-mastered
     clips, paired by the SAME banded-hamming plan image dedup uses
-    (8x8-bit bands, sound to hamming 7). Rows-only; the
-    fingerprint invariances and pairing recall are pinned in
-    tests/test_audio_fingerprint.py."""
+    (8x8-bit bands, sound to hamming 7). Rows-only — and provably has
+    to stay so, unlike the image/video queries that got closed-form
+    oracles in round 4: the bit derivation thresholds the double
+    differential ΔΔE at exactly 0, and this corpus produces cells
+    where ΔΔE == 0.0 to the last ulp (measured: the worst relative
+    margin over 1,000 clips is exactly 0), so ANY cross-engine
+    float-summation-order difference in a SQL DFT restatement could
+    flip bits nondeterministically. The fingerprint invariances and
+    pairing recall are pinned in tests/test_audio_fingerprint.py."""
     from mitoscape_spark.operators.audio import audio_fingerprints
     from mitoscape_spark.operators.images import phash_near_duplicates
     from mitoscape_spark.sources.multimodal import synthetic_audio_corpus
