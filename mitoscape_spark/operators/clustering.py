@@ -147,12 +147,18 @@ def semantic_dedup_pairs(
       bisection boundary are dropped, exactly the approximation a
       larger global k would make), until every piece fits;
     - a piece that will not split (a cohesive blob — near-identical
-      vectors, where bisection cannot make progress) emits a VERIFIED
-      representative star: members with cos(rep, x) ≥ threshold link to
-      the smallest-id member only. Connectivity is preserved for the
-      downstream connected-components/keep-set, so ``semantic_dedup``
-      output is unchanged for the giant-duplicate-cluster case while
-      per-task memory stays O(max_cell_size² + n·d).
+      vectors, where bisection cannot make progress) emits VERIFIED
+      sparse links instead of the n²/2 pair matrix: a representative
+      star (members with cos(rep, x) ≥ threshold link to the
+      smallest-id member) plus a consecutive-member chain (id-sorted
+      neighbors with cos ≥ threshold). For the giant-IDENTICAL-cluster
+      case every spoke verifies, so the downstream connected
+      components/keep-set are exactly the unguarded answer; for a
+      merely-cohesive blob the links are a verified SUBSET of the true
+      pair set (members above threshold to neither the rep nor an
+      id-adjacent neighbor can disconnect) — the same
+      keep-more-never-wrong-pairs approximation direction as a larger
+      global k. Per-task memory stays O(max_cell_size² + n·d).
 
     ``max_cell_size=None`` disables the guard (exact within-cell
     pairs whatever the fit). Cross-cluster near-dups are deliberately
@@ -197,7 +203,12 @@ def semantic_dedup_pairs(
                 emit(ids[idx][ia], ids[idx][ib], sims[ia, ib])
 
         def star(idx: np.ndarray) -> None:
-            # idx is id-sorted; rep = smallest id. Verified links only.
+            # idx is id-sorted; rep = smallest id. VERIFIED links only:
+            # rep→member spokes plus consecutive-member chain links —
+            # both O(n·d), and the chain catches members similar to
+            # their neighbors but not to the rep (an edge-sitting rep
+            # would otherwise disconnect them; see docstring for the
+            # exact coverage statement)
             rep, rest = idx[0], idx[1:]
             cos = x[rest] @ x[rep]
             hit = cos >= threshold
@@ -207,6 +218,12 @@ def semantic_dedup_pairs(
                     ids[rest][hit],
                     cos[hit],
                 )
+            if len(idx) > 2:
+                chain = np.einsum("ij,ij->i", x[idx[:-1]], x[idx[1:]])
+                chit = chain >= threshold
+                if chit.any():
+                    emit(ids[idx[:-1]][chit], ids[idx[1:]][chit],
+                         chain[chit])
 
         def split(idx: np.ndarray) -> None:
             n = len(idx)

@@ -944,6 +944,67 @@ def sparse_near_duplicates(
     )
 
 
+def _shingle_id_tables(docs: DataFrame, shingle_size: int):
+    """Shared frozen shingle→long-id dictionary pipeline for the
+    prefix-filtered set-similarity paths (Jaccard + containment):
+    returns ``(shs, ordered, sizes, sets)`` where shs = (doc_id, _sid,
+    _df) postings, ordered adds the rare-first ``_pos`` per doc,
+    sizes = per-doc set size, sets = per-doc sorted ``_sid`` arrays.
+
+    The dictionary assigns ids with ``monotonically_increasing_id`` —
+    nondeterministic across recomputation — so the freq table is
+    checkpointed EAGERLY: a lazy checkpoint only freezes ids once some
+    action registers the blocks, and on a multi-executor cluster the
+    first job's concurrent stages could each recompute a freq
+    partition and observe DIVERGENT shingle→id mappings (an equi-join
+    key that differs between branches silently drops pairs). The
+    eager materialization is one tiny job over the distinct-shingle
+    table and removes the race outright; the downstream tables are
+    pure functions of the frozen dictionary and stay lazy.
+    """
+    from pyspark.sql import Window
+
+    # the shingle explosion feeds several consumers — materialize once
+    # instead of re-tokenizing per consumer
+    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # freeze ids BEFORE consumers fork
+    )
+    shs = (
+        sh.join(freq, "shingle")
+        .select("doc_id", "_sid", "_df")
+        .localCheckpoint(eager=False)
+    )
+    ordered = shs.withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "_sid")
+        ),
+    )
+    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # sets feed two join branches (doc_a side, doc_b side)
+    sets = shs.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("_sid")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=False)
+    return shs, ordered, sizes, sets
+
+
+def _prefix_len(threshold: float):
+    """Sound prefix length ``n − ceil(t·n) + 1`` as a column over
+    ``n``. Epsilon-nudge before ceil: 0.07·100 is 7.000000000000001
+    in doubles, and an overshot ceil SHORTENS the prefix below the
+    sound bound (threshold-boundary pairs silently missed)."""
+    return (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     shingle_size: int = DEFAULT_SHINGLE,
@@ -969,10 +1030,10 @@ def ngram_jaccard_pairs_prefix(
 
     Everything downstream of the dictionary runs on LONG shingle ids,
     not shingle strings: the frozen frequency table doubles as an
-    exact (collision-free) string→long dictionary via
-    ``monotonically_increasing_id`` — ids are assigned once and
-    localCheckpoint freezes them, so every consumer sees the same
-    mapping. Join keys hash/compare as longs and the verification
+    exact (collision-free) string→long dictionary (see
+    ``_shingle_id_tables`` for the eager-freeze rationale), so every
+    consumer sees the same mapping. Join keys hash/compare as longs
+    and the verification
     intersects long arrays instead of ~30-byte strings; jaccard only
     counts elements, so results are bit-identical. Measured at sf0.1:
     7.6 s → 2.0 s for the same 260-row output (the round-3 "halve the
@@ -981,39 +1042,9 @@ def ngram_jaccard_pairs_prefix(
     """
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs 0 < threshold <= 1")
-    from pyspark.sql import Window
 
-    # the shingle explosion feeds several consumers — materialize once
-    # (lazy local checkpoint) instead of re-tokenizing per consumer
-    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
-    # dictionary: one row per distinct shingle; the checkpoint FREEZES
-    # the nondeterministic ids before any consumer forks
-    freq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .withColumn("_sid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
-    )
-    shs = (
-        sh.join(freq, "shingle")
-        .select("doc_id", "_sid", "_df")
-        .localCheckpoint(eager=False)
-    )
-    ordered = shs.withColumn(
-        "_pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "_sid")
-        ),
-    )
-    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix_len = (
-        # epsilon-nudge before ceil: 0.07*100 is 7.000000000000001 in
-        # doubles, and an overshot ceil SHORTENS the prefix below the
-        # sound bound (threshold-boundary pairs silently missed)
-        F.col("n")
-        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-        + 1
-    )
+    shs, ordered, sizes, sets = _shingle_id_tables(docs, shingle_size)
+    prefix_len = _prefix_len(threshold)
     # materialize the prefix postings once: the candidate SELF-join
     # consumes this subtree twice, and lineage re-evaluation there
     # costs more than the materialized rows (measured at sf0.1)
@@ -1036,11 +1067,6 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    # sets also feeds two join branches (doc_a side, doc_b side)
-    sets = shs.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("_sid")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets.select(
@@ -1100,35 +1126,11 @@ def ngram_containment_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError("containment prefix filter needs 0 < threshold <= 1")
-    from pyspark.sql import Window
 
-    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
-    freq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .withColumn("_sid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
-    )
-    shs = (
-        sh.join(freq, "shingle")
-        .select("doc_id", "_sid", "_df")
-        .localCheckpoint(eager=False)
-    )
-    ordered = shs.withColumn(
-        "_pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "_sid")
-        ),
-    )
-    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-        + 1
-    )
+    shs, ordered, sizes, sets = _shingle_id_tables(docs, shingle_size)
     prefix = (
         ordered.join(sizes, "doc_id")
-        .where(F.col("_pos") <= prefix_len)
+        .where(F.col("_pos") <= _prefix_len(threshold))
         .select("doc_id", "_sid", "n")
         .localCheckpoint(eager=False)
     )
@@ -1154,10 +1156,6 @@ def ngram_containment_pairs(
         )
         .distinct()
     )
-    sets = shs.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("_sid")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets.select(

@@ -297,11 +297,17 @@ def dedup_index_committer(
         # micro-batch: returning an empty ledger here would make an
         # already-committed batch look uncommitted and re-append its
         # bands/pairs, silently breaking the exactly-once contract.
+        import json
+
         try:
             return {
                 m.get("meta", {}).get("batch_id")
                 for m in snap.history(table_dir)
             }
+        except json.JSONDecodeError:
+            # subclass of ValueError — re-raise explicitly or corrupt
+            # manifests would fall into the tolerated-race branch below
+            raise
         except (FileNotFoundError, ValueError):
             return set()
 
@@ -323,15 +329,26 @@ def dedup_index_committer(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         replay_parent = _index_version_before(batch_id)
-        try:
-            if replay_parent == 0:
-                # replaying the very first batch: pre-commit corpus empty
-                raise ValueError("empty pre-commit corpus")
+        empty_bands = lambda: minhash_bands(  # noqa: E731
+            minhash_signatures(batch_df.limit(0))
+        )
+        if replay_parent == 0:
+            # replaying the very first batch: pre-commit corpus empty
+            corpus_bands = empty_bands()
+        elif replay_parent is not None:
+            # crash replay: read the exact pre-commit corpus. Errors
+            # (e.g. the version was vacuumed during the outage) must
+            # PROPAGATE and fail the batch — falling back to an empty
+            # corpus here would silently commit a pair set missing
+            # every corpus-vs-batch pair. Recovery from a vacuumed
+            # replay version is operator-driven (re-run with a fresh
+            # pairs table), never silent.
             corpus_bands = snap.read(spark, index_dir, version=replay_parent)
-        except ValueError:  # first batch: empty index, correct schema
-            corpus_bands = minhash_bands(
-                minhash_signatures(batch_df.limit(0))
-            )
+        else:
+            try:
+                corpus_bands = snap.read(spark, index_dir)
+            except ValueError:  # first batch: empty index, right schema
+                corpus_bands = empty_bands()
         pairs, new_bands = incremental_minhash_pairs(
             corpus_bands, batch_df, max_bucket_size=max_bucket_size
         )

@@ -1013,3 +1013,33 @@ def test_dedup_committer_crash_replay_converges_with_bucket_cap(
     assert crash_pairs == clean_pairs and clean_pairs
     # replay must not double-commit the batch's bands either
     assert v_clean == v_crash == 2
+
+
+def test_dedup_committer_replay_after_vacuum_fails_loudly(spark, tmp_path):
+    """If the pre-commit index version a crash replay needs was
+    vacuumed during the outage, the committer must RAISE — a silent
+    fall-back to an empty corpus would commit a pair set missing
+    every corpus-vs-batch pair (code-review finding, round 4)."""
+    import pytest
+
+    from mitoscape_spark.operators.dedup import incremental_minhash_pairs
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import dedup_index_committer
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, f"document number {i} with words") for i in ids],
+            "doc_id long, text string",
+        )
+
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    committer = dedup_index_committer(idx, prs)
+    committer(mk(range(5)), 0)
+    # crash state: batch 1's bands committed, pairs not
+    corpus = snap.read(spark, idx)
+    _, nb = incremental_minhash_pairs(corpus, mk(range(10, 15)))
+    snap.commit(nb, idx, mode="append", meta={"batch_id": 1})
+    # outage-time retention: only the newest manifest survives
+    snap.vacuum(idx, keep_versions=1, min_age_seconds=0)
+    with pytest.raises(ValueError, match="not found"):
+        committer(mk(range(10, 15)), 1)
