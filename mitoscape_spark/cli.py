@@ -282,9 +282,23 @@ def cmd_prep(args, spark: SparkSession) -> int:
         )
     if sum(fracs) > 1.0 + 1e-9:
         raise SystemExit("prep: --splits fractions must sum to <= 1")
-    docs = assign_splits(
-        docs, "doc_id", dict(zip(names, fracs)), salt=args.salt
-    )
+    if getattr(args, "leakage_safe_splits", False):
+        # content-level split guard: near-dup components share a split
+        # (meaningful with --skip-near-dedup, where duplicates are
+        # KEPT; after keep_canonical, surviving docs are near-dup-free
+        # and the component split degenerates to the per-id one)
+        from mitoscape_spark.operators.sampling import leakage_safe_splits
+
+        pairs = minhash_candidate_pairs(
+            minhash_signatures(docs), max_bucket_size=256
+        )
+        docs = leakage_safe_splits(
+            docs, pairs, dict(zip(names, fracs)), salt=args.salt
+        )
+    else:
+        docs = assign_splits(
+            docs, "doc_id", dict(zip(names, fracs)), salt=args.salt
+        )
     docs.write.mode("overwrite").partitionBy("split").parquet(args.out)
     out = spark.read.parquet(args.out)
     n1 = out.count()
@@ -465,6 +479,14 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--salt", default="", help="split-hash salt")
     pp.add_argument("--skip-rules", action="store_true")
     pp.add_argument("--skip-near-dedup", action="store_true")
+    pp.add_argument(
+        "--leakage-safe-splits",
+        action="store_true",
+        help="split by near-dup COMPONENT instead of row id, so no "
+        "near-copy pair straddles train/test (use with "
+        "--skip-near-dedup to keep duplicates but quarantine them "
+        "into one split)",
+    )
     pp.set_defaults(fn=cmd_prep)
 
     dr = sub.add_parser(

@@ -228,6 +228,52 @@ def test_cli_prep_end_to_end(spark, tmp_path):
     assert ids == ids2
 
 
+def test_cli_prep_leakage_safe_splits_quarantine_near_dups(spark, tmp_path):
+    """prep --skip-near-dedup --leakage-safe-splits: duplicates are
+    KEPT, but every near-dup pair lands in the same split — the
+    quarantine mode for corpora where duplicates are wanted in
+    training yet must never straddle the eval boundary."""
+    from pyspark.sql import functions as F
+
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.catalog import load_table
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    SF_T2 = "/root/testdata/sf0.01"
+    docs = load_table(spark, SF_T2, "documents").limit(120)
+    base = docs.where(F.col("doc_id") == 0).select("text").head()["text"]
+    extra = spark.createDataFrame(
+        [(9002, base + " tail", "en", "srcX", len(base) + 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    docs.unionByName(extra).write.parquet(src)
+    rc = cli.main(
+        [
+            "prep", "--input", src, "--out", out, "--skip-rules",
+            "--skip-near-dedup", "--leakage-safe-splits",
+            "--splits", "0.5,0.25,0.25",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    split_of = {r.doc_id: r.split for r in kept.select("doc_id", "split").collect()}
+    assert 9002 in split_of  # near-dup kept (no near-dedup pass)
+    # no minhash candidate pair straddles splits
+    pairs = minhash_candidate_pairs(
+        minhash_signatures(kept.select("doc_id", "text"))
+    ).collect()
+    assert pairs  # the planted near-dup produces at least one pair
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b]
+
+
 def test_cli_table_dv_and_changes(spark, tmp_path):
     import os
 
