@@ -714,6 +714,24 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style dedup-grade text normalization
+    (functions/textnorm.py::normalize_for_dedup): lowercase →
+    punctuation strip → digit folding → whitespace collapse, as one
+    JVM regex column expression. The oracle restates the identical
+    pipeline (TEXTNORM_SQL), so the hash match pins every step and
+    its ORDER (punct before digits before whitespace) cross-engine —
+    plus the dedup payoff readout: distinct normalized texts vs
+    distinct raw texts."""
+    from mitoscape_spark.functions.textnorm import normalize_for_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", normalize_for_dedup("text").alias("norm_text")
+    )
+    return normed.orderBy("doc_id")
+
+
 def ext_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: shingle-set CONTAINMENT ≥ 0.8 pairs
     (operators/dedup.py::ngram_containment_pairs) — catches a short
@@ -3503,6 +3521,7 @@ QUERIES = {
     "ext_pagerank_ring": ext_pagerank_ring,
     "ext_leakage_safe_split": ext_leakage_safe_split,
     "ext_containment": ext_containment,
+    "ext_textnorm": ext_textnorm,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3797,6 +3816,13 @@ ORACLE = {
                1 AS both_splits,
                CAST(0 AS BIGINT) AS straddling_pairs
         FROM documents
+    """,
+    "ext_textnorm": """
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   LOWER(text), '[^\\w\\s]|_', ' ', 'g'),
+                   '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents ORDER BY doc_id
     """,
     "ext_containment": f"""
         WITH {_TOKS}, {_SHINGLES3},

@@ -424,3 +424,32 @@ def test_expectations_empty_accepted_values_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="non-empty"):
         validate(df, [{"rule": "accepted_values", "col": "k", "values": []}])
+
+
+# ------------------------------------------------------- text normalize
+def test_normalize_for_dedup_links_surface_variants(spark):
+    """The normalizer must collapse case/punct/digit/whitespace
+    variants to one canonical form — and leave distinct content
+    distinct."""
+    from mitoscape_spark.functions.textnorm import normalize_for_dedup
+
+    rows = [
+        (1, "Hello, World! Posted 2024-01-07."),
+        (2, "hello   world  posted 1999_12_31"),   # same after norm
+        (3, "Hello, World! Posted... differently"),
+        (4, "Price: $3.14 (sale)"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalize_for_dedup("text").alias("n")
+        ).collect()
+    }
+    assert out[1] == "hello world posted 0000 00 00"
+    assert out[1] == out[2]
+    assert out[3] == "hello world posted differently"
+    # punct stripped BEFORE digit folding: "3.14" -> "0 00", not "0.00"
+    assert out[4] == "price 0 00 sale"
+    assert out[5] == ""
