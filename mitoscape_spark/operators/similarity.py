@@ -56,6 +56,146 @@ def topk_cosine(
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id, nbr, cos): the EXACT k nearest neighbors by cosine for
+    EVERY row — the all-rows companion of ``topk_cosine`` (one query)
+    and ``embedding_near_duplicates`` (threshold, not top-k). This is
+    the kNN-join workhorse of embedding pipelines: build-the-graph
+    steps for SemDeDup-style ε-dedup, retrieval-augmentation neighbor
+    tables, label propagation over embedding graphs.
+
+    Plan shape (same family as the blocked GEMM in operators/dedup.py):
+    vectors pack into B blocks; all B² ORDERED (query-block,
+    neighbor-block) pairs run one numpy GEMM each; every task emits its
+    per-row top-k PLUS the rounding-margin band (all candidates whose
+    cosine could still round into the k-th place: cos ≥ round₆(kth) −
+    5.01e-7), so the later JVM re-score + rank cannot disagree with the
+    task-local selection — blocks partition the neighbor set, so
+    per-pair top-k ∪ global top-k is exact. Candidates (n·B·k-ish rows,
+    ids only — never vectors) re-score JVM-side (``cosine_similarity``
+    + round 6) and a per-query window keeps rank ≤ k under the
+    deterministic (cos DESC, nbr) order — the same rank-on-rounded
+    convention every retrieval query here uses. Duplicate-heavy corpora
+    widen the margin band (every copy ties); near-dedup first.
+
+    Ids must be integral (blocking + numpy int64 arrays, as in
+    embedding_near_duplicates).
+    """
+    from mitoscape_spark.operators.dedup import (
+        _auto_n_blocks,
+        _require_integral_id,
+    )
+
+    _require_integral_id(embeddings, id_col, "knn_join")
+    if k < 1:
+        raise ValueError("knn_join: k must be >= 1")
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+    if n_blocks is None:
+        stats = e.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+        ).first()
+        n_blocks = _auto_n_blocks((stats["n"] or 0) * (stats["d"] or 0) * 8)
+    packed = (
+        e.withColumn(
+            "block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    sc = embeddings.sparkSession.sparkContext
+    # ORDERED pairs (B², not B²/2): the output is per-QUERY-row, so
+    # each query block must meet every neighbor block. Explicit
+    # repartition — same AQE-coalescing guard as the dedup GEMM paths.
+    n_tasks = max(1, min(n_blocks * n_blocks, 2 * sc.defaultParallelism))
+    block_pairs = a.join(b, F.lit(True)).repartition(n_tasks)
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_n = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(x) for x in row.vecs_a])
+                mb = np.array([np.asarray(x) for x in row.vecs_b])
+                na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+                cos = (ma / na[:, None]) @ (mb / nb[:, None]).T
+                same = row.block_a == row.block_b
+                if same:
+                    # NaN, not -inf: every comparison with NaN is
+                    # False, so the self cell can never pass the cut
+                    # (cut == -inf in a 1-vector block would re-admit
+                    # a -inf diagonal via -inf >= -inf)
+                    np.fill_diagonal(cos, np.nan)
+                n_valid = cos.shape[1] - (1 if same else 0)
+                if n_valid <= 0:
+                    continue
+                kk = min(k, n_valid)
+                # per query row: k-th largest, then the rounding band
+                desc = -np.sort(-np.nan_to_num(cos, nan=-np.inf), axis=1)
+                kth = desc[:, kk - 1]
+                cut = np.round(kth, 6) - 5.01e-7
+                ia, ib = np.nonzero(cos >= cut[:, None])
+                out_q.append(ids_a[ia])
+                out_n.append(ids_b[ib])
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_q) if out_q else
+                    np.empty(0, dtype=np.int64),
+                    "nbr": np.concatenate(out_n) if out_n else
+                    np.empty(0, dtype=np.int64),
+                }
+            )
+
+    candidates = block_pairs.mapInPandas(
+        partial_topk, schema="id long, nbr long"
+    )
+    qv = e.select(F.col("id"), F.col("v").alias("_qv"))
+    nv = e.select(F.col("id").alias("nbr"), F.col("v").alias("_nv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("nbr")
+    )
+    return (
+        candidates.join(qv, "id")
+        .join(nv, "nbr")
+        .select(
+            "id",
+            "nbr",
+            F.round(cosine_similarity("_qv", "_nv"), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id", "nbr", "cos")
+    )
+
+
 class SignRandomProjectionLSH:
     """Cosine LSH via seeded random hyperplane sign bits.
 

@@ -714,6 +714,23 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN JOIN (operators/similarity.py::knn_join): the top-5
+    cosine neighbors for EVERY embedding row — the build-the-graph
+    primitive behind ε-dedup, retrieval-augmentation neighbor tables
+    and embedding-graph propagation. Blocked B² GEMM with a
+    rounding-margin partial top-k per task; the oracle brute-forces
+    all n² cosines and ranks with the same (round-6 DESC, nbr)
+    deterministic order, so the hash match proves the blocked partial
+    selection loses nothing."""
+    from mitoscape_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=5).orderBy(
+        "id", F.col("cos").desc(), "nbr"
+    )
+
+
 def ext_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style dedup-grade text normalization
     (functions/textnorm.py::normalize_for_dedup): lowercase →
@@ -3522,6 +3539,7 @@ QUERIES = {
     "ext_leakage_safe_split": ext_leakage_safe_split,
     "ext_containment": ext_containment,
     "ext_textnorm": ext_textnorm,
+    "ext_knn_join": ext_knn_join,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3816,6 +3834,24 @@ ORACLE = {
                1 AS both_splits,
                CAST(0 AS BIGINT) AS straddling_pairs
         FROM documents
+    """,
+    "ext_knn_join": """
+        WITH pairs AS (
+            SELECT a.vec_id AS id, b.vec_id AS nbr,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT id, nbr, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY cos DESC, nbr
+                   ) AS rk
+            FROM pairs
+        )
+        SELECT id, nbr, cos FROM ranked WHERE rk <= 5
+        ORDER BY id, cos DESC, nbr
     """,
     "ext_textnorm": """
         SELECT doc_id,

@@ -1245,6 +1245,39 @@ def test_containment_finds_quote_in_long_doc_jaccard_misses(spark):
     assert (1, 2) not in jac
 
 
+def test_knn_join_equals_bruteforce_multiblock(spark):
+    """Exact kNN join across a FORCED multi-block execution (n_blocks=7
+    over 60 vectors) must reproduce the brute-force per-row top-k under
+    the (round-6 cos DESC, nbr id) order — including planted near-dup
+    ties in the rounding band — and never emit a self-match."""
+    import numpy as np
+
+    from mitoscape_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(50, 16))
+    dups = base[:10] + rng.normal(scale=1e-7, size=(10, 16))  # tie band
+    vecs = np.vstack([base, dups])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    for r in knn_join(df, k=3, n_blocks=7).collect():
+        got.setdefault(r.id, []).append((r.nbr, r.cos))
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 6)
+    want = {}
+    for i in range(len(vecs)):
+        cand = sorted(
+            ((-sims[i, j], j) for j in range(len(vecs)) if j != i)
+        )[:3]
+        want[i] = [(j, -negc) for negc, j in cand]
+    for i in want:
+        assert sorted(got[i]) == sorted(want[i]), i
+        assert all(n != i for n, _ in got[i])
+
+
 def test_containment_equals_bruteforce(spark, docs):
     """Asymmetric prefix filter completeness: candidates from
     prefix(smaller) ⋈ full postings must reproduce the brute-force
