@@ -196,6 +196,64 @@ def knn_join(
     )
 
 
+def knn_join_ivf(
+    embeddings: DataFrame,
+    k: int = 10,
+    index: "IVFFlatIndex | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, nbr, cos): approximate kNN join via an IVF coarse
+    quantizer — the 100 TB path where the exact ``knn_join``'s O(n²·d)
+    GEMM stops being affordable. Each row probes its ``n_probe``
+    nearest cells and candidates come from an equi-join on the cell id:
+    per-cell work is |cell| × (queries probing it), so total cost is
+    ~n²·p/C — pick ``n_centroids`` ∝ √n and the join is subquadratic
+    with bounded cells AND enough join keys to parallelize. Scoring is
+    a JVM column expression (no Python in the hot path); ranking uses
+    the same deterministic (round-6 cos DESC, nbr) order as the exact
+    join, so recall is directly comparable (pinned in tests).
+
+    Pass a pre-``fit`` index to reuse a quantizer (or its persisted
+    form via ``save_ivf``/``load_ivf``); default fits on the corpus.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if index is None:
+        index = IVFFlatIndex().fit(embeddings, vec_col=vec_col)
+    assert index.centroids is not None, "call fit() first"
+    cent, n_probe = index.centroids, index.n_probe
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cent.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    assigned = index.assign(embeddings, id_col, vec_col)
+    members = assigned.select(
+        F.col("id").alias("nbr"), F.col("v").alias("_nv"), "centroid"
+    )
+    queries = assigned.select(
+        "id", F.col("v").alias("_qv"),
+        F.explode(probe_cells("v")).alias("centroid"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr"))
+    return (
+        queries.join(members, "centroid")
+        .where(F.col("id") != F.col("nbr"))
+        .select(
+            "id", "nbr",
+            F.round(cosine_similarity("_qv", "_nv"), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id", "nbr", "cos")
+    )
+
+
 class SignRandomProjectionLSH:
     """Cosine LSH via seeded random hyperplane sign bits.
 

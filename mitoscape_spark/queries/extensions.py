@@ -731,6 +731,22 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN join through the IVF coarse quantizer
+    (operators/similarity.py::knn_join_ivf) — the subquadratic scale
+    path next to the exact ext_knn_join (candidates from a cell-id
+    equi-join instead of a B² GEMM). Rows-only (the quantizer is
+    iterative k-means); recall vs the exact join is pinned in
+    tests/test_operators.py."""
+    from mitoscape_spark.operators.similarity import IVFFlatIndex, knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFFlatIndex(n_centroids=8, n_probe=4).fit(emb)
+    return knn_join_ivf(emb, k=5, index=idx).orderBy(
+        "id", F.col("cos").desc(), "nbr"
+    )
+
+
 def ext_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style dedup-grade text normalization
     (functions/textnorm.py::normalize_for_dedup): lowercase →
@@ -3540,6 +3556,7 @@ QUERIES = {
     "ext_containment": ext_containment,
     "ext_textnorm": ext_textnorm,
     "ext_knn_join": ext_knn_join,
+    "ext_knn_join_ivf": ext_knn_join_ivf,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,

@@ -1278,6 +1278,35 @@ def test_knn_join_equals_bruteforce_multiblock(spark):
         assert all(n != i for n, _ in got[i])
 
 
+def test_knn_join_ivf_recall_and_full_probe_exactness(spark, emb):
+    """IVF kNN join: probing ALL cells must equal the exact knn_join
+    byte-for-byte (candidate generation is then complete and both rank
+    identically); partial probing keeps recall high."""
+    from mitoscape_spark.operators.similarity import (
+        IVFFlatIndex,
+        knn_join,
+        knn_join_ivf,
+    )
+
+    exact = {}
+    for r in knn_join(emb, k=5).collect():
+        exact.setdefault(r.id, set()).add(r.nbr)
+    # full probe == exact
+    idx_full = IVFFlatIndex(n_centroids=8, n_probe=8).fit(emb)
+    full = {}
+    for r in knn_join_ivf(emb, k=5, index=idx_full).collect():
+        full.setdefault(r.id, set()).add(r.nbr)
+    assert full == exact
+    # partial probe: aggregate recall stays high
+    idx = IVFFlatIndex(n_centroids=8, n_probe=4).fit(emb)
+    approx = {}
+    for r in knn_join_ivf(emb, k=5, index=idx).collect():
+        approx.setdefault(r.id, set()).add(r.nbr)
+    hits = sum(len(exact[i] & approx.get(i, set())) for i in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"recall {hits/total:.2f}"
+
+
 def test_containment_equals_bruteforce(spark, docs):
     """Asymmetric prefix filter completeness: candidates from
     prefix(smaller) ⋈ full postings must reproduce the brute-force
