@@ -607,6 +607,131 @@ def embedding_near_duplicates(
     )
 
 
+def incremental_embedding_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    target_block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """(id_a, id_b, cos): cosine pairs ≥ threshold INVOLVING the new
+    batch only — the embedding twin of ``incremental_minhash_pairs``
+    (a daily embedding increment must not re-GEMM the whole corpus).
+    Exactly ``embedding_near_duplicates(corpus ∪ new) −
+    embedding_near_duplicates(corpus)`` (equality pinned in tests).
+
+    Cost per batch: the NEW side packs into batch blocks and meets
+    every CORPUS block once (B_corpus × B_new GEMM tasks — linear in
+    corpus size, not quadratic), plus one ordinary new×new pass
+    (batch-sized). Same margin-filter + JVM re-score contract as
+    ``embedding_near_duplicates``; corpus×corpus pairs were emitted by
+    earlier batches and are never recomputed.
+    """
+    _require_integral_id(corpus, id_col, "incremental_embedding_pairs")
+    margin = 1e-3
+    e_c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+    e_n = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+    if n_blocks is None:
+        stats = e_c.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+        ).first()
+        n_blocks = _auto_n_blocks(
+            (stats["n"] or 0) * (stats["d"] or 0) * 8,
+            target_block_bytes=target_block_bytes,
+        )
+
+    def pack(df, prefix):
+        return (
+            df.withColumn(
+                "block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+            )
+            .groupBy("block")
+            .agg(
+                F.collect_list("id").alias(f"ids_{prefix}"),
+                F.collect_list("v").alias(f"vecs_{prefix}"),
+            )
+            .withColumnRenamed("block", f"block_{prefix}")
+        )
+
+    sc = corpus.sparkSession.sparkContext
+    n_tasks = max(1, min(n_blocks * n_blocks, 2 * sc.defaultParallelism))
+    cross = pack(e_c, "a").join(pack(e_n, "b"), F.lit(True)).repartition(
+        n_tasks
+    )
+    cut = threshold - margin
+
+    def gemm_candidates(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(x) for x in row.vecs_a])
+                mb = np.array([np.asarray(x) for x in row.vecs_b])
+                na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+                cos = (ma / na[:, None]) @ (mb / nb[:, None]).T
+                ia, ib = np.nonzero(cos >= cut)
+                lhs, rhs = ids_a[ia], ids_b[ib]
+                # a doc present in BOTH tables (re-fed) must not
+                # self-pair
+                keep = lhs != rhs
+                out_a.append(np.minimum(lhs, rhs)[keep])
+                out_b.append(np.maximum(lhs, rhs)[keep])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else
+                    np.empty(0, dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else
+                    np.empty(0, dtype=np.int64),
+                }
+            )
+
+    cross_cand = cross.mapInPandas(
+        gemm_candidates, schema="id_a long, id_b long"
+    )
+    within = embedding_near_duplicates(
+        new_docs, threshold, id_col, vec_col,
+        target_block_bytes=target_block_bytes,
+    ).select("id_a", "id_b")
+    both = e_c.unionByName(e_n)
+    va = both.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    vb = both.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    # delta semantics (same contract as incremental_minhash_pairs): a
+    # pair whose BOTH endpoints already sit in the corpus was emitted
+    # by an earlier batch — re-fed docs must not resurrect it
+    cid = e_c.select("id").distinct()
+    flag_a = cid.select(F.col("id").alias("id_a"), F.lit(True).alias("_ca"))
+    flag_b = cid.select(F.col("id").alias("id_b"), F.lit(True).alias("_cb"))
+    return (
+        cross_cand.unionByName(within)
+        .distinct()
+        .join(flag_a, "id_a", "left")
+        .join(flag_b, "id_b", "left")
+        .where(~(F.col("_ca").isNotNull() & F.col("_cb").isNotNull()))
+        .drop("_ca", "_cb")
+        .join(va.dropDuplicates(["id_a"]), "id_a")
+        .join(vb.dropDuplicates(["id_b"]), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 30,

@@ -714,6 +714,24 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup (operators/dedup.py::
+    incremental_embedding_pairs): pairs ≥ 0.35 INVOLVING the new batch
+    (vec_id ≥ 300) against the standing corpus (vec_id < 300) — the
+    embedding twin of the incremental MinHash service: the daily
+    increment GEMMs against corpus blocks (linear in corpus), never
+    corpus×corpus. The oracle states the delta directly: all-pairs
+    cosine where at least one endpoint is new."""
+    from mitoscape_spark.operators.dedup import incremental_embedding_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    return incremental_embedding_pairs(
+        corpus, batch, threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
 def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN JOIN (operators/similarity.py::knn_join): the top-5
     cosine neighbors for EVERY embedding row — the build-the-graph
@@ -3557,6 +3575,7 @@ QUERIES = {
     "ext_textnorm": ext_textnorm,
     "ext_knn_join": ext_knn_join,
     "ext_knn_join_ivf": ext_knn_join_ivf,
+    "ext_incremental_embedding": ext_incremental_embedding,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3851,6 +3870,18 @@ ORACLE = {
                1 AS both_splits,
                CAST(0 AS BIGINT) AS straddling_pairs
         FROM documents
+    """,
+    "ext_incremental_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (a.vec_id >= 300 OR b.vec_id >= 300)
+          AND ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        ORDER BY id_a, id_b
     """,
     "ext_knn_join": """
         WITH pairs AS (

@@ -1307,6 +1307,47 @@ def test_knn_join_ivf_recall_and_full_probe_exactness(spark, emb):
     assert hits / total >= 0.6, f"recall {hits/total:.2f}"
 
 
+def test_incremental_embedding_pairs_equals_from_scratch_delta(spark, emb):
+    """incremental_embedding_pairs(corpus, new) must equal
+    embedding_near_duplicates(corpus ∪ new) − (corpus-only pairs) —
+    the same contract the MinHash incremental twin pins."""
+    from mitoscape_spark.operators.dedup import (
+        embedding_near_duplicates,
+        incremental_embedding_pairs,
+    )
+
+    corpus = emb.where(F.col("vec_id") < 300)
+    new = emb.where(F.col("vec_id") >= 300)
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_embedding_pairs(
+            corpus, new, threshold=0.35
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, threshold=0.35).collect()
+    }
+    old = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(corpus, threshold=0.35).collect()
+    }
+    assert got == full - old and got
+
+
+def test_incremental_embedding_pairs_refed_docs_emit_nothing(spark, emb):
+    """Re-feeding corpus docs as the 'new' batch must produce an EMPTY
+    delta — their pairs were emitted by earlier batches."""
+    from mitoscape_spark.operators.dedup import incremental_embedding_pairs
+
+    corpus = emb.where(F.col("vec_id") < 300)
+    refed = corpus.limit(50)
+    assert (
+        incremental_embedding_pairs(corpus, refed, threshold=0.35).count()
+        == 0
+    )
+
+
 def test_containment_equals_bruteforce(spark, docs):
     """Asymmetric prefix filter completeness: candidates from
     prefix(smaller) ⋈ full postings must reproduce the brute-force
