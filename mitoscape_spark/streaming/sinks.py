@@ -383,3 +383,95 @@ def stream_dedup_pairs(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def embedding_dedup_committer(
+    corpus_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(batch_df, batch_id) function for the STREAMING embedding
+    near-dedup service — the vector twin of ``dedup_index_committer``:
+    each micro-batch of embeddings GEMMs against the persisted corpus
+    blocks (operators/dedup.py::incremental_embedding_pairs — linear
+    in corpus), discovered pairs append to one snapshot table, the
+    batch's vectors append to the corpus table.
+
+    Exactly-once by the identical two-table protocol: corpus commits
+    first (ledgered by batch_id), pairs second; a crash replay detects
+    the batch's existing corpus commit and re-reads the corpus AS-OF
+    the preceding version, so the recomputed pair set is the one the
+    first attempt saw; a vacuumed replay version fails loudly (see
+    ``dedup_index_committer`` for the rationale on each rule)."""
+    import json
+
+    from mitoscape_spark.operators.dedup import incremental_embedding_pairs
+    from mitoscape_spark.sources import snapshots as snap
+
+    def _ledger(table_dir: str) -> set:
+        try:
+            return {
+                m.get("meta", {}).get("batch_id")
+                for m in snap.history(table_dir)
+            }
+        except json.JSONDecodeError:
+            raise
+        except (FileNotFoundError, ValueError):
+            return set()
+
+    def _corpus_version_before(batch_id: int) -> int | None:
+        for m in snap.history(corpus_dir):
+            if m.get("meta", {}).get("batch_id") == batch_id:
+                return m["version"] - 1
+        return None
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col)
+        replay_parent = _corpus_version_before(batch_id)
+        if replay_parent == 0:
+            corpus = batch.limit(0)
+        elif replay_parent is not None:
+            corpus = snap.read(spark, corpus_dir, version=replay_parent)
+        else:
+            try:
+                corpus = snap.read(spark, corpus_dir)
+            except ValueError:  # first batch: empty corpus, same schema
+                corpus = batch.limit(0)
+        pairs = incremental_embedding_pairs(
+            corpus, batch, threshold, id_col, vec_col
+        )
+        if batch_id not in _ledger(corpus_dir):
+            snap.commit(
+                batch, corpus_dir, mode="append",
+                meta={"batch_id": batch_id},
+            )
+        if batch_id not in _ledger(pairs_dir):
+            snap.commit(
+                pairs, pairs_dir, mode="append",
+                meta={"batch_id": batch_id},
+            )
+
+    return commit_batch
+
+
+def stream_embedding_dedup_pairs(
+    stream: DataFrame,
+    corpus_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    threshold: float = 0.95,
+) -> StreamingQuery:
+    """Streaming embedding near-dedup service: vectors in,
+    (id_a, id_b, cos) pairs + a growing corpus table out, exactly
+    once."""
+    return (
+        stream.writeStream.foreachBatch(
+            embedding_dedup_committer(corpus_dir, pairs_dir, threshold)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

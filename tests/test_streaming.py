@@ -1015,6 +1015,81 @@ def test_dedup_committer_crash_replay_converges_with_bucket_cap(
     assert v_clean == v_crash == 2
 
 
+def test_stream_embedding_dedup_service_exactly_once(spark, tmp_path):
+    """Embedding twin of the LSH dedup service: streamed batches must
+    produce exactly the from-scratch pair set, replays must be
+    no-ops, and a crash between the corpus and pairs commits must
+    converge to the no-crash tables (as-of replay)."""
+    import os
+
+    from mitoscape_spark.operators.dedup import (
+        embedding_near_duplicates,
+        incremental_embedding_pairs,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import (
+        embedding_dedup_committer,
+        stream_embedding_dedup_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "vecstream")
+    first = emb.where(F.col("vec_id") < 250)
+    second = emb.where(F.col("vec_id") >= 250)
+    first.coalesce(1).write.parquet(os.path.join(stream_dir, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    corpus_dir = str(tmp_path / "corpus")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = stream_embedding_dedup_pairs(
+        stream, corpus_dir, pairs_dir, str(tmp_path / "ckpt"),
+        threshold=0.35,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.id_a, r.id_b) for r in snap.read(spark, pairs_dir).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(emb, threshold=0.35).collect()
+    }
+    assert got == want and want
+    # replaying a committed batch_id is a no-op on both tables
+    v_c, v_p = snap.latest_version(corpus_dir), snap.latest_version(pairs_dir)
+    committer = embedding_dedup_committer(
+        corpus_dir, pairs_dir, threshold=0.35
+    )
+    committer(second, 1)
+    assert snap.latest_version(corpus_dir) == v_c
+    assert snap.latest_version(pairs_dir) == v_p
+
+    # crash between corpus and pairs commits: fresh dirs, manual
+    # corpus-only commit of batch 1, then the replay must converge to
+    # the same pair set
+    c2, p2 = str(tmp_path / "c2"), str(tmp_path / "p2")
+    committer2 = embedding_dedup_committer(c2, p2, threshold=0.35)
+    committer2(first, 0)
+    snap.commit(
+        second.select("vec_id", "embedding"), c2, mode="append",
+        meta={"batch_id": 1},
+    )
+    committer2(second, 1)  # replay
+    crash_pairs = {
+        (r.id_a, r.id_b) for r in snap.read(spark, p2).collect()
+    }
+    assert crash_pairs == want
+
+
 def test_dedup_committer_replay_after_vacuum_fails_loudly(spark, tmp_path):
     """If the pre-commit index version a crash replay needs was
     vacuumed during the outage, the committer must RAISE — a silent
