@@ -1058,6 +1058,24 @@ def ext_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE learner's core scoring step against a SQL ground truth
+    (round 4 — driver-checkable companion to the rows-only
+    ext_bpe_learned): the FIRST learned merge is the argmax over
+    frequency-weighted adjacent symbol pairs (count desc, pair asc →
+    python max picks the lexicographically LARGEST pair on count
+    ties), which DuckDB restates as one unnest + aggregate + ORDER BY.
+    Runs the real operator code path: distributed word-frequency agg →
+    greedy loop, one iteration."""
+    from mitoscape_spark.operators.bpe import learn_merges, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_merges(word_frequencies(docs), n_merges=1)
+    return spark.createDataFrame(
+        [(a, b) for a, b in merges], "pair_a string, pair_b string"
+    )
+
+
 def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style daily rollup with gap filling: per-user daily
     sums over the global date span, missing days zero-filled. The
@@ -3611,6 +3629,7 @@ QUERIES = {
     "ext_jaccard_prefix": ext_jaccard_prefix,
     "ext_user_trend": ext_user_trend,
     "ext_bpe_learned": ext_bpe_learned,
+    "ext_bpe_first_merge": ext_bpe_first_merge,
     "ext_gapfill": ext_gapfill,
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
@@ -3870,6 +3889,29 @@ ORACLE = {
                1 AS both_splits,
                CAST(0 AS BIGINT) AS straddling_pairs
         FROM documents
+    """,
+    "ext_bpe_first_merge": """
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+'))
+                    AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+            ORDER BY n DESC, w LIMIT 50000
+        ), prs AS (
+            -- word symbols are chars + an '</w>' end marker; adjacent
+            -- pair at position i pairs char i with char i+1 (or the
+            -- marker after the last char)
+            SELECT substr(w, i, 1) AS a,
+                   CASE WHEN i < len(w) THEN substr(w, i + 1, 1)
+                        ELSE '</w>' END AS b,
+                   n
+            FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+        )
+        SELECT a AS pair_a, b AS pair_b
+        FROM prs GROUP BY a, b
+        ORDER BY SUM(n) DESC, a DESC, b DESC
+        LIMIT 1
     """,
     "ext_incremental_embedding": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
