@@ -282,11 +282,9 @@ def cmd_prep(args, spark: SparkSession) -> int:
         )
     if sum(fracs) > 1.0 + 1e-9:
         raise SystemExit("prep: --splits fractions must sum to <= 1")
-    if getattr(args, "leakage_safe_splits", False):
-        # content-level split guard: near-dup components share a split
-        # (meaningful with --skip-near-dedup, where duplicates are
-        # KEPT; after keep_canonical, surviving docs are near-dup-free
-        # and the component split degenerates to the per-id one)
+    if getattr(args, "leakage_safe_splits", False) and args.skip_near_dedup:
+        # content-level split guard: near-dup components share a split.
+        # Only meaningful when duplicates are KEPT (--skip-near-dedup)
         from mitoscape_spark.operators.sampling import leakage_safe_splits
 
         pairs = minhash_candidate_pairs(
@@ -296,6 +294,10 @@ def cmd_prep(args, spark: SparkSession) -> int:
             docs, pairs, dict(zip(names, fracs)), salt=args.salt
         )
     else:
+        # after keep_canonical the survivors are near-dup-free, so the
+        # per-id assignment IS already leakage-safe — recomputing the
+        # MinHash pass would shingle+hash the whole corpus to derive
+        # an empty pair set (round-4 review finding)
         docs = assign_splits(
             docs, "doc_id", dict(zip(names, fracs)), salt=args.salt
         )

@@ -639,19 +639,29 @@ def incremental_embedding_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull())
-    if n_blocks is None:
-        stats = e_c.agg(
+    def _blocks_for(df) -> int:
+        stats = df.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
         ).first()
-        n_blocks = _auto_n_blocks(
+        return _auto_n_blocks(
             (stats["n"] or 0) * (stats["d"] or 0) * 8,
             target_block_bytes=target_block_bytes,
         )
 
-    def pack(df, prefix):
+    # each side sizes its OWN blocks: packing a small daily batch into
+    # the corpus-derived count would fragment it into up to B_corpus
+    # near-empty blocks and replicate every corpus block once per
+    # fragment through the cross join — corpus_bytes × B_corpus of
+    # shuffle instead of the documented linear cost (round-4 review
+    # finding). A typical batch packs into the floor of 4 blocks, so
+    # corpus replication stays ~4×.
+    n_blocks_c = n_blocks if n_blocks is not None else _blocks_for(e_c)
+    n_blocks_n = n_blocks if n_blocks is not None else _blocks_for(e_n)
+
+    def pack(df, prefix, nb):
         return (
             df.withColumn(
-                "block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+                "block", F.pmod(F.col("id"), F.lit(nb)).cast("int")
             )
             .groupBy("block")
             .agg(
@@ -662,9 +672,13 @@ def incremental_embedding_pairs(
         )
 
     sc = corpus.sparkSession.sparkContext
-    n_tasks = max(1, min(n_blocks * n_blocks, 2 * sc.defaultParallelism))
-    cross = pack(e_c, "a").join(pack(e_n, "b"), F.lit(True)).repartition(
-        n_tasks
+    n_tasks = max(
+        1, min(n_blocks_c * n_blocks_n, 2 * sc.defaultParallelism)
+    )
+    cross = (
+        pack(e_c, "a", n_blocks_c)
+        .join(pack(e_n, "b", n_blocks_n), F.lit(True))
+        .repartition(n_tasks)
     )
     cut = threshold - margin
 

@@ -145,20 +145,22 @@ def knn_join(
                 na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
                 nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
                 cos = (ma / na[:, None]) @ (mb / nb[:, None]).T
-                same = row.block_a == row.block_b
-                if same:
-                    # NaN, not -inf: every comparison with NaN is
-                    # False, so the self cell can never pass the cut
-                    # (cut == -inf in a 1-vector block would re-admit
-                    # a -inf diagonal via -inf >= -inf)
-                    np.fill_diagonal(cos, np.nan)
-                n_valid = cos.shape[1] - (1 if same else 0)
-                if n_valid <= 0:
-                    continue
-                kk = min(k, n_valid)
+                # self-mask by ID equality, never by matrix position:
+                # the two sides are independently-evaluated
+                # collect_list aggregates whose row ORDER can differ
+                # between shuffle reads, so fill_diagonal could NaN a
+                # real neighbor cell and let the true self cell
+                # (cos=1) through (round-4 review finding). NaN, not
+                # -inf: every comparison with NaN is False, so the
+                # self cell can never pass the cut.
+                cos[ids_a[:, None] == ids_b[None, :]] = np.nan
+                n_valid = (~np.isnan(cos)).sum(axis=1)
+                kk = np.minimum(k, n_valid)
                 # per query row: k-th largest, then the rounding band
                 desc = -np.sort(-np.nan_to_num(cos, nan=-np.inf), axis=1)
-                kth = desc[:, kk - 1]
+                keep_rows = kk > 0
+                kth = np.full(len(ids_a), np.inf)
+                kth[keep_rows] = desc[keep_rows, kk[keep_rows] - 1]
                 cut = np.round(kth, 6) - 5.01e-7
                 ia, ib = np.nonzero(cos >= cut[:, None])
                 out_q.append(ids_a[ia])
@@ -229,6 +231,11 @@ def knn_join_ivf(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
+    if k < 1:
+        raise ValueError("knn_join_ivf: k must be >= 1")
+    # same null-vector guard as the exact twin — a NULL embedding
+    # would crash the assign/probe pandas UDFs mid-job
+    embeddings = embeddings.where(F.col(vec_col).isNotNull())
     if index is None:
         index = IVFFlatIndex().fit(embeddings, vec_col=vec_col)
     assert index.centroids is not None, "call fit() first"

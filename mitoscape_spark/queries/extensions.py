@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mitoscape_spark.catalog import load_table
+from mitoscape_spark.functions.textnorm import TEXTNORM_SQL
+
+_TEXTNORM = TEXTNORM_SQL.format(col="text")
 
 # ---------------------------------------------------------------- E01
 def ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3910,6 +3913,11 @@ ORACLE = {
         )
         SELECT a AS pair_a, b AS pair_b
         FROM prs GROUP BY a, b
+        -- learner stopping rule: a pair seen fewer than twice is
+        -- memorization, not a merge (learn_merges breaks BEFORE
+        -- emitting it) — without this the oracle would return a row
+        -- on a no-repeats corpus where Spark returns none
+        HAVING SUM(n) >= 2
         ORDER BY SUM(n) DESC, a DESC, b DESC
         LIMIT 1
     """,
@@ -3943,11 +3951,12 @@ ORACLE = {
         SELECT id, nbr, cos FROM ranked WHERE rk <= 5
         ORDER BY id, cos DESC, nbr
     """,
-    "ext_textnorm": """
-        SELECT doc_id,
-               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-                   LOWER(text), '[^\\w\\s]|_', ' ', 'g'),
-                   '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) AS norm_text
+    # built from the module's own TEXTNORM_SQL constant — the single
+    # source of truth the normalizer keeps adjacent to its Spark
+    # expression; restating the regexes here would reintroduce the
+    # drift the constant exists to prevent
+    "ext_textnorm": f"""
+        SELECT doc_id, {_TEXTNORM} AS norm_text
         FROM documents ORDER BY doc_id
     """,
     "ext_containment": f"""

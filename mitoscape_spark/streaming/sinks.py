@@ -259,6 +259,48 @@ def aggregate_refresh_committer(
     return refresh_batch
 
 
+def _commit_ledger(table_dir: str) -> set:
+    """batch_ids with a recorded commit in ``table_dir`` — the
+    exactly-once ledger shared by both two-table dedup committers.
+
+    history() returns [] for a never-created table, so "missing" needs
+    no handling; only tolerate a manifest vanishing mid-read
+    (FileNotFoundError TOCTOU vs a concurrent vacuum) / a version
+    probe race (ValueError from _load_manifest). Anything else —
+    corrupt JSON, permission errors — must PROPAGATE and fail the
+    micro-batch: returning an empty ledger would make an
+    already-committed batch look uncommitted and re-append its state,
+    silently breaking the exactly-once contract. JSONDecodeError is a
+    ValueError subclass, hence the explicit re-raise."""
+    import json
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    try:
+        return {
+            m.get("meta", {}).get("batch_id")
+            for m in snap.history(table_dir)
+        }
+    except json.JSONDecodeError:
+        raise
+    except (FileNotFoundError, ValueError):
+        return set()
+
+
+def _version_before_batch(table_dir: str, batch_id: int) -> int | None:
+    """If ``batch_id`` is ALREADY committed to the table (crash
+    happened between the state and pairs commits), return the version
+    preceding that commit; else None. Reading state as-of that version
+    makes a crash replay see the IDENTICAL pre-commit state the first
+    attempt saw — exact convergence for both committers."""
+    from mitoscape_spark.sources import snapshots as snap
+
+    for m in snap.history(table_dir):
+        if m.get("meta", {}).get("batch_id") == batch_id:
+            return m["version"] - 1
+    return None
+
+
 def dedup_index_committer(
     index_dir: str, pairs_dir: str, max_bucket_size: int | None = 256
 ):
@@ -288,47 +330,15 @@ def dedup_index_committer(
     )
     from mitoscape_spark.sources import snapshots as snap
 
-    def _ledger(table_dir: str) -> set:
-        # history() returns [] for a never-created table, so "missing"
-        # needs no handling; only tolerate a manifest vanishing mid-read
-        # (FileNotFoundError TOCTOU vs a concurrent vacuum) / a version
-        # probe race (ValueError from _load_manifest). Anything else —
-        # corrupt JSON, permission errors — must PROPAGATE and fail the
-        # micro-batch: returning an empty ledger here would make an
-        # already-committed batch look uncommitted and re-append its
-        # bands/pairs, silently breaking the exactly-once contract.
-        import json
-
-        try:
-            return {
-                m.get("meta", {}).get("batch_id")
-                for m in snap.history(table_dir)
-            }
-        except json.JSONDecodeError:
-            # subclass of ValueError — re-raise explicitly or corrupt
-            # manifests would fall into the tolerated-race branch below
-            raise
-        except (FileNotFoundError, ValueError):
-            return set()
-
-    def _index_version_before(batch_id: int) -> int | None:
-        """If this batch's bands are ALREADY committed to the index
-        (crash happened between the index and pairs commits), return
-        the index version preceding that commit; else None.
-
-        Reading the corpus as-of that version makes the replayed pair
-        computation see the IDENTICAL corpus the first attempt saw, so
-        convergence is exact even with ``max_bucket_size`` set (a
-        corpus bucket that crosses the cap only after this batch's
-        bands cannot change the replayed pair set — round-3 advice)."""
-        for m in snap.history(index_dir):
-            if m.get("meta", {}).get("batch_id") == batch_id:
-                return m["version"] - 1
-        return None
+    _ledger = _commit_ledger  # shared protocol helper (see above)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        replay_parent = _index_version_before(batch_id)
+        # as-of crash replay (_version_before_batch): convergence is
+        # exact even with max_bucket_size set — a corpus bucket that
+        # crosses the cap only after this batch's bands cannot change
+        # the replayed pair set (round-3 advice)
+        replay_parent = _version_before_batch(index_dir, batch_id)
         empty_bands = lambda: minhash_bands(  # noqa: E731
             minhash_signatures(batch_df.limit(0))
         )
@@ -405,32 +415,15 @@ def embedding_dedup_committer(
     the preceding version, so the recomputed pair set is the one the
     first attempt saw; a vacuumed replay version fails loudly (see
     ``dedup_index_committer`` for the rationale on each rule)."""
-    import json
-
     from mitoscape_spark.operators.dedup import incremental_embedding_pairs
     from mitoscape_spark.sources import snapshots as snap
 
-    def _ledger(table_dir: str) -> set:
-        try:
-            return {
-                m.get("meta", {}).get("batch_id")
-                for m in snap.history(table_dir)
-            }
-        except json.JSONDecodeError:
-            raise
-        except (FileNotFoundError, ValueError):
-            return set()
-
-    def _corpus_version_before(batch_id: int) -> int | None:
-        for m in snap.history(corpus_dir):
-            if m.get("meta", {}).get("batch_id") == batch_id:
-                return m["version"] - 1
-        return None
+    _ledger = _commit_ledger  # shared protocol helpers (see above)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, vec_col)
-        replay_parent = _corpus_version_before(batch_id)
+        replay_parent = _version_before_batch(corpus_dir, batch_id)
         if replay_parent == 0:
             corpus = batch.limit(0)
         elif replay_parent is not None:
