@@ -717,6 +717,56 @@ def ext_communities_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding near-dedup service END-TO-END against a
+    declarative oracle: the embeddings table streams in as two
+    micro-batches (vec_id < 250, then ≥ 250) through
+    streaming/sinks.py::stream_embedding_dedup_pairs — exactly-once
+    two-table commits, incremental GEMM per batch — and the final
+    pairs table must hash-match DuckDB's plain all-pairs cosine ≥ 0.35
+    statement (batch-0 internal pairs ∪ batch-1-involving pairs = all
+    pairs). A streaming pipeline whose accumulated state equals a
+    one-shot SQL query IS the exactly-once + incremental-correctness
+    proof, driver-checked."""
+    import os
+    import tempfile
+
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import stream_embedding_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with tempfile.TemporaryDirectory(prefix="stream_emb_") as root:
+        stream_dir = f"{root}/in"
+        emb.where(F.col("vec_id") < 250).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b0")
+        )
+        emb.where(F.col("vec_id") >= 250).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b1")
+        )
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stream_dir)
+        )
+        q = stream_embedding_dedup_pairs(
+            stream, f"{root}/corpus", f"{root}/pairs", f"{root}/ckpt",
+            threshold=0.35,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (
+            snap.read(spark, f"{root}/pairs")
+            .orderBy("id_a", "id_b")
+            .collect()  # materialize before the tempdir vanishes
+        )
+    return spark.createDataFrame(rows, "id_a long, id_b long, cos double")
+
+
 def ext_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup (operators/dedup.py::
     incremental_embedding_pairs): pairs ≥ 0.35 INVOLVING the new batch
@@ -3597,6 +3647,7 @@ QUERIES = {
     "ext_knn_join": ext_knn_join,
     "ext_knn_join_ivf": ext_knn_join_ivf,
     "ext_incremental_embedding": ext_incremental_embedding,
+    "ext_stream_embedding_dedup": ext_stream_embedding_dedup,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3920,6 +3971,16 @@ ORACLE = {
         HAVING SUM(n) >= 2
         ORDER BY SUM(n) DESC, a DESC, b DESC
         LIMIT 1
+    """,
+    "ext_stream_embedding_dedup": """
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+        ORDER BY id_a, id_b
     """,
     "ext_incremental_embedding": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

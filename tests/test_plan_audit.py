@@ -31,6 +31,7 @@ MATERIALIZED = {
     "ext_incremental_agg",
     "ext_merge_upsert",
     "ext_zorder",
+    "ext_stream_embedding_dedup",  # runs a streaming job, returns rows
 }
 
 # Deliberate cross-join shapes: 1-row corpus-stats broadcasts (cost =
