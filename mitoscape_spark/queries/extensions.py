@@ -767,6 +767,53 @@ def ext_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "id_a long, id_b long, cos double")
 
 
+def ext_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH near-dedup service END-TO-END against the
+    declarative MinHash oracle (the text twin of
+    ext_stream_embedding_dedup): documents stream in as two
+    micro-batches through streaming/sinks.py::stream_dedup_pairs,
+    and the service's accumulated pairs table must hash-match
+    DuckDB's from-scratch banded-MinHash restatement — exactly-once
+    commits + the incremental band-index probe proven equal to the
+    one-shot computation in a single driver check."""
+    import os
+    import tempfile
+
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import stream_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="stream_txt_") as root:
+        stream_dir = f"{root}/in"
+        docs.where(F.col("doc_id") < 250).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b0")
+        )
+        docs.where(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b1")
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stream_dir)
+        )
+        q = stream_dedup_pairs(
+            stream, f"{root}/index", f"{root}/pairs", f"{root}/ckpt"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (
+            snap.read(spark, f"{root}/pairs")
+            .select("doc_a", "doc_b")
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+            .collect()  # materialize before the tempdir vanishes
+        )
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
 def ext_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup (operators/dedup.py::
     incremental_embedding_pairs): pairs ≥ 0.35 INVOLVING the new batch
@@ -3648,6 +3695,7 @@ QUERIES = {
     "ext_knn_join_ivf": ext_knn_join_ivf,
     "ext_incremental_embedding": ext_incremental_embedding,
     "ext_stream_embedding_dedup": ext_stream_embedding_dedup,
+    "ext_stream_text_dedup": ext_stream_text_dedup,
     "ext_gopher_rules": ext_gopher_rules,
     "ext_null_semantics": ext_null_semantics,
     "ext_k_anonymity": ext_k_anonymity,
@@ -3971,6 +4019,26 @@ ORACLE = {
         HAVING SUM(n) >= 2
         ORDER BY SUM(n) DESC, a DESC, b DESC
         LIMIT 1
+    """,
+    "ext_stream_text_dedup": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        sig AS (
+            SELECT doc_id, seed,
+                   MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle)))
+                       AS minhash
+            FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 2 AS band,
+                   string_agg(minhash, ',' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, seed // 2
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
     """,
     "ext_stream_embedding_dedup": """
         SELECT * FROM (

@@ -32,6 +32,7 @@ MATERIALIZED = {
     "ext_merge_upsert",
     "ext_zorder",
     "ext_stream_embedding_dedup",  # runs a streaming job, returns rows
+    "ext_stream_text_dedup",
 }
 
 # Deliberate cross-join shapes: 1-row corpus-stats broadcasts (cost =
