@@ -728,43 +728,63 @@ def ext_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). A streaming pipeline whose accumulated state equals a
     one-shot SQL query IS the exactly-once + incremental-correctness
     proof, driver-checked."""
-    import os
-    import tempfile
-
-    from mitoscape_spark.sources import snapshots as snap
     from mitoscape_spark.streaming.sinks import stream_embedding_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    with tempfile.TemporaryDirectory(prefix="stream_emb_") as root:
+    return _run_two_batch_stream_service(
+        spark,
+        emb,
+        "vec_id",
+        lambda stream, root: stream_embedding_dedup_pairs(
+            stream, f"{root}/corpus", f"{root}/pairs", f"{root}/ckpt",
+            threshold=0.35,
+        ),
+        lambda pairs: pairs.orderBy("id_a", "id_b"),
+        "id_a long, id_b long, cos double",
+    )
+
+
+def _run_two_batch_stream_service(
+    spark: SparkSession,
+    source: DataFrame,
+    split_col: str,
+    start_service,
+    result_select,
+    result_schema: str,
+):
+    """Shared scaffolding for the streaming-service oracle queries:
+    write ``source`` as two micro-batch files split at id 250, run
+    ``start_service(stream, root)`` to completion, and collect
+    ``result_select(pairs_snapshot_df)`` BEFORE the tempdir vanishes
+    (the snapshot read resolves real files under it)."""
+    import os
+    import tempfile
+
+    from mitoscape_spark.sources import snapshots as snap
+
+    with tempfile.TemporaryDirectory(prefix="stream_svc_") as root:
         stream_dir = f"{root}/in"
-        emb.where(F.col("vec_id") < 250).coalesce(1).write.parquet(
+        source.where(F.col(split_col) < 250).coalesce(1).write.parquet(
             os.path.join(stream_dir, "b0")
         )
-        emb.where(F.col("vec_id") >= 250).coalesce(1).write.parquet(
+        source.where(F.col(split_col) >= 250).coalesce(1).write.parquet(
             os.path.join(stream_dir, "b1")
         )
         stream = (
-            spark.readStream.schema(emb.schema)
+            spark.readStream.schema(source.schema)
             .option("maxFilesPerTrigger", 1)
             .option("recursiveFileLookup", "true")
             .parquet(stream_dir)
         )
-        q = stream_embedding_dedup_pairs(
-            stream, f"{root}/corpus", f"{root}/pairs", f"{root}/ckpt",
-            threshold=0.35,
-        )
+        q = start_service(stream, root)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-        rows = (
-            snap.read(spark, f"{root}/pairs")
-            .orderBy("id_a", "id_b")
-            .collect()  # materialize before the tempdir vanishes
-        )
-    return spark.createDataFrame(rows, "id_a long, id_b long, cos double")
+        rows = result_select(snap.read(spark, f"{root}/pairs")).collect()
+    return spark.createDataFrame(rows, result_schema)
 
 
 def ext_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,43 +795,30 @@ def ext_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the service's accumulated pairs table must hash-match
     DuckDB's from-scratch banded-MinHash restatement — exactly-once
     commits + the incremental band-index probe proven equal to the
-    one-shot computation in a single driver check."""
-    import os
-    import tempfile
+    one-shot computation in a single driver check.
 
-    from mitoscape_spark.sources import snapshots as snap
+    ``max_bucket_size=None``: the declared contract is exact equality
+    with the uncapped all-pairs SQL, so the hot-bucket star cap must
+    be OFF here (with the cap, equality would hold only while no
+    bucket exceeds the cap — true of this corpus by accident, not by
+    contract; capped operation is pinned separately by the
+    star-cap/crash-replay tests)."""
     from mitoscape_spark.streaming.sinks import stream_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    with tempfile.TemporaryDirectory(prefix="stream_txt_") as root:
-        stream_dir = f"{root}/in"
-        docs.where(F.col("doc_id") < 250).coalesce(1).write.parquet(
-            os.path.join(stream_dir, "b0")
-        )
-        docs.where(F.col("doc_id") >= 250).coalesce(1).write.parquet(
-            os.path.join(stream_dir, "b1")
-        )
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(stream_dir)
-        )
-        q = stream_dedup_pairs(
-            stream, f"{root}/index", f"{root}/pairs", f"{root}/ckpt"
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        rows = (
-            snap.read(spark, f"{root}/pairs")
-            .select("doc_a", "doc_b")
-            .distinct()
-            .orderBy("doc_a", "doc_b")
-            .collect()  # materialize before the tempdir vanishes
-        )
-    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+    return _run_two_batch_stream_service(
+        spark,
+        docs,
+        "doc_id",
+        lambda stream, root: stream_dedup_pairs(
+            stream, f"{root}/index", f"{root}/pairs", f"{root}/ckpt",
+            max_bucket_size=None,
+        ),
+        lambda pairs: pairs.select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b"),
+        "doc_a long, doc_b long",
+    )
 
 
 def ext_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
