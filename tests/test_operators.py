@@ -1517,3 +1517,44 @@ def test_asof_join_tolerance(spark):
     }
     assert rows[101] == 30   # 1 day gap: within tolerance
     assert rows[100] is None  # 7 day gap: nulled
+
+
+def test_knn_join_k_exceeding_corpus_returns_all_neighbors(spark):
+    """k larger than the corpus: every row returns all n-1 neighbors
+    (no self, no padding, no crash)."""
+    import numpy as np
+
+    from mitoscape_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    for r in knn_join(df, k=50, n_blocks=3).collect():
+        got.setdefault(r.id, set()).add(r.nbr)
+    assert set(got) == set(range(10))
+    for i, nbrs in got.items():
+        assert nbrs == set(range(10)) - {i}
+
+
+def test_containment_threshold_one_exact_subsets_only(spark):
+    """threshold=1.0: only true subset/equal shingle sets pair —
+    boundary of the prefix bound (prefix length n - n + 1 = 1)."""
+    from mitoscape_spark.operators.dedup import ngram_containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # 4 shingles (3-grams)
+            (2, "intro words " + base),      # superset of doc 1's set
+            (3, base.replace("gamma", "x")), # overlaps, not a subset
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=1.0).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0

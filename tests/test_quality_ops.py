@@ -453,3 +453,29 @@ def test_normalize_for_dedup_links_surface_variants(spark):
     # punct stripped BEFORE digit folding: "3.14" -> "0 00", not "0.00"
     assert out[4] == "price 0 00 sale"
     assert out[5] == ""
+
+
+def test_normalize_for_dedup_is_idempotent(spark):
+    """norm(norm(x)) == norm(x): the normalized form is a fixed point
+    (a second pass can find no punctuation, digits>0, or extra
+    whitespace to change) — the property that makes re-normalizing an
+    already-clean corpus safe."""
+    from mitoscape_spark.functions.textnorm import normalize_for_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World! 42 times...   over\tand over"),
+            (2, "a_b_c (d) [e] {f} 3.14159"),
+            (3, "  leading and trailing  "),
+        ],
+        "doc_id long, text string",
+    )
+    once = docs.select(
+        "doc_id", normalize_for_dedup("text").alias("text")
+    )
+    twice = once.select(
+        "doc_id", normalize_for_dedup("text").alias("text")
+    )
+    assert {(r.doc_id, r.text) for r in once.collect()} == {
+        (r.doc_id, r.text) for r in twice.collect()
+    }
