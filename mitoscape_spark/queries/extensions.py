@@ -224,6 +224,38 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, window=4).orderBy("doc_id", "fp")
 
 
+def ext_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-match pairs on shared winnowing fingerprints:
+    (doc_a, doc_b, shared) for pairs sharing ≥ 5 fingerprints —
+    the plagiarism/quote detector the winnowing scheme exists for
+    (fingerprints guarantee any shared run ≥ window+k−1 tokens leaves
+    a shared fingerprint, so local overlaps are caught without
+    all-pairs text comparison). Inverted-index equi-join on fp + one
+    grouped count; the oracle composes the already-hash-matched
+    winnowing CTE with the same join."""
+    from mitoscape_spark.operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=3, window=4).dropDuplicates(
+        ["doc_id", "fp"]
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= 5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ext_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (max 20 docs/source): deterministic
     md5-order rank within source — the mixture-balance primitive that
@@ -3727,6 +3759,7 @@ QUERIES = {
     "ext_repetition": ext_repetition,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
+    "ext_winnow_pairs": ext_winnow_pairs,
     "ext_cap_per_source": ext_cap_per_source,
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_lm_score": ext_lm_score,
@@ -4919,6 +4952,30 @@ ORACLE = {
         )
         SELECT doc_id, MIN(md5(shingle)) AS fingerprint
         FROM sh4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_winnow_pairs": f"""
+        WITH {_TOKS},
+        grams AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(t[i:i+2], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 3
+        ),
+        hs AS (
+            SELECT doc_id, list(h ORDER BY i) AS hl
+            FROM grams GROUP BY doc_id
+        ),
+        wins AS (
+            SELECT DISTINCT doc_id, list_min(hl[i:i+3]) AS fp
+            FROM hs, UNNEST(range(1, len(hl) - 2)) AS r(i)
+            WHERE len(hl) >= 4
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM wins a JOIN wins b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        ORDER BY doc_a, doc_b
     """,
     "ext_winnow_fingerprint": f"""
         WITH {_TOKS},
