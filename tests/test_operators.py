@@ -1558,3 +1558,29 @@ def test_containment_threshold_one_exact_subsets_only(spark):
         for r in ngram_containment_pairs(docs, threshold=1.0).collect()
     }
     assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core theorem (Schleimer et al.): two documents
+    sharing a token run of length ≥ window + k − 1 MUST share at
+    least one fingerprint — so the shared-fp pair join cannot miss a
+    long-enough quote, regardless of where it sits in either doc."""
+    from mitoscape_spark.operators.textstats import winnow_fingerprints
+
+    k, window = 3, 4
+    # shared run of exactly window + k - 1 = 6 tokens
+    shared = "q1 q2 q3 q4 q5 q6"
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # no shared run
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    sets = {}
+    for r in fps.collect():
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert sets[1] & sets[2]           # guarantee: quote is caught
+    assert not (sets[1] & sets[3])     # and no phantom matches
