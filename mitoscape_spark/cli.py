@@ -282,6 +282,15 @@ def cmd_prep(args, spark: SparkSession) -> int:
         )
     if sum(fracs) > 1.0 + 1e-9:
         raise SystemExit("prep: --splits fractions must sum to <= 1")
+    if getattr(args, "leakage_safe_splits", False) and not args.skip_near_dedup:
+        # refuse rather than silently fall back to plain per-id splits:
+        # the guard only has pairs to group when duplicates are KEPT
+        raise SystemExit(
+            "prep: --leakage-safe-splits requires --skip-near-dedup "
+            "(after near-dedup the survivors are already near-dup-free "
+            "and plain splits are leakage-safe; with dedup enabled the "
+            "flag would be a silent no-op)"
+        )
     if getattr(args, "leakage_safe_splits", False) and args.skip_near_dedup:
         # content-level split guard: near-dup components share a split.
         # Only meaningful when duplicates are KEPT (--skip-near-dedup)

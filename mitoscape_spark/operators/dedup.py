@@ -719,7 +719,13 @@ def incremental_embedding_pairs(
         new_docs, threshold, id_col, vec_col,
         target_block_bytes=target_block_bytes,
     ).select("id_a", "id_b")
-    both = e_c.unionByName(e_n)
+    # re-fed id with a CHANGED vector: the final-cosine lookup must
+    # deterministically use the NEW-batch copy, not whichever of the
+    # corpus/batch rows dropDuplicates happens to keep — batch vectors
+    # take priority, corpus rows fill in only ids absent from the batch
+    both = e_n.unionByName(
+        e_c.join(e_n.select("id"), "id", "left_anti")
+    )
     va = both.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
     vb = both.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
     # delta semantics (same contract as incremental_minhash_pairs): a

@@ -91,14 +91,29 @@ def exact_heavy_hitters(
     # LOWERS the local threshold, which grows the (tiny) candidate set
     # but keeps it a superset — exactness is preserved for any actual
     # partition count up to 2× the larger of the plan estimate and the
-    # cluster's default parallelism. floor (not ceil) division for the
-    # same conservative reason.
+    # cluster's default parallelism. ceil division is still safe under
+    # that over-estimate (ceil(T/2P) <= ceil(T/P_actual) whenever
+    # 2P >= P_actual — ceil is monotone in the denominator) and avoids
+    # degenerating to local_threshold=1 a full factor-of-2 early, which
+    # would turn the recount join into a full distinct+recount pass on
+    # high-cardinality inputs (round-4 advice).
     n_parts = max(
         1,
         df.rdd.getNumPartitions(),
         df.sparkSession.sparkContext.defaultParallelism,
     )
-    local_threshold = max(1, threshold // (2 * n_parts))
+    local_threshold = max(1, -(-threshold // (2 * n_parts)))
+    if local_threshold == 1 and threshold > 1:
+        import warnings
+
+        warnings.warn(
+            f"exact_heavy_hitters: threshold={threshold} <= "
+            f"2*partitions={2 * n_parts}; every distinct key becomes a "
+            "candidate (full distinct+recount). Exact, but consider a "
+            "larger threshold or fewer partitions on high-cardinality "
+            "inputs.",
+            stacklevel=2,
+        )
     candidates = local_candidates(df, key_cols, local_threshold).distinct()
     cond = None
     for k in key_cols:

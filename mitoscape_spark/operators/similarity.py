@@ -34,6 +34,39 @@ from pyspark.sql import functions as F
 from mitoscape_spark.functions.vectors import cosine_similarity
 
 
+def _training_sample(
+    embeddings: DataFrame,
+    vec_col: str,
+    n: int,
+    seed: int,
+    total: int | None = None,
+) -> list:
+    """Collect ≤``n`` vectors drawn uniformly across ALL partitions.
+
+    An unordered ``limit(n)`` reads only the first partitions, so at
+    scale a quantizer would train on one shard's distribution (a silent
+    quality — not correctness — degradation).  Instead: count, Bernoulli-
+    sample at a fraction that over-draws ~50%, and thin to exactly ``n``
+    driver-side with the same seed.  One extra count job, paid only at
+    fit time (callers that already know the cardinality pass ``total``).
+    """
+    if total is None:
+        total = embeddings.count()
+    if total <= n:
+        rows = embeddings.select(vec_col).collect()
+    else:
+        frac = min(1.0, 1.5 * n / total)
+        rows = (
+            embeddings.select(vec_col).sample(fraction=frac, seed=seed).collect()
+        )
+    sample = [row[0] for row in rows]
+    if len(sample) > n:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(sample), n, replace=False)
+        sample = [sample[i] for i in idx]
+    return sample
+
+
 def topk_cosine(
     embeddings: DataFrame,
     query: list[float],
@@ -440,13 +473,21 @@ class IVFFlatIndex:
         self,
         embeddings: DataFrame,
         vec_col: str = "embedding",
+        distributed_threshold: int = 2_000_000,
     ) -> "IVFFlatIndex":
-        sample = [
-            row[0]
-            for row in embeddings.select(vec_col)
-            .limit(self.train_sample)
-            .collect()
-        ]
+        """Train the coarse quantizer.  Corpora above
+        ``distributed_threshold`` rows route to :meth:`fit_distributed`
+        (pyspark.ml KMeans over the full corpus) — the driver-side
+        spherical k-means below is the small/medium path.  Either way
+        the training rows are a partition-independent seeded sample,
+        never a first-partitions ``limit``.
+        """
+        total = embeddings.count()
+        if total > distributed_threshold:
+            return self.fit_distributed(embeddings, vec_col)
+        sample = _training_sample(
+            embeddings, vec_col, self.train_sample, self.seed, total=total
+        )
         x = np.asarray(sample, dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(self.seed)
@@ -634,12 +675,9 @@ class PQIndex:
         return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
     def fit(self, embeddings: DataFrame, vec_col: str = "embedding") -> "PQIndex":
-        sample = [
-            row[0]
-            for row in embeddings.select(vec_col)
-            .limit(self.train_sample)
-            .collect()
-        ]
+        sample = _training_sample(
+            embeddings, vec_col, self.train_sample, self.seed
+        )
         x = self._unit(np.asarray(sample, dtype=np.float64))
         d = x.shape[1]
         if d % self.m:

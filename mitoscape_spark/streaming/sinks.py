@@ -266,25 +266,33 @@ def _commit_ledger(table_dir: str) -> set:
     history() returns [] for a never-created table, so "missing" needs
     no handling; only tolerate a manifest vanishing mid-read
     (FileNotFoundError TOCTOU vs a concurrent vacuum) / a version
-    probe race (ValueError from _load_manifest). Anything else —
-    corrupt JSON, permission errors — must PROPAGATE and fail the
-    micro-batch: returning an empty ledger would make an
-    already-committed batch look uncommitted and re-append its state,
-    silently breaking the exactly-once contract. JSONDecodeError is a
-    ValueError subclass, hence the explicit re-raise."""
+    probe race (ValueError from _load_manifest) — and tolerate it by
+    RETRYING, not by returning an empty ledger: an empty result here
+    makes an already-committed batch look uncommitted and re-append its
+    state, breaking the exactly-once contract in exactly the race this
+    helper guards. After bounded retries the error propagates and the
+    micro-batch fails loudly (Structured Streaming will re-run it).
+    Anything else — corrupt JSON, permission errors — propagates
+    immediately; JSONDecodeError is a ValueError subclass, hence the
+    explicit re-raise."""
     import json
+    import time
 
     from mitoscape_spark.sources import snapshots as snap
 
-    try:
-        return {
-            m.get("meta", {}).get("batch_id")
-            for m in snap.history(table_dir)
-        }
-    except json.JSONDecodeError:
-        raise
-    except (FileNotFoundError, ValueError):
-        return set()
+    last_err: Exception | None = None
+    for attempt in range(5):
+        try:
+            return {
+                m.get("meta", {}).get("batch_id")
+                for m in snap.history(table_dir)
+            }
+        except json.JSONDecodeError:
+            raise
+        except (FileNotFoundError, ValueError) as err:
+            last_err = err
+            time.sleep(0.05 * (attempt + 1))
+    raise last_err
 
 
 def _version_before_batch(table_dir: str, batch_id: int) -> int | None:

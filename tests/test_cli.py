@@ -274,6 +274,32 @@ def test_cli_prep_leakage_safe_splits_quarantine_near_dups(spark, tmp_path):
         assert split_of[p.doc_a] == split_of[p.doc_b]
 
 
+def test_cli_prep_leakage_safe_without_skip_near_dedup_refuses(
+    spark, tmp_path
+):
+    """--leakage-safe-splits without --skip-near-dedup must be a loud
+    SystemExit, not a silent fallback to plain per-id splits (round-4
+    advice): the guard only has pairs to group when duplicates are
+    kept."""
+    import pytest
+
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.catalog import load_table
+
+    src = str(tmp_path / "in")
+    load_table(spark, "/root/testdata/sf0.01", "documents").limit(
+        20
+    ).write.parquet(src)
+    with pytest.raises(SystemExit, match="leakage-safe-splits"):
+        cli.main(
+            [
+                "prep", "--input", src, "--out", str(tmp_path / "out"),
+                "--skip-rules", "--leakage-safe-splits",
+            ],
+            spark=spark,
+        )
+
+
 def test_cli_table_dv_and_changes(spark, tmp_path):
     import os
 

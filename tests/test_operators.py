@@ -1348,6 +1348,29 @@ def test_incremental_embedding_pairs_refed_docs_emit_nothing(spark, emb):
     )
 
 
+def test_incremental_embedding_pairs_refed_changed_vector_uses_new(spark):
+    """A re-fed id whose vector CHANGED between corpus and batch must be
+    scored with the new-batch vector deterministically (round-4 advice:
+    dropDuplicates over corpus∪new picked one nondeterministically).
+    (Pairs with BOTH endpoints in the corpus stay suppressed by the
+    delta contract, so the lookup only matters for re-fed-id × new-id
+    pairs.)  Corpus copy of id=1 is orthogonal to new id=3; the batch
+    copy of id=1 is parallel to it — the (1,3) pair appears at cos≈1
+    iff the batch vector won the lookup."""
+    from mitoscape_spark.operators.dedup import incremental_embedding_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = incremental_embedding_pairs(corpus, new, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 3)}
+    assert all(abs(r.cos - 1.0) < 1e-6 for r in rows)
+
+
 def test_containment_equals_bruteforce(spark, docs):
     """Asymmetric prefix filter completeness: candidates from
     prefix(smaller) ⋈ full postings must reproduce the brute-force

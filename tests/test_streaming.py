@@ -1118,3 +1118,34 @@ def test_dedup_committer_replay_after_vacuum_fails_loudly(spark, tmp_path):
     snap.vacuum(idx, keep_versions=1, min_age_seconds=0)
     with pytest.raises(ValueError, match="not found"):
         committer(mk(range(10, 15)), 1)
+
+
+def test_commit_ledger_retries_transient_race_then_raises(monkeypatch):
+    """_commit_ledger must RETRY a transient history() race and return
+    the real ledger once the read succeeds — returning set() on the
+    race made an already-committed batch look uncommitted (round-4
+    advice). A persistent failure still propagates after bounded
+    retries."""
+    import pytest
+
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming import sinks
+
+    calls = {"n": 0}
+
+    def flaky_history(table_dir):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise FileNotFoundError("manifest vanished mid-read")
+        return [{"meta": {"batch_id": 7}}]
+
+    monkeypatch.setattr(snap, "history", flaky_history)
+    assert sinks._commit_ledger("/nonexistent") == {7}
+    assert calls["n"] == 3
+
+    def always_fails(table_dir):
+        raise ValueError("version probe race")
+
+    monkeypatch.setattr(snap, "history", always_fails)
+    with pytest.raises(ValueError, match="version probe race"):
+        sinks._commit_ledger("/nonexistent")
