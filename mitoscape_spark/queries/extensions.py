@@ -2421,17 +2421,25 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- approximate (rows-only)
 def ext_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based corpus stats: HLL++ distinct counts and t-digest-ish
-    approximate percentiles per return flag — the O(1)-memory path for
-    100 TB profile jobs where exact distinct/percentile would shuffle
-    the world. Approximate ⇒ rows-only; tolerance vs exact asserted in
-    tests/test_operators.py."""
+    """Sketch-based corpus stats per return flag — the O(1)-memory path
+    for 100 TB profile jobs where exact distinct/percentile would
+    shuffle the world: theta-sketch distinct part counts + GK-sketch
+    median. Both sketches are EXACT below capacity — theta stores raw
+    hashes until 4096 entries (2000 distinct parts/flag at sf0.01) and
+    percentile_approx's rank error floor(n/accuracy) is <1 rank at
+    accuracy=100000 — so the DuckDB oracle states plain
+    COUNT(DISTINCT)/quantile_disc (same trick as ext_theta_overlap).
+    At 100 TB the same plan degrades gracefully to ±2% estimates with
+    identical memory: sketches partial-aggregate map-side, the shuffle
+    carries KB of state per flag, never the fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts"),
-            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("l_partkey")
+            ).alias("nd_parts"),
+            F.percentile_approx("l_quantity", 0.5, 100000).alias("p50"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
@@ -2669,6 +2677,53 @@ def ext_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tfidf_similar_pairs(docs, threshold=0.85)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ext_tfidf_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash twin of ext_tfidf_pairs: the SAME sparse blocked-
+    GEMM join (operators.dedup.sparse_near_duplicates) over TF-IDF
+    postings, but the token→index hash is md5-derived (first 15 hex
+    chars via conv base-16, mod 4096) instead of HashingTF's JVM
+    murmur — so DuckDB can recompute the ENTIRE chain in exact SQL:
+    tokenize (lower + \\W+ split), hash, TF, IDF ln((N+1)/(df+1)),
+    L2-normalize (inside sparse_near_duplicates), all-pairs cosine.
+    This oracle-pins the sparse-GEMM join shape that murmur keeps
+    rows-only in ext_tfidf_pairs (round-4 verdict item 5)."""
+    from mitoscape_spark.operators.dedup import sparse_near_duplicates
+
+    n_features = 1 << 12
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "\\W+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    idx = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+    tf = (
+        tok.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # corpus-level scalar (1-row action, same pattern as the stats
+    # cross-joins elsewhere); df rides the tf aggregate — tf rows are
+    # already distinct per (doc, idx)
+    n_docs = docs.count()
+    dfreq = tf.groupBy("idx").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dfreq, "idx").select(
+        F.col("doc_id").alias("id"),
+        "idx",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+        ).alias("w"),
+    )
+    return (
+        sparse_near_duplicates(postings, n_dims=n_features, threshold=0.85)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
@@ -3839,6 +3894,7 @@ QUERIES = {
     "ext_merge_upsert": ext_merge_upsert,
     "ext_hash_split": ext_hash_split,
     "ext_tfidf_pairs": ext_tfidf_pairs,
+    "ext_tfidf_pairs_hashed": ext_tfidf_pairs_hashed,
     "ext_udaf_geomean": ext_udaf_geomean,
     "ext_range_window": ext_range_window,
     "ext_bpe_tokens": ext_bpe_tokens,
@@ -4582,6 +4638,52 @@ ORACLE = {
         FROM u a CROSS JOIN u b
         WHERE a.event_type < b.event_type
         GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # exact below sketch capacity (see ext_sketch_stats docstring):
+    # theta distinct == COUNT(DISTINCT), GK median == quantile_disc
+    "ext_sketch_stats": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+               quantile_disc(l_quantity, 0.5) AS p50,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    # full TF-IDF chain recomputed portably: md5-derived feature hash,
+    # ln((N+1)/(df+1)) IDF, L2 normalization, all-pairs cosine — pins
+    # the sparse blocked-GEMM join of sparse_near_duplicates
+    "ext_tfidf_pairs_hashed": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\W+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)
+                        % 4096 AS BIGINT) AS idx
+            FROM tok WHERE tok <> ''
+        ), tf AS (
+            SELECT doc_id, idx, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM hashed GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT idx, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+        ), w AS (
+            SELECT tf.doc_id, tf.idx,
+                   tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)) AS w
+            FROM tf JOIN dfreq USING (idx) CROSS JOIN n
+        ), nrm AS (
+            SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1
+        ), p AS (
+            SELECT w.doc_id, w.idx, w.w / nrm.nrm AS wn
+            FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(SUM(a.wn * b.wn), 4) AS cosine
+        FROM p a JOIN p b ON a.idx = b.idx AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING SUM(a.wn * b.wn) >= 0.85
         ORDER BY 1, 2
     """,
     "ext_window_rank": """

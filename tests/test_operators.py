@@ -586,8 +586,11 @@ def test_sketch_stats_tolerance(spark):
     }
     for flag, s in sketch.items():
         e = exact[flag]
-        assert abs(s.nd_parts - e.nd) / e.nd <= 0.05, (flag, s.nd_parts, e.nd)
-        assert abs(s.p50_approx - e.p50) <= 2.0, (flag, s.p50_approx, e.p50)
+        # theta sketch stores raw hashes below nominal capacity → EXACT
+        assert s.nd_parts == e.nd, (flag, s.nd_parts, e.nd)
+        # GK sketch at accuracy=100000 is <1 rank off; interpolated
+        # percentile() may sit between elements, so allow half a step
+        assert abs(s.p50 - e.p50) <= 0.5, (flag, s.p50, e.p50)
 
 
 def test_chunk_documents_overlap_and_short_docs(spark):
