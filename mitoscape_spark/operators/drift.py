@@ -66,6 +66,44 @@ def drift_report(
     bins: int = 10,
     digits: int = 6,
 ) -> DataFrame:
+    """(col_name, psi): one row per column, higher = more drift.
+
+    Columns dispatch by dtype: numeric → equi-width histogram PSI
+    (below), string → categorical PSI (per-value frequencies — the
+    corpus-prep columns that matter, ``lang``/``source``, are strings;
+    casting them to DOUBLE used to abort the whole report under ANSI
+    mode). Results union into one (col_name, psi) table.
+    """
+    from pyspark.sql import types as T
+
+    str_cols = [
+        c
+        for c in cols
+        if isinstance(reference.schema[c].dataType, T.StringType)
+    ]
+    num_cols = [c for c in cols if c not in str_cols]
+    parts = []
+    if num_cols:
+        parts.append(
+            _drift_report_numeric(reference, current, num_cols, bins, digits)
+        )
+    if str_cols:
+        parts.append(
+            drift_report_categorical(reference, current, str_cols, digits)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _drift_report_numeric(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
     """(col_name, psi): one row per numeric column, higher = more drift."""
     ref_tall = _melt(reference, cols)
     cur_tall = _melt(current, cols)
@@ -94,6 +132,67 @@ def drift_report(
     joined = ref_counts.join(cur_counts, ["col_name", "bin"], "full_outer")
     # a bin missing on one side carries that side's total via the other
     # rows of its column — recover it with a max window over the join
+    tr = F.max("_tr").over(w)
+    tc = F.max("_tc").over(w)
+    p_ref = F.greatest(F.coalesce("n_ref", F.lit(0)) / tr, F.lit(EPS))
+    p_cur = F.greatest(F.coalesce("n_cur", F.lit(0)) / tc, F.lit(EPS))
+    return (
+        joined.select(
+            "col_name",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_term"),
+        )
+        .groupBy("col_name")
+        .agg(F.round(F.sum("_term"), digits).alias("psi"))
+    )
+
+
+def drift_report_categorical(
+    reference: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+    digits: int = 6,
+) -> DataFrame:
+    """(col_name, psi) for STRING columns: PSI over per-value category
+    frequencies instead of histogram bins — the standard categorical
+    variant. Categories present on only one side hit the epsilon clamp
+    (their mass shows as drift, exactly like out-of-range numeric
+    values clip into edge bins). NULL is its own category (the melt
+    keeps it as the sentinel below) — a surge of NULLs IS drift.
+
+    Same plan shape as the numeric path: one scan per side, melt to
+    (col_name, value), one partial+final hash agg per side to
+    ≤ |cols|·|categories| rows, PSI math on the tiny table. Category
+    cardinality is the scale knob: lang/source-like columns (dozens to
+    thousands of values) stay trivially small; for genuinely
+    high-cardinality keys use exact_heavy_hitters first and PSI the
+    top-k + "other" rollup.
+    """
+    from pyspark.sql import Window as W
+
+    # leading space keeps the sentinel out of the normal-identifier
+    # value space; it must match the DuckDB oracle's literal exactly
+    null_sentinel = " __null__"
+
+    def _melt_s(df: DataFrame) -> DataFrame:
+        args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        return df.select(
+            F.expr(f"stack({len(cols)}, {args}) AS (col_name, value)")
+        ).withColumn("value", F.coalesce("value", F.lit(null_sentinel)))
+
+    w = W.partitionBy("col_name")
+    ref_counts = (
+        _melt_s(reference)
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .withColumn("_tr", F.sum("n_ref").over(w))
+    )
+    cur_counts = (
+        _melt_s(current)
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .withColumn("_tc", F.sum("n_cur").over(w))
+    )
+    joined = ref_counts.join(cur_counts, ["col_name", "value"], "full_outer")
     tr = F.max("_tr").over(w)
     tc = F.max("_tc").over(w)
     p_ref = F.greatest(F.coalesce("n_ref", F.lit(0)) / tr, F.lit(EPS))

@@ -3448,6 +3448,24 @@ def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def ext_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-PSI drift (operators/drift.py::
+    drift_report_categorical): per-VALUE frequency PSI of the string
+    columns lang/source between even- and odd-id document halves — the
+    corpus-prep drift question ("did the language mix shift?") the
+    numeric histogram path cannot answer. The oracle restates the
+    identical frequency/epsilon-clamp arithmetic in SQL, so results
+    hash-match."""
+    from mitoscape_spark.operators.drift import drift_report_categorical
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    cur = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    return drift_report_categorical(ref, cur, ["lang", "source"]).orderBy(
+        "col_name"
+    )
+
+
 def ext_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate (pipeline/quality_model.py): hashed-TF
     logistic regression distilled from the Gopher rule teacher, scoring
@@ -3757,6 +3775,7 @@ QUERIES = {
     "ext_quality_model": ext_quality_model,
     "ext_video_neardup": ext_video_neardup,
     "ext_drift_psi": ext_drift_psi,
+    "ext_drift_categorical": ext_drift_categorical,
     "ext_pack_ffd": ext_pack_ffd,
     "ext_pack_ffd_invariants": ext_pack_ffd_invariants,
     "ext_hybrid_search": ext_hybrid_search,
@@ -4409,6 +4428,49 @@ ORACLE = {
                    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
             FROM rb FULL OUTER JOIN cb
               ON rb.col_name = cb.col_name AND rb.bin = cb.bin
+        ), t AS (
+            SELECT col_name, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+            FROM j GROUP BY col_name
+        )
+        SELECT j.col_name,
+               ROUND(SUM(
+                   (GREATEST(n_cur / t.tc, 1e-6)
+                    - GREATEST(n_ref / t.tr, 1e-6))
+                   * LN(GREATEST(n_cur / t.tc, 1e-6)
+                        / GREATEST(n_ref / t.tr, 1e-6))
+               ), 6) AS psi
+        FROM j JOIN t ON j.col_name = t.col_name
+        GROUP BY j.col_name
+        ORDER BY j.col_name
+    """,
+    "ext_drift_categorical": """
+        WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        refm AS (
+            SELECT 'lang' AS col_name,
+                   COALESCE(CAST(lang AS VARCHAR), ' __null__') AS value
+            FROM ref
+            UNION ALL
+            SELECT 'source', COALESCE(CAST(source AS VARCHAR), ' __null__')
+            FROM ref
+        ), curm AS (
+            SELECT 'lang' AS col_name,
+                   COALESCE(CAST(lang AS VARCHAR), ' __null__') AS value
+            FROM cur
+            UNION ALL
+            SELECT 'source', COALESCE(CAST(source AS VARCHAR), ' __null__')
+            FROM cur
+        ), rc AS (
+            SELECT col_name, value, COUNT(*) AS n_ref
+            FROM refm GROUP BY 1, 2
+        ), cc AS (
+            SELECT col_name, value, COUNT(*) AS n_cur
+            FROM curm GROUP BY 1, 2
+        ), j AS (
+            SELECT COALESCE(rc.col_name, cc.col_name) AS col_name,
+                   COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+            FROM rc FULL OUTER JOIN cc
+              ON rc.col_name = cc.col_name AND rc.value = cc.value
         ), t AS (
             SELECT col_name, SUM(n_ref) AS tr, SUM(n_cur) AS tc
             FROM j GROUP BY col_name
