@@ -269,6 +269,57 @@ def test_drift_psi_constant_reference_column(spark):
     assert psi["x"] == 0.0
 
 
+def test_drift_categorical_known_psi_and_null_category(spark):
+    """Categorical PSI against a hand-computed value, with NULL as its
+    own category. ref: a=0.5, b=0.5; cur: a=0.25, b=0.25, NULL=0.5 →
+    PSI = Σ (p_c−p_r)·ln(p_c/p_r) with the NULL category's ref side
+    epsilon-clamped."""
+    import math
+
+    from mitoscape_spark.operators.drift import drift_report_categorical
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",)], "v string"
+    )
+    cur = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "v string"
+    )
+    psi = {
+        r.col_name: r.psi
+        for r in drift_report_categorical(ref, cur, ["v"]).collect()
+    }
+    eps = 1e-6
+    want = (
+        2 * (0.25 - 0.5) * math.log(0.25 / 0.5)
+        + (0.5 - eps) * math.log(0.5 / eps)
+    )
+    assert abs(psi["v"] - round(want, 6)) < 1e-6
+
+
+def test_drift_report_dispatches_mixed_column_types(spark):
+    """drift_report with one numeric + one string column: the string
+    column must route to categorical PSI (it used to abort the whole
+    report with an ANSI CAST error), numeric to histogram PSI, both
+    landing in one (col_name, psi) table."""
+    from mitoscape_spark.operators.drift import drift_report
+
+    ref = spark.range(200).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    cur = spark.range(200).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    psi = {
+        r.col_name: r.psi
+        for r in drift_report(ref, cur, ["x", "lang"]).collect()
+    }
+    assert set(psi) == {"x", "lang"}
+    assert psi["x"] == 0.0  # identical numeric distribution
+    assert psi["lang"] > 0.05  # 50/50 → 25/75 mix shift
+
+
 # ------------------------------------------------------------------- FFD packs
 
 
