@@ -82,16 +82,23 @@ def pagerank(
             )
             # lazy: the delta agg below is the first action, so one job
             # per round materializes checkpoint + convergence check
-            .localCheckpoint(eager=False)
+            # (tol<=0 = fixed-iteration mode: no delta job, eager
+            # checkpoint materializes the round — deterministic
+            # iteration count makes the run SQL-restatable, which is
+            # how ext_pagerank carries a DuckDB oracle)
+            .localCheckpoint(eager=tol <= 0)
         )
-        delta = (
-            ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("r2"))))
-            .head()[0]
-        )
-        ranks = new_ranks
-        if delta < tol:
-            break
+        if tol > 0:
+            delta = (
+                ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("r2"))))
+                .head()[0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 

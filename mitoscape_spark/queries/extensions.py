@@ -1302,23 +1302,42 @@ def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (edges from
     per-user consecutive events): distributed power iteration with
-    dangling-mass correction and lineage-truncated rounds. Iterative ⇒
-    rows-only; numpy power-iteration equivalence pinned in
-    tests/test_graph.py."""
+    dangling-mass correction and lineage-truncated rounds. tol=0 pins
+    the iteration count at exactly 30, which makes the whole run
+    SQL-restatable: the DuckDB oracle unrolls the SAME 30 power
+    iterations (same init, damping, dangling handling, float
+    expression shapes) as chained CTEs — the one former "iterative ⇒
+    rows-only" entry that is in fact deterministic enough to oracle.
+    General convergence behavior stays pinned by numpy equivalence in
+    tests/test_graph.py.
+
+    Edge set: only ABOVE-AVERAGE-frequency transition pairs — the full
+    pair matrix is complete (every type follows every type) whose
+    PageRank is trivially uniform; thresholding yields an asymmetric
+    subgraph with genuinely non-uniform ranks, so the oracle
+    discriminates."""
     from pyspark.sql import Window
 
     from mitoscape_spark.operators.graph import pagerank
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    edges = (
+    counts = (
         events.withColumn("_next", F.lead("event_type").over(w))
         .where(F.col("_next").isNotNull())
-        .select(
+        .groupBy(
             F.col("event_type").alias("src"), F.col("_next").alias("dst")
         )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return pagerank(edges, max_iter=30).orderBy("id")
+    edges = (
+        counts.withColumn(
+            "_mean", F.avg("n").over(Window.partitionBy())
+        )
+        .where(F.col("n") > F.col("_mean"))
+        .select("src", "dst")
+    )
+    return pagerank(edges, max_iter=30, tol=0.0).orderBy("id")
 
 
 def ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6245,3 +6264,68 @@ ORACLE = {
     # ext_ann_ivf / ext_ann_lsh: approximate — rows-only (recall-tested
     # in pytest)
 }
+
+
+def _pagerank_oracle_sql(n_iter: int = 30, damping: float = 0.85) -> str:
+    """Unrolled power iteration for ext_pagerank: one chained CTE per
+    round, each restating EXACTLY the Spark expression —
+    (1-d)/n + d*(inflow + dangling/n) with inflow = Σ rank/outdeg over
+    in-edges and dangling = rank mass of out-degree-0 nodes from the
+    PREVIOUS round. tol=0 on the Spark side fixes the iteration count,
+    so the two engines run the identical float recurrence (subtraction
+    written as ``1.0 - 0.85``, not ``0.15`` — Python computes the lit
+    the same way, and 1.0-0.85 != 0.15 in IEEE doubles)."""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+        it{k} AS MATERIALIZED (
+            SELECT nd.id,
+                   (1.0 - {damping})/nn.n
+                   + {damping} * (COALESCE(inf.inflow, 0.0) + dang.m/nn.n)
+                   AS rank
+            FROM nodes nd
+            CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.d AS id, SUM(r.rank / od.deg) AS inflow
+                FROM e JOIN it{k - 1} r ON e.s = r.id
+                       JOIN od ON od.s = e.s
+                GROUP BY e.d
+            ) inf ON inf.id = nd.id
+            CROSS JOIN (
+                SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM it{k - 1} r
+                WHERE r.id NOT IN (SELECT s FROM od)
+            ) dang
+        )""")
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS next_type
+            FROM events
+        ), e AS MATERIALIZED (
+            SELECT s, d FROM (
+                SELECT s, d, n, AVG(n) OVER () AS mean_n FROM (
+                    SELECT event_type AS s, next_type AS d,
+                           COUNT(*) AS n
+                    FROM seq WHERE next_type IS NOT NULL
+                    GROUP BY 1, 2
+                )
+            ) WHERE n > mean_n
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT s AS id FROM e UNION ALL SELECT d FROM e
+            )
+        ), nn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        ), od AS MATERIALIZED (
+            SELECT s, COUNT(*) AS deg FROM e GROUP BY s
+        ), it0 AS MATERIALIZED (
+            SELECT id, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn
+        ),{",".join(its)}
+        SELECT id, ROUND(rank, 8) AS rank FROM it{n_iter} ORDER BY id
+    """
+
+
+ORACLE["ext_pagerank"] = _pagerank_oracle_sql()
