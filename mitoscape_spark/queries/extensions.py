@@ -687,9 +687,12 @@ def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation communities
     (operators/graph.py::label_propagation) on the supplier–part
-    bipartite graph (partkeys offset to avoid id collision). Rows-only
-    (iterative algorithm); the per-round math is pinned exactly
-    against a pure-python twin in tests. Output: the 25 largest
+    bipartite graph (partkeys offset to avoid id collision). Oracle:
+    DuckDB unrolls the SAME synchronous update (mode label, self-vote,
+    smallest-label tie-break) as max_iter materialized CTE rounds —
+    all-integer, and safe to over-unroll because the Spark loop's
+    early exit fires only at a fixed point. Per-round math is also
+    pinned against a pure-python twin in tests. Output: the 25 largest
     communities by member count."""
     from mitoscape_spark.operators.graph import label_propagation
 
@@ -6329,3 +6332,56 @@ def _pagerank_oracle_sql(n_iter: int = 30, damping: float = 0.85) -> str:
 
 
 ORACLE["ext_pagerank"] = _pagerank_oracle_sql()
+
+
+def _lpa_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled deterministic label propagation for ext_communities:
+    one materialized CTE per round restating EXACTLY the Spark update —
+    every node adopts its neighborhood's most frequent label (self-vote
+    weight 1), smallest label on ties. All-integer arithmetic, so the
+    match is exact; and because the Spark loop's early exit fires only
+    at a FIXED POINT of the update (changed==0 ⇒ further rounds are
+    identity), unrolling the full max_iter rounds here yields the
+    identical final state no matter when Spark stopped."""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+        it{k} AS MATERIALIZED (
+            SELECT node AS id, lbl FROM (
+                SELECT node, lbl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY node ORDER BY n DESC, lbl
+                       ) AS rn
+                FROM (
+                    SELECT node, lbl, COUNT(*) AS n FROM (
+                        SELECT e.a AS node, r.lbl
+                        FROM und e JOIN it{k - 1} r ON e.b = r.id
+                        UNION ALL
+                        SELECT id AS node, lbl FROM it{k - 1}
+                    ) GROUP BY node, lbl
+                )
+            ) WHERE rn = 1
+        )""")
+    return f"""
+        WITH ed AS MATERIALIZED (
+            SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d
+            FROM lineitem WHERE l_quantity >= 48
+        ), und AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT s AS a, d AS b FROM ed
+                UNION ALL
+                SELECT d AS a, s AS b FROM ed
+            )
+        ), it0 AS MATERIALIZED (
+            SELECT DISTINCT a AS id, a AS lbl FROM und
+        ),{",".join(its)}
+        SELECT lbl AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM it{n_iter}
+        GROUP BY lbl
+        ORDER BY n_members DESC, community
+        LIMIT 25
+    """
+
+
+ORACLE["ext_communities"] = _lpa_oracle_sql()
