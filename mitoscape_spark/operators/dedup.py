@@ -741,8 +741,11 @@ def incremental_embedding_pairs(
         .join(flag_b, "id_b", "left")
         .where(~(F.col("_ca").isNotNull() & F.col("_cb").isNotNull()))
         .drop("_ca", "_cb")
-        .join(va.dropDuplicates(["id_a"]), "id_a")
-        .join(vb.dropDuplicates(["id_b"]), "id_b")
+        # the priority union above guarantees one row per id — no
+        # dropDuplicates here (an arbitrary-pick dedup at this spot is
+        # exactly what made re-fed changed vectors nondeterministic)
+        .join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -68,20 +68,21 @@ def drift_report(
 ) -> DataFrame:
     """(col_name, psi): one row per column, higher = more drift.
 
-    Columns dispatch by dtype: numeric → equi-width histogram PSI
-    (below), string → categorical PSI (per-value frequencies — the
-    corpus-prep columns that matter, ``lang``/``source``, are strings;
-    casting them to DOUBLE used to abort the whole report under ANSI
-    mode). Results union into one (col_name, psi) table.
+    Columns dispatch by dtype: NUMERIC → equi-width histogram PSI
+    (below); everything else (string, date, timestamp, boolean, …) →
+    categorical PSI over per-value frequencies — any non-numeric cast
+    to DOUBLE would abort the whole report under ANSI mode, and
+    casting to STRING is total. Results union into one
+    (col_name, psi) table.
     """
     from pyspark.sql import types as T
 
-    str_cols = [
+    num_cols = [
         c
         for c in cols
-        if isinstance(reference.schema[c].dataType, T.StringType)
+        if isinstance(reference.schema[c].dataType, T.NumericType)
     ]
-    num_cols = [c for c in cols if c not in str_cols]
+    str_cols = [c for c in cols if c not in num_cols]
     parts = []
     if num_cols:
         parts.append(

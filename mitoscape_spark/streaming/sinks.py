@@ -291,7 +291,8 @@ def _commit_ledger(table_dir: str) -> set:
             raise
         except (FileNotFoundError, ValueError) as err:
             last_err = err
-            time.sleep(0.05 * (attempt + 1))
+            if attempt < 4:  # no sleep after the final attempt
+                time.sleep(0.05 * (attempt + 1))
     raise last_err
 
 

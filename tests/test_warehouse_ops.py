@@ -320,6 +320,29 @@ def test_drift_report_dispatches_mixed_column_types(spark):
     assert psi["lang"] > 0.05  # 50/50 → 25/75 mix shift
 
 
+def test_drift_report_date_column_routes_to_categorical(spark):
+    """Non-numeric, non-string dtypes (date here) must route to the
+    categorical path too — CAST(DATE AS DOUBLE) aborts under ANSI
+    mode, so a snapshot-date partition column used to kill the whole
+    report."""
+    from mitoscape_spark.operators.drift import drift_report
+
+    ref = spark.range(100).select(
+        F.date_add(F.lit("2026-01-01"), (F.col("id") % 3).cast("int")).alias("d")
+    )
+    cur = spark.range(100).select(
+        F.date_add(F.lit("2026-01-01"), (F.col("id") % 5).cast("int")).alias("d")
+    )
+    psi = {
+        r.col_name: r.psi for r in drift_report(ref, cur, ["d"]).collect()
+    }
+    assert psi["d"] > 0.0  # 3 categories → 5 categories is drift
+    same = {
+        r.col_name: r.psi for r in drift_report(ref, ref, ["d"]).collect()
+    }
+    assert same["d"] == 0.0
+
+
 # ------------------------------------------------------------------- FFD packs
 
 

@@ -19,7 +19,8 @@ must not synthesize unrelated data, and cannot write /root/testdata):
   right shape for a per-node-cost probe).
 
 mito_classify scales through its OWN fixture parameter (n_reads
-120 → 1200 → 6000): the pipeline is re-run end-to-end at each size.
+120 → 240 → 600 → 6000, i.e. 1×/2×/5×/50×): the pipeline is re-run
+end-to-end at each size.
 
 Usage: python tools/scale_probe.py
 Writes scaled parquet under <repo>/.scale_probe/ (gitignored) and
@@ -47,6 +48,7 @@ def _synthesize(spark, mult: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     docs = load_table(spark, _BASE, "documents")
+    n_docs = docs.count()  # loop-invariant: one job, not one per copy
     parts = [docs]
     for k in range(1, mult):
         a = docs.select(
@@ -59,7 +61,6 @@ def _synthesize(spark, mult: int, out_dir: str) -> None:
             F.substring("text", 401, 1 << 20).alias("back"),
         )
         # wrap the partner id around the corpus
-        n_docs = docs.count()
         joined = a.join(
             b.withColumn("doc_id", F.pmod("doc_id", F.lit(n_docs))),
             "doc_id",
@@ -186,9 +187,7 @@ def main() -> int:
         t0 = time.perf_counter()
         run()
         t[mult] = round(time.perf_counter() - t0, 3)
-    import math as _m
-
-    exp = _m.log(t[50] / t[1]) / _m.log(50)
+    exp = math.log(t[50] / t[1]) / math.log(50)
     results["mito_classify"] = {"t": t, "exponent": round(exp, 2)}
     print(f"mito_classify: {t}  exponent={exp:.2f}", file=sys.stderr)
 

@@ -155,7 +155,6 @@ def main() -> int:
     # DuckDB serial per-query (warm, min-of-3 — its best mode)
     import duckdb
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
 
     oracle = {
