@@ -223,7 +223,101 @@ def drift_report_grouped(
     would report mixture shift as drift in every stratum). Groups
     present on only one side are skipped (no baseline / no signal) —
     detect those with a plain anti-join on distinct groups first.
+
+    Measure columns dispatch by dtype like :func:`drift_report`:
+    numeric → per-stratum histogram PSI, everything else → per-stratum
+    categorical PSI (value frequencies, NULL as its own category).
     """
+    from pyspark.sql import types as T
+
+    num_cols = [
+        c
+        for c in cols
+        if isinstance(reference.schema[c].dataType, T.NumericType)
+    ]
+    str_cols = [c for c in cols if c not in num_cols]
+    parts = []
+    if num_cols:
+        parts.append(
+            _drift_report_grouped_numeric(
+                reference, current, group_col, num_cols, bins, digits
+            )
+        )
+    if str_cols:
+        parts.append(
+            _drift_report_grouped_categorical(
+                reference, current, group_col, str_cols, digits
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _drift_report_grouped_categorical(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    cols: list[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Per-stratum categorical PSI: the grouped twin of
+    :func:`drift_report_categorical` — counts per (group, column,
+    value), totals by window, epsilon clamp, groups present on only
+    one side skipped (same contract as the numeric grouped path)."""
+    from pyspark.sql import Window as W
+
+    null_sentinel = " __null__"
+
+    def _melt_s(df: DataFrame) -> DataFrame:
+        args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        return df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"stack({len(cols)}, {args}) AS (col_name, value)"),
+        ).withColumn("value", F.coalesce("value", F.lit(null_sentinel)))
+
+    w = W.partitionBy("grp", "col_name")
+    ref_counts = (
+        _melt_s(reference)
+        .groupBy("grp", "col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .withColumn("_tr", F.sum("n_ref").over(w))
+    )
+    cur_counts = (
+        _melt_s(current)
+        .groupBy("grp", "col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .withColumn("_tc", F.sum("n_cur").over(w))
+    )
+    joined = ref_counts.join(
+        cur_counts, ["grp", "col_name", "value"], "full_outer"
+    )
+    tr, tc = F.max("_tr").over(w), F.max("_tc").over(w)
+    p_ref = F.greatest(F.coalesce("n_ref", F.lit(0)) / tr, F.lit(EPS))
+    p_cur = F.greatest(F.coalesce("n_cur", F.lit(0)) / tc, F.lit(EPS))
+    return (
+        joined.select(
+            F.col("grp").alias(group_col),
+            "col_name",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_term"),
+            tr.alias("_tr2"),
+            tc.alias("_tc2"),
+        )
+        .where(F.col("_tr2").isNotNull() & F.col("_tc2").isNotNull())
+        .groupBy(group_col, "col_name")
+        .agg(F.round(F.sum("_term"), digits).alias("psi"))
+    )
+
+
+def _drift_report_grouped_numeric(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    cols: list[str],
+    bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
     from pyspark.sql import Window as W
 
     def _melt_g(df: DataFrame) -> DataFrame:

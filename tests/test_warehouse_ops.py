@@ -343,6 +343,36 @@ def test_drift_report_date_column_routes_to_categorical(spark):
     assert same["d"] == 0.0
 
 
+def test_drift_report_grouped_dispatches_string_columns(spark):
+    """Grouped drift with a string measure column routes to the
+    per-stratum categorical path (same ANSI CAST hazard as the
+    ungrouped report); numeric columns keep the histogram path, both
+    in one output."""
+    from mitoscape_spark.operators.drift import drift_report_grouped
+
+    ref = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") % 10).cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    cur = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") % 10).cast("double").alias("x"),
+        # group 0 keeps its mix, group 1 flips entirely to "de"
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    psi = {
+        (r.grp, r.col_name): r.psi
+        for r in drift_report_grouped(
+            ref, cur, "grp", ["x", "lang"]
+        ).collect()
+    }
+    assert set(psi) == {("0", "x"), ("0", "lang"), ("1", "x"), ("1", "lang")}
+    assert psi[("0", "lang")] == 0.0  # unchanged stratum
+    assert psi[("1", "lang")] > 1.0  # full category replacement
+    assert psi[("0", "x")] == 0.0 and psi[("1", "x")] == 0.0
+
+
 # ------------------------------------------------------------------- FFD packs
 
 
