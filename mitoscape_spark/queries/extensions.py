@@ -2617,6 +2617,45 @@ def ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ext_redact_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card redaction
+    (operators/redact.py::redact_credit_cards): card-shaped digit runs
+    replace with <CC> only when the checksum passes — a bare regex
+    would also nuke order ids and timestamps. Valid (4111…) and
+    invalid (1234 5678 9012 3456) candidates are planted
+    deterministically so both the accept and reject paths are
+    exercised; the DuckDB oracle restates the same extract → Luhn
+    lambda → per-doc recursive-CTE replace fold."""
+    from mitoscape_spark.operators.redact import redact_credit_cards
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.lit(" card 4111-1111-1111-1111 thanks"),
+            )
+            .when(
+                F.pmod("doc_id", F.lit(11)) == 0,
+                F.lit(" ref 1234 5678 9012 3456 end"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        redact_credit_cards(planted)
+        .select(
+            "doc_id",
+            F.col("n_cc_candidates").cast("long").alias("n_cc_candidates"),
+            F.col("n_cc").cast("long").alias("n_cc"),
+            "cc_redacted",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column profile of orders — ONE aggregation job
     for all four columns (multi-COUNT-DISTINCT via Catalyst Expand),
@@ -3930,6 +3969,7 @@ QUERIES = {
     "ext_pack_sequences": ext_pack_sequences,
     "ext_sample_mix": ext_sample_mix,
     "ext_redact": ext_redact,
+    "ext_redact_cc": ext_redact_cc,
     "ext_profile": ext_profile,
     "ext_data_quality": ext_data_quality,
     "ext_merge_upsert": ext_merge_upsert,
@@ -6385,3 +6425,52 @@ def _lpa_oracle_sql(n_iter: int = 5) -> str:
 
 
 ORACLE["ext_communities"] = _lpa_oracle_sql()
+
+# Luhn-validated CC redaction: same candidate regex, the Luhn lambda
+# with DuckDB's 1-BASED list_transform index (double on even i ↔
+# Spark's 0-based odd), and — since DuckDB 1.0 lacks list_reduce with
+# an init value — the literal-replace fold runs as a per-doc recursive
+# CTE over the validated candidate list. regexp_replace needs the 'g'
+# flag (DuckDB is first-match by default; Spark is global).
+ORACLE["ext_redact_cc"] = r"""
+    WITH RECURSIVE planted AS (
+        SELECT doc_id,
+               text || CASE
+                   WHEN doc_id % 7 = 0
+                       THEN ' card 4111-1111-1111-1111 thanks'
+                   WHEN doc_id % 11 = 0
+                       THEN ' ref 1234 5678 9012 3456 end'
+                   ELSE '' END AS text
+        FROM documents
+    ), base AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cands
+        FROM planted
+    ), judged AS (
+        SELECT doc_id, text, cands,
+               list_filter(cands, c ->
+                   list_sum(list_transform(
+                       string_split(reverse(
+                           regexp_replace(c, '[ -]', '', 'g')), ''),
+                       (ch, i) -> CASE WHEN i % 2 = 0 THEN
+                               CASE WHEN CAST(ch AS INT) * 2 > 9
+                                    THEN CAST(ch AS INT) * 2 - 9
+                                    ELSE CAST(ch AS INT) * 2 END
+                           ELSE CAST(ch AS INT) END
+                   )) % 10 = 0
+               ) AS valid
+        FROM base
+    ), fold AS (
+        SELECT doc_id, 0 AS k, text AS acc, valid FROM judged
+        UNION ALL
+        SELECT doc_id, k + 1, replace(acc, valid[k + 1], '<CC>'), valid
+        FROM fold WHERE k < len(valid)
+    )
+    SELECT j.doc_id,
+           CAST(len(j.cands) AS BIGINT) AS n_cc_candidates,
+           CAST(len(j.valid) AS BIGINT) AS n_cc,
+           f.acc AS cc_redacted
+    FROM judged j JOIN fold f
+      ON j.doc_id = f.doc_id AND f.k = len(j.valid)
+    ORDER BY j.doc_id
+"""

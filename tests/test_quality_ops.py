@@ -52,6 +52,34 @@ def test_pii_counts(spark):
     assert (r.n_email, r.n_url, r.n_phone) == (2, 1, 1)
 
 
+def test_redact_credit_cards_luhn_gate(spark):
+    """Only Luhn-valid card-shaped runs redact; invalid digit runs
+    (order ids), short runs, and >19-digit runs are untouched."""
+    from mitoscape_spark.operators.redact import redact_credit_cards
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay with 4111 1111 1111 1111 please"),       # valid
+            (2, "card 5500-0055-5555-5559 on file"),          # valid
+            (3, "order 1234 5678 9012 3456 shipped"),         # invalid
+            (4, "short 4111 1111 done"),                      # 8 digits
+            (5, "id 12345678901234567890123 long"),           # 23 digits
+            (6, "no digits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_credit_cards(docs).collect()}
+    assert rows[1].cc_redacted == "pay with <CC> please"
+    assert rows[2].cc_redacted == "card <CC> on file"
+    assert rows[3].cc_redacted == "order 1234 5678 9012 3456 shipped"
+    assert (rows[3].n_cc_candidates, rows[3].n_cc) == (1, 0)
+    assert rows[4].cc_redacted == "short 4111 1111 done"
+    assert rows[4].n_cc_candidates == 0
+    assert rows[5].cc_redacted == "id 12345678901234567890123 long"
+    assert rows[5].n_cc_candidates == 0
+    assert rows[6].n_cc == 0
+
+
 def test_normalize_text_collapses_whitespace(spark):
     docs = spark.createDataFrame(
         [(1, "  A\tB\n\nC   d  ")], "doc_id long, text string"
