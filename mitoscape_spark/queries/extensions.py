@@ -781,6 +781,34 @@ def ext_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift-monitor service END-TO-END
+    (streaming/sinks.py::stream_drift_monitor): documents stream in as
+    two micro-batches, each batch PSI-scored against the frozen
+    full-corpus baseline — numeric n_chars through histogram bins,
+    categorical lang through value frequencies — and the per-batch
+    reports accumulate exactly-once into one snapshot table. The
+    DuckDB oracle restates BOTH per-batch reports from scratch
+    (identical bin/clamp/epsilon arithmetic), so a single driver check
+    covers the service protocol AND the mixed-dtype drift math."""
+    from mitoscape_spark.streaming.sinks import stream_drift_monitor
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return _run_two_batch_stream_service(
+        spark,
+        docs,
+        "doc_id",
+        lambda stream, root: stream_drift_monitor(
+            stream, docs, f"{root}/pairs", f"{root}/ckpt",
+            cols=["lang", "n_chars"],
+        ),
+        lambda report: report.orderBy("batch_id", "col_name"),
+        "batch_id long, col_name string, psi double",
+    )
+
+
 def _run_two_batch_stream_service(
     spark: SparkSession,
     source: DataFrame,
@@ -3837,6 +3865,7 @@ QUERIES = {
     "ext_video_neardup": ext_video_neardup,
     "ext_drift_psi": ext_drift_psi,
     "ext_drift_categorical": ext_drift_categorical,
+    "ext_stream_drift": ext_stream_drift,
     "ext_pack_ffd": ext_pack_ffd,
     "ext_pack_ffd_invariants": ext_pack_ffd_invariants,
     "ext_hybrid_search": ext_hybrid_search,
@@ -6425,6 +6454,91 @@ def _lpa_oracle_sql(n_iter: int = 5) -> str:
 
 
 ORACLE["ext_communities"] = _lpa_oracle_sql()
+
+def _stream_drift_oracle_sql() -> str:
+    """Per-batch drift reports restated from scratch: for each of the
+    two deterministic micro-batches (doc_id < 250 / >= 250), the
+    numeric-histogram PSI of n_chars and the categorical PSI of lang
+    against the full-corpus reference — the same bin/clamp/epsilon
+    arithmetic as the ext_drift_psi / ext_drift_categorical oracles,
+    parameterized by the batch predicate."""
+    blocks = []
+    for b, cond in ((0, "doc_id < 250"), (1, "doc_id >= 250")):
+        blocks.append(f"""
+        SELECT {b} AS batch_id, col_name, psi FROM (
+            WITH refm AS (
+                SELECT CAST(n_chars AS DOUBLE) AS value FROM documents
+                WHERE n_chars IS NOT NULL
+            ), edges AS (
+                SELECT MIN(value) AS lo, MAX(value) AS hi FROM refm
+            ), rb AS (
+                SELECT CASE WHEN (e.hi - e.lo) / 10 <= 0 THEN 0
+                            ELSE CAST(LEAST(GREATEST(FLOOR(
+                                (r.value - e.lo) / ((e.hi - e.lo) / 10)),
+                                0), 9) AS INT) END AS bin,
+                       COUNT(*) AS n_ref
+                FROM refm r CROSS JOIN edges e GROUP BY 1
+            ), cm AS (
+                SELECT CAST(n_chars AS DOUBLE) AS value FROM documents
+                WHERE ({cond}) AND n_chars IS NOT NULL
+            ), cb AS (
+                SELECT CASE WHEN (e.hi - e.lo) / 10 <= 0 THEN 0
+                            ELSE CAST(LEAST(GREATEST(FLOOR(
+                                (c.value - e.lo) / ((e.hi - e.lo) / 10)),
+                                0), 9) AS INT) END AS bin,
+                       COUNT(*) AS n_cur
+                FROM cm c CROSS JOIN edges e GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                       COALESCE(n_ref, 0) AS n_ref,
+                       COALESCE(n_cur, 0) AS n_cur
+                FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+            ), t AS (
+                SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j
+            ), rc AS (
+                SELECT COALESCE(CAST(lang AS VARCHAR), ' __null__')
+                           AS value,
+                       COUNT(*) AS n_ref
+                FROM documents GROUP BY 1
+            ), cc AS (
+                SELECT COALESCE(CAST(lang AS VARCHAR), ' __null__')
+                           AS value,
+                       COUNT(*) AS n_cur
+                FROM documents WHERE ({cond}) GROUP BY 1
+            ), cj AS (
+                SELECT COALESCE(n_ref, 0) AS n_ref,
+                       COALESCE(n_cur, 0) AS n_cur
+                FROM rc FULL OUTER JOIN cc ON rc.value = cc.value
+            ), ct AS (
+                SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cj
+            )
+            SELECT 'n_chars' AS col_name,
+                   ROUND(SUM(
+                       (GREATEST(n_cur / t.tc, 1e-6)
+                        - GREATEST(n_ref / t.tr, 1e-6))
+                       * LN(GREATEST(n_cur / t.tc, 1e-6)
+                            / GREATEST(n_ref / t.tr, 1e-6))
+                   ), 6) AS psi
+            FROM j CROSS JOIN t
+            UNION ALL
+            SELECT 'lang',
+                   ROUND(SUM(
+                       (GREATEST(n_cur / ct.tc, 1e-6)
+                        - GREATEST(n_ref / ct.tr, 1e-6))
+                       * LN(GREATEST(n_cur / ct.tc, 1e-6)
+                            / GREATEST(n_ref / ct.tr, 1e-6))
+                   ), 6)
+            FROM cj CROSS JOIN ct
+        )""")
+    joined = " UNION ALL ".join(blocks)
+    return f"""
+        SELECT batch_id, col_name, psi FROM ({joined})
+        ORDER BY batch_id, col_name
+    """
+
+
+ORACLE["ext_stream_drift"] = _stream_drift_oracle_sql()
+
 
 # Luhn-validated CC redaction: same candidate regex, the Luhn lambda
 # with DuckDB's 1-BASED list_transform index (double on even i ↔

@@ -477,3 +477,65 @@ def stream_embedding_dedup_pairs(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def drift_monitor_committer(
+    reference: DataFrame,
+    monitor_dir: str,
+    cols: list[str],
+    bins: int = 10,
+):
+    """(batch_df, batch_id) function for a STREAMING drift monitor:
+    every micro-batch is PSI-scored against the frozen ``reference``
+    snapshot (operators/drift.py::drift_report — numeric columns via
+    histogram bins, string/date columns via categorical frequencies)
+    and the per-batch report appends to ONE snapshot table, ledgered
+    by batch_id for exactly-once. The 100 TB ingest guard: "did
+    today's files shift against the accepted baseline" becomes a
+    queryable table that alerting reads with plain SQL, instead of a
+    post-hoc batch job over the whole landing zone.
+
+    Single-table protocol: one ledgered commit per batch — the simple
+    end of the committer family (contrast dedup_index_committer's
+    two-table ordering). A replayed batch re-computes the identical
+    report (reference is frozen, the batch is the batch) and the
+    ledger skip keeps the table append-exactly-once.
+    """
+    from mitoscape_spark.operators.drift import drift_report
+    from mitoscape_spark.sources import snapshots as snap
+
+    _ledger = _commit_ledger
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _ledger(monitor_dir):
+            return
+        report = drift_report(reference, batch_df, cols, bins=bins).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "col_name",
+            "psi",
+        )
+        snap.commit(
+            report, monitor_dir, mode="append", meta={"batch_id": batch_id}
+        )
+
+    return commit_batch
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    monitor_dir: str,
+    checkpoint: str,
+    cols: list[str],
+    bins: int = 10,
+) -> StreamingQuery:
+    """Streaming drift-monitor service: data in, a growing
+    (batch_id, col_name, psi) report table out, exactly once."""
+    return (
+        stream.writeStream.foreachBatch(
+            drift_monitor_committer(reference, monitor_dir, cols, bins)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -959,6 +959,40 @@ def test_stream_dedup_pairs_service_exactly_once(spark, tmp_path):
     assert delta == want - old_pairs
 
 
+def test_drift_monitor_committer_exactly_once_and_matches_batch(
+    spark, tmp_path
+):
+    """Streaming drift monitor: per-batch PSI rows equal the batch
+    drift_report against the frozen reference, and a replayed batch_id
+    (Structured Streaming's at-least-once foreachBatch contract) must
+    NOT append a duplicate report — the ledger skips it."""
+    from mitoscape_spark.operators.drift import drift_report
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import drift_monitor_committer
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    monitor = str(tmp_path / "monitor")
+    commit = drift_monitor_committer(docs, monitor, ["lang", "n_chars"])
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    commit(b0, 0)
+    commit(b1, 1)
+    commit(b0, 0)  # replay — must be a no-op
+    rows = {
+        (r.batch_id, r.col_name): r.psi
+        for r in snap.read(spark, monitor).collect()
+    }
+    assert len(rows) == 4  # 2 batches x 2 cols, no duplicates
+    want0 = {
+        r.col_name: r.psi
+        for r in drift_report(docs, b0, ["lang", "n_chars"]).collect()
+    }
+    assert rows[(0, "lang")] == want0["lang"]
+    assert rows[(0, "n_chars")] == want0["n_chars"]
+
+
 def test_dedup_committer_crash_replay_converges_with_bucket_cap(
     spark, tmp_path
 ):
