@@ -479,6 +479,60 @@ def stream_embedding_dedup_pairs(
     )
 
 
+def forget_documents(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    doc_ids,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    index_key: str = "doc_id",
+) -> dict:
+    """Right-to-be-forgotten for a streaming dedup service's state:
+    remove ``doc_ids`` from BOTH tables — their LSH bands leave the
+    index (future batches can no longer pair against them) and every
+    pair touching them leaves the pairs table.
+
+    Scale asymmetry, deliberately: the INDEX (∝ corpus, the 100 TB
+    side) takes a deletion-vector delete — I/O proportional to the
+    forgotten keys, no rewrite; the PAIRS table (candidates only,
+    orders of magnitude smaller) takes a copy-on-write delete because
+    "either endpoint" is not expressible with the single-key DV
+    contract. Both deletes are snapshot commits: the pre-forget
+    versions remain for audit/time travel until ``vacuum``.
+
+    Operational contract (documented, not enforced): run against a
+    QUIESCED stream. A crash replay that time-travels to a pre-forget
+    index version (dedup_index_committer's as-of protocol) would see
+    the forgotten bands again. DV tombstones are key-scoped and
+    OUTLIVE later appends: a forgotten id that is re-fed stays
+    invisible to corpus probes until a compact/overwrite materializes
+    the deletes — i.e. forget bans the id, which is the semantics a
+    takedown wants.
+
+    ``doc_ids`` is a bounded iterable of ids (takedown sets are small;
+    the id list inlines into the delete predicates).
+    """
+    from mitoscape_spark.sources import snapshots as snap
+
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return {"index_keys_deleted": 0, "pair_rows_deleted": 0}
+    id_list = ", ".join(str(i) for i in ids)
+    _, n_idx = snap.delete_where_dv(
+        spark,
+        index_dir,
+        f"{index_key} IN ({id_list})",
+        key_col=index_key,
+    )
+    a, b = pair_cols
+    _, n_pairs = snap.delete_where(
+        spark,
+        pairs_dir,
+        f"{a} IN ({id_list}) OR {b} IN ({id_list})",
+    )
+    return {"index_keys_deleted": n_idx, "pair_rows_deleted": n_pairs}
+
+
 def drift_monitor_committer(
     reference: DataFrame,
     monitor_dir: str,

@@ -993,6 +993,54 @@ def test_drift_monitor_committer_exactly_once_and_matches_batch(
     assert rows[(0, "n_chars")] == want0["n_chars"]
 
 
+def test_forget_documents_removes_state_and_future_pairs(spark, tmp_path):
+    """forget_documents between batches: the forgotten doc's bands and
+    pairs vanish, the NEXT batch cannot pair against it, and the final
+    accumulated pairs equal from-scratch MinHash over
+    (batch0 \\ forgotten) ∪ batch1 — the exactness contract of the
+    service survives a takedown."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import (
+        dedup_index_committer,
+        forget_documents,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    commit = dedup_index_committer(idx, prs, max_bucket_size=None)
+    commit(b0, 0)
+
+    # forget a doc that actually participates in a batch-0 pair
+    first_pair = snap.read(spark, prs).head()
+    victim = int(first_pair.doc_a)
+    stats = forget_documents(spark, idx, prs, [victim])
+    assert stats["index_keys_deleted"] == 1
+    assert stats["pair_rows_deleted"] >= 1
+    assert (
+        snap.read(spark, idx).where(F.col("doc_id") == victim).count() == 0
+    )
+
+    commit(b1, 1)
+    got = {
+        (r.doc_a, r.doc_b) for r in snap.read(spark, prs).collect()
+    }
+    survivors = docs.where(F.col("doc_id") != victim)
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            minhash_signatures(survivors)
+        ).collect()
+    }
+    assert got == want and want
+    assert all(victim not in p for p in got)
+
+
 def test_dedup_committer_crash_replay_converges_with_bucket_cap(
     spark, tmp_path
 ):
