@@ -1041,6 +1041,51 @@ def test_forget_documents_removes_state_and_future_pairs(spark, tmp_path):
     assert all(victim not in p for p in got)
 
 
+def test_forget_documents_embedding_service_twin(spark, tmp_path):
+    """forget_documents parameterizes to the embedding service
+    (index_key=vec_id, pair_cols=id_a/id_b): forgotten vectors leave
+    the corpus via deletion vector, their pairs leave the pairs table,
+    and the next batch's accumulated pairs equal from-scratch
+    embedding_near_duplicates over the reduced corpus."""
+    from mitoscape_spark.operators.dedup import embedding_near_duplicates
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import (
+        embedding_dedup_committer,
+        forget_documents,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    b0 = emb.where(F.col("vec_id") < 300)
+    b1 = emb.where(F.col("vec_id") >= 300)
+    cor, prs = str(tmp_path / "cor"), str(tmp_path / "prs")
+    commit = embedding_dedup_committer(cor, prs, threshold=0.35)
+    commit(b0, 0)
+
+    victim = int(snap.read(spark, prs).head().id_a)
+    stats = forget_documents(
+        spark, cor, prs, [victim],
+        pair_cols=("id_a", "id_b"), index_key="vec_id",
+    )
+    assert stats["index_keys_deleted"] == 1
+    assert (
+        snap.read(spark, cor).where(F.col("vec_id") == victim).count() == 0
+    )
+
+    commit(b1, 1)
+    got = {
+        (r.id_a, r.id_b) for r in snap.read(spark, prs).collect()
+    }
+    survivors = emb.where(F.col("vec_id") != victim)
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            survivors, threshold=0.35
+        ).collect()
+    }
+    assert got == want and want
+    assert all(victim not in p for p in got)
+
+
 def test_dedup_committer_crash_replay_converges_with_bucket_cap(
     spark, tmp_path
 ):
