@@ -348,6 +348,27 @@ def cmd_drift(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_forget(args, spark: SparkSession) -> int:
+    """Takedown: remove document ids from a streaming dedup service's
+    persisted state (band/vector index + pairs table) — deletion-
+    vector on the corpus-scale index, copy-on-write on the pairs; the
+    ids stay banned until compaction (streaming/sinks.py::
+    forget_documents). Run against a quiesced stream."""
+    from mitoscape_spark.streaming.sinks import forget_documents
+
+    ids = [int(x) for x in args.ids.split(",")]
+    a, b = args.pair_cols.split(",")
+    stats = forget_documents(
+        spark, args.index, args.pairs, ids,
+        pair_cols=(a, b), index_key=args.index_key,
+    )
+    print(
+        f"forget: removed {stats['index_keys_deleted']} index keys, "
+        f"{stats['pair_rows_deleted']} pair rows"
+    )
+    return 0
+
+
 def cmd_hot_keys(args, spark: SparkSession) -> int:
     """Exact heavy hitters of a column (two-pass candidate/recount)."""
     from mitoscape_spark.operators.heavyhitters import exact_heavy_hitters
@@ -478,6 +499,18 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--from-version", type=int,
                     help="change-feed base version (changes)")
     tb.set_defaults(fn=cmd_table)
+
+    fg = sub.add_parser(
+        "forget",
+        help="takedown: remove doc ids from a dedup service's "
+        "index + pairs tables",
+    )
+    fg.add_argument("--index", required=True, help="band/vector index dir")
+    fg.add_argument("--pairs", required=True, help="pairs table dir")
+    fg.add_argument("--ids", required=True, help="comma-separated doc ids")
+    fg.add_argument("--index-key", default="doc_id")
+    fg.add_argument("--pair-cols", default="doc_a,doc_b")
+    fg.set_defaults(fn=cmd_forget)
 
     pp = sub.add_parser(
         "prep",

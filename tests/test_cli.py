@@ -300,6 +300,35 @@ def test_cli_prep_leakage_safe_without_skip_near_dedup_refuses(
         )
 
 
+def test_cli_forget_removes_service_state(spark, tmp_path):
+    """forget subcommand: ids leave the index (DV) and the pairs
+    table (CoW) via forget_documents."""
+    from pyspark.sql import functions as F
+
+    import mitoscape_spark.cli as cli
+    from mitoscape_spark.catalog import load_table
+    from mitoscape_spark.sources import snapshots as snap
+    from mitoscape_spark.streaming.sinks import dedup_index_committer
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    dedup_index_committer(idx, prs, max_bucket_size=None)(docs, 0)
+    victim = int(snap.read(spark, prs).head().doc_a)
+    rc = cli.main(
+        ["forget", "--index", idx, "--pairs", prs, "--ids", str(victim)],
+        spark=spark,
+    )
+    assert rc == 0
+    assert snap.read(spark, idx).where(
+        F.col("doc_id") == victim
+    ).count() == 0
+    assert snap.read(spark, prs).where(
+        (F.col("doc_a") == victim) | (F.col("doc_b") == victim)
+    ).count() == 0
+
+
 def test_cli_table_dv_and_changes(spark, tmp_path):
     import os
 
