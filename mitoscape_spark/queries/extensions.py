@@ -2538,8 +2538,12 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via sign-random-projection LSH.
 
-    Approximate ⇒ no SQL oracle; tests assert recall ≥ 0.6 vs the
-    brute-force baseline (tests/test_similarity.py).
+    ORACLE-checked (the one ANN entry that can be): the seeded
+    hyperplanes are data-independent constants, so the DuckDB oracle
+    embeds them as literals and re-derives every sign bit, bucket id,
+    the OR-of-tables candidate set, and the cosine top-k end-to-end
+    (see _ann_lsh_oracle_sql). Recall ≥ 0.6 vs brute force is
+    additionally pinned in tests/test_similarity.py.
     """
     from mitoscape_spark.operators.similarity import SignRandomProjectionLSH
 
@@ -6588,3 +6592,66 @@ ORACLE["ext_redact_cc"] = r"""
       ON j.doc_id = f.doc_id AND f.k = len(j.valid)
     ORDER BY j.doc_id
 """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB restatement of ext_ann_lsh — the one ANN family member
+    whose every parameter is data-INdependent: the sign-LSH hyperplanes
+    are pure functions of a seed (operators/similarity.py:343), so they
+    embed as SQL literals the way any operator constant would, and
+    DuckDB independently re-derives every sign bit, every bucket id
+    (for the corpus AND the query), the OR-of-tables candidate set, and
+    the final cosine top-k. Unlike IVF/PQ (k-means state = a function
+    of the data, so an oracle would have to embed numbers computed by
+    the system under test), this check is end-to-end independent.
+
+    Float caveat: sign(dot) could in principle disagree across engines
+    for a dot within ~1e-13 of zero; dots here are O(1)-scale sums of
+    64 standard-normal products, so the collision probability over the
+    ~32*(N+1) dots at sf0.01 is vanishingly small (and a flip would
+    fail the hash loudly, not silently)."""
+    from mitoscape_spark.operators.similarity import SignRandomProjectionLSH
+
+    lsh = SignRandomProjectionLSH(dim=64, n_planes=4, n_tables=8)
+    rows = []
+    for t in range(lsh.n_tables):
+        for p in range(lsh.n_planes):
+            lits = ", ".join(repr(float(x)) for x in lsh.planes[t, p])
+            rows.append(f"({t}, {1 << p}, CAST([{lits}] AS DOUBLE[]))")
+    values = ",\n            ".join(rows)
+    return f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        planes(t, bit, pl) AS (VALUES
+            {values}
+        ),
+        qb AS (
+            SELECT t, SUM(CASE WHEN list_dot_product(q.qv, pl) >= 0
+                               THEN bit ELSE 0 END) AS bucket
+            FROM planes, q GROUP BY t
+        ),
+        cb AS (
+            SELECT e.vec_id, planes.t,
+                   SUM(CASE WHEN list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]), pl) >= 0
+                       THEN bit ELSE 0 END) AS bucket
+            FROM embeddings e, planes
+            WHERE e.vec_id != 0
+            GROUP BY e.vec_id, planes.t
+        ),
+        cand AS (
+            SELECT DISTINCT cb.vec_id
+            FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+        )
+        SELECT e.vec_id AS id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        FROM cand, embeddings e, q
+        WHERE e.vec_id = cand.vec_id
+        ORDER BY cos DESC, id LIMIT 10
+    """
+
+
+ORACLE["ext_ann_lsh"] = _ann_lsh_oracle_sql()
