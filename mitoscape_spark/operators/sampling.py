@@ -274,3 +274,198 @@ def top_fraction_per_key(
         .where(F.col("_pr") <= fraction)
         .drop("_pr")
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    stratum_cols: list[str] | str,
+    id_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-quota stratified split: within each stratum, rank rows by
+    ``md5(salt || id)`` and cut at cumulative boundaries
+    ``k_j = floor(n_s · cum_j + 0.5)`` — so every (stratum, split) cell
+    gets its exact quota (``assign_splits``'s hash bands are only
+    binomially close, ±sqrt(n) per cell, and a skewed stratum inherits
+    the full error). The classic use: per-language / per-source
+    train-val-test cuts where an eval set must have EXACTLY its share
+    of every stratum.
+
+    100 TB design — the naive plan (``row_number`` over
+    ``partitionBy(stratum)``) serializes each stratum through ONE
+    reducer; this instead finds the k_j-th smallest hash per stratum by
+    distributed filter-and-refine order statistics:
+
+    1. one agg: per-stratum counts (tiny);
+    2. md5 prefixes are UNIFORM on [0, 16^13), so no quantile sketch is
+       needed: the k-th order statistic of n_s uniforms concentrates at
+       (k/n_s)·16^13 with rank fluctuation O(√n_s) (binomial), giving
+       an ANALYTIC boundary band per stratum. One filter collects only
+       the bands (O(√n_s) rows per boundary — ~10^6 ids at 10^11 rows,
+       driver-trivial) and one exact conditional agg counts the base
+       rank strictly below each band;
+    3. driver: exact k_j-th hash = (k_j − base)-th smallest inside the
+       tiny sorted band; thresholds broadcast back and assignment is a
+       map-side ``h <= T_j`` case expression — no shuffle of the data
+       itself, same scale shape as ``assign_splits``.
+
+    The 13-hex (52-bit, double-exact) numeric proxy is order-consistent
+    with the full hex string for ANY real cut point (equal-prefix
+    strings stay together on one side), so strict-< base counts and
+    in-band string sorting compose to the exact global order statistic.
+    If a band misses its target rank (>5σ fluctuation — ~never), it
+    retries 8× wider once, then fails loudly rather than mis-splitting.
+
+    Contract: ``id_col`` unique per row (duplicate ids share a hash and
+    move as one unit, so a quota landing mid-group shifts by the
+    duplicate count); fractions > 0 summing to <= 1 (short sums leave a
+    NULL-split holdout). Cumulative boundaries are rounded to 12
+    decimals so an engine restating them as plain literals (0.8, 0.9)
+    computes bit-identical cuts.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    strata = (
+        [stratum_cols] if isinstance(stratum_cols, str) else list(stratum_cols)
+    )
+    if not fractions:
+        raise ValueError("stratified_exact_split: empty fractions")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("stratified_exact_split: fractions must be > 0")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("stratified_exact_split: fractions sum to > 1")
+    names, cums = [], []
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum = round(cum + frac, 12)
+        names.append(name)
+        cums.append(1.0 if abs(cum - 1.0) < 1e-9 else cum)
+
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("__null_key__"))
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    hashed = df.withColumn("_h", F.md5(key)).withColumn(
+        "_hd", F.conv(F.substring("_h", 1, 13), 16, 10).cast("double")
+    )
+
+    _M = float(16**13)  # hd range; md5 prefixes are uniform on [0, _M)
+
+    counts = {
+        tuple(r[c] for c in strata): r["_n"]
+        for r in hashed.groupBy(*strata)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+
+    def _thresholds(widen: float):
+        # analytic bands: target rank k_j sits at p=k_j/n_s; the k-th
+        # order statistic of n uniforms has rank-stddev ~sqrt(n·p(1-p)),
+        # so ±5σ in p-space (+2/n slack for tiny strata) contains it
+        # with overwhelming probability
+        stats = {}
+        for skey, n_s in counts.items():
+            los, his = [], []
+            for c in cums:
+                k = n_s if c == 1.0 else int(math.floor(n_s * c + 0.5))
+                p = k / n_s if n_s else 0.0
+                delta = widen * (5.0 / math.sqrt(max(n_s, 1))) + 2.0 / max(
+                    n_s, 1
+                )
+                los.append(max(0.0, p - delta) * _M)
+                his.append(min(1.0, p + delta) * _M)
+            stats[skey] = (n_s, los, his)
+        # exact base rank below each band + the band members themselves,
+        # one conditional agg + one filtered collect (band-sized)
+        conds = []
+        cond_index: dict[tuple, int] = {}
+        for skey, (_n, los, his) in stats.items():
+            match = None
+            for c, v in zip(strata, skey):
+                eq = F.col(c).eqNullSafe(F.lit(v))
+                match = eq if match is None else (match & eq)
+            for j in range(len(cums)):
+                cond_index[(skey, j)] = len(conds)
+                conds.append((skey, j, match, los[j], his[j]))
+        base_aggs = [
+            F.sum(
+                (match & (F.col("_hd") < F.lit(lo))).cast("long")
+            ).alias(f"_b_{i}")
+            for i, (_s, _j, match, lo, hi) in enumerate(conds)
+        ]
+        base_row = hashed.agg(*base_aggs).first()
+        band_pred = None
+        for _s, _j, match, lo, hi in conds:
+            p = match & (F.col("_hd") >= F.lit(lo)) & (
+                F.col("_hd") <= F.lit(hi)
+            )
+            band_pred = p if band_pred is None else (band_pred | p)
+        band_rows = (
+            hashed.where(band_pred).select(*strata, "_h", "_hd").collect()
+        )
+        bands: dict[tuple, list] = {}
+        for r in band_rows:
+            bands.setdefault(tuple(r[c] for c in strata), []).append(r)
+        out: dict[tuple, list[str] | None] = {}
+        for skey, (n_s, los, his) in stats.items():
+            rows = bands.get(skey, [])
+            ts: list[str] = []
+            for j, c in enumerate(cums):
+                k = n_s if c == 1.0 else int(math.floor(n_s * c + 0.5))
+                if k <= 0:
+                    ts.append("")  # no 32-hex string sorts <= ""
+                    continue
+                if k >= n_s:
+                    ts.append("g")  # every hex string sorts < "g"
+                    continue
+                base = base_row[f"_b_{cond_index[(skey, j)]}"]
+                band = sorted(
+                    r["_h"]
+                    for r in rows
+                    if los[j] <= r["_hd"] <= his[j]
+                )
+                idx = k - base - 1
+                if 0 <= idx < len(band):
+                    ts.append(band[idx])
+                else:
+                    out[skey] = None  # retry signal
+                    break
+            else:
+                out[skey] = ts
+                continue
+        return out
+
+    thresholds = _thresholds(1.0)
+    if any(v is None for v in thresholds.values()):
+        thresholds = _thresholds(8.0)
+        if any(v is None for v in thresholds.values()):
+            raise RuntimeError(
+                "stratified_exact_split: boundary band missed its target "
+                "rank twice — uniform-hash concentration violated"
+            )
+
+    spark = df.sparkSession
+    t_cols = [f"_t_{j}" for j in range(len(cums))]
+    t_rows = [
+        tuple(list(skey) + ts) for skey, ts in thresholds.items()
+    ]
+    t_schema = ", ".join(
+        [f"`{c}` string" for c in strata] + [f"{t} string" for t in t_cols]
+    )
+    # strata values are read back as strings for the join key only when
+    # the source column is string; preserve original types by building
+    # the frame from the collected rows' native Python values instead
+    t_df = spark.createDataFrame(
+        t_rows, schema=strata + t_cols
+    ) if t_rows else spark.createDataFrame([], schema=t_schema)
+    expr: Column = F.lit(None).cast("string")
+    for name, tc in zip(reversed(names), reversed(t_cols)):
+        expr = F.when(F.col("_h") <= F.col(tc), name).otherwise(expr)
+    return (
+        hashed.join(F.broadcast(t_df), on=strata, how="left")
+        .withColumn(out_col, expr)
+        .drop("_h", "_hd", *t_cols)
+    )

@@ -231,6 +231,147 @@ def knn_join(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(qid, pred_label, votes): label each query vector by majority
+    vote of its exact k nearest labeled corpus neighbors (cosine) —
+    the kNN auto-labeler / weak-supervision step of embedding
+    pipelines (label a small eval/probe set from a labeled corpus, or
+    propagate scarce human labels onto new data).
+
+    Scale shape — small-queries × huge-corpus, NOT the self-join of
+    ``knn_join``: the query set (an eval suite, a probe batch) is
+    MB-scale against a 100 TB corpus, so queries pack into ONE
+    broadcast row and the corpus streams through in ``n_blocks``
+    id-hashed blocks; each task runs one numpy GEMM (queries × block)
+    and emits per-query partial top-k ids. Corpus blocks partition the
+    neighbor set, so the union of per-block top-k contains the global
+    top-k exactly; the rounding-margin band (cos ≥ round₆(kth) −
+    5.01e-7) plus the JVM re-score + deterministic (round-6 cos DESC,
+    nbr) rank make the result independent of numpy-vs-JVM summation
+    order — the identical exactness argument as ``knn_join``.
+    Candidate volume is ~n_blocks·k ids per query, never vectors.
+
+    Vote tie-break is deterministic: highest count, then smallest
+    label. Queries present in the corpus (same id) are self-masked.
+    """
+    from pyspark.sql import Window
+
+    from mitoscape_spark.operators.dedup import (
+        _auto_n_blocks,
+        _require_integral_id,
+    )
+
+    _require_integral_id(corpus, id_col, "knn_classify")
+    _require_integral_id(queries, id_col, "knn_classify")
+    if k < 1:
+        raise ValueError("knn_classify: k must be >= 1")
+    c = corpus.select(
+        F.col(id_col).alias("nbr"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).alias("label"),
+    ).where(F.col("v").isNotNull())
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).where(F.col("qv").isNotNull())
+    if n_blocks is None:
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+        ).first()
+        n_blocks = _auto_n_blocks((stats["n"] or 0) * (stats["d"] or 0) * 8)
+    # the whole query set as ONE packed row — eval-suite-sized by
+    # contract (documented), exactly like a broadcast dim table
+    q_packed = q.agg(
+        F.collect_list("qid").alias("qids"),
+        F.collect_list("qv").alias("qvecs"),
+    )
+    blocks = (
+        c.withColumn(
+            "block", F.pmod(F.col("nbr"), F.lit(n_blocks)).cast("int")
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("nbr").alias("ids_b"),
+            F.collect_list("v").alias("vecs_b"),
+        )
+    )
+    sc = corpus.sparkSession.sparkContext
+    n_tasks = max(1, min(n_blocks, 2 * sc.defaultParallelism))
+    pairs = blocks.join(F.broadcast(q_packed), F.lit(True)).repartition(
+        n_tasks
+    )
+
+    def partial_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_n = [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                mq = np.array([np.asarray(x) for x in row.qvecs])
+                mb = np.array([np.asarray(x) for x in row.vecs_b])
+                nq = np.maximum(np.linalg.norm(mq, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+                cos = (mq / nq[:, None]) @ (mb / nb[:, None]).T
+                # self-mask by id equality (a query that also sits in
+                # the corpus must not vote for itself); NaN, not -inf
+                # — same reasoning as knn_join
+                cos[qids[:, None] == ids_b[None, :]] = np.nan
+                n_valid = (~np.isnan(cos)).sum(axis=1)
+                kk = np.minimum(k, n_valid)
+                desc = -np.sort(-np.nan_to_num(cos, nan=-np.inf), axis=1)
+                keep_rows = kk > 0
+                kth = np.full(len(qids), np.inf)
+                kth[keep_rows] = desc[keep_rows, kk[keep_rows] - 1]
+                cut = np.round(kth, 6) - 5.01e-7
+                iq, ib = np.nonzero(cos >= cut[:, None])
+                out_q.append(qids[iq])
+                out_n.append(ids_b[ib])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q) if out_q else
+                    np.empty(0, dtype=np.int64),
+                    "nbr": np.concatenate(out_n) if out_n else
+                    np.empty(0, dtype=np.int64),
+                }
+            )
+
+    candidates = pairs.mapInPandas(partial_topk, schema="qid long, nbr long")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nbr"))
+    topk = (
+        candidates.join(q.withColumnRenamed("qv", "_qv"), "qid")
+        .join(c.withColumnRenamed("v", "_nv"), "nbr")
+        .select(
+            "qid",
+            "nbr",
+            "label",
+            F.round(cosine_similarity("_qv", "_nv"), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        topk.groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("_vr", F.row_number().over(wv))
+        .where(F.col("_vr") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "votes")
+    )
+
+
 def knn_join_ivf(
     embeddings: DataFrame,
     k: int = 10,

@@ -935,6 +935,25 @@ def ext_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN auto-labeling (operators/similarity.py::knn_classify):
+    every 10th vector plays an unlabeled probe set and receives the
+    majority label of its 10 exact nearest labeled neighbors — the
+    weak-supervision / label-propagation step of embedding pipelines.
+    Small-queries × huge-corpus shape: the probe set broadcasts as one
+    packed row, corpus blocks stream through a per-task GEMM. The
+    oracle brute-forces all query×corpus cosines, takes the same
+    deterministic (round-6 DESC, nbr) top-10 and the same
+    (votes DESC, label) vote tie-break — hash match proves the blocked
+    candidate selection AND the vote logic end-to-end."""
+    from mitoscape_spark.operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    probes = emb.where(F.col("vec_id") % 10 == 0)
+    return knn_classify(corpus, probes, k=10).orderBy("qid")
+
+
 def ext_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style dedup-grade text normalization
     (functions/textnorm.py::normalize_for_dedup): lowercase →
@@ -2759,6 +2778,34 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified train/val/test split
+    (operators/sampling.py::stratified_exact_split): within each lang
+    stratum, rank by md5(doc_id) and cut at floor(n·cum + 0.5) — every
+    (lang, split) cell gets its exact share, unlike hash-band splits
+    (binomial ±√n per cell). The engine finds each cut by distributed
+    filter-and-refine order statistics (uniform-hash analytic bands,
+    O(√n) band collect, map-side threshold assignment — no per-stratum
+    single-reducer window); the oracle IS that naive window ranking, so
+    the hash match proves the scalable path equals exact ranking.
+    sum(doc_id) pins the exact membership of every cell, not just its
+    size."""
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = stratified_exact_split(
+        docs, "lang", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def ext_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine-similar document pairs via the fitted ml feature
     pipeline + inverted-index join. Rows-only check (HashingTF's JVM
@@ -3900,6 +3947,8 @@ QUERIES = {
     "ext_textnorm": ext_textnorm,
     "ext_knn_join": ext_knn_join,
     "ext_knn_join_ivf": ext_knn_join_ivf,
+    "ext_knn_classify": ext_knn_classify,
+    "ext_stratified_split": ext_stratified_split,
     "ext_incremental_embedding": ext_incremental_embedding,
     "ext_stream_embedding_dedup": ext_stream_embedding_dedup,
     "ext_stream_text_dedup": ext_stream_text_dedup,
@@ -4289,6 +4338,60 @@ ORACLE = {
         )
         SELECT id, nbr, cos FROM ranked WHERE rk <= 5
         ORDER BY id, cos DESC, nbr
+    """,
+    "ext_knn_classify": """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), c AS (
+            SELECT vec_id AS nbr, label,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 10 != 0
+        ), scored AS (
+            SELECT qid, nbr, label,
+                   ROUND(list_cosine_similarity(cv, qv), 6) AS cos
+            FROM q, c WHERE qid <> nbr
+        ), ranked AS (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, nbr
+                   ) AS rk
+            FROM scored
+        ), votes AS (
+            SELECT qid, label, COUNT(*) AS votes
+            FROM ranked WHERE rk <= 10 GROUP BY qid, label
+        ), winner AS (
+            SELECT qid, label AS pred_label, votes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY votes DESC, label
+                   ) AS vr
+            FROM votes
+        )
+        SELECT qid, pred_label, votes FROM winner WHERE vr = 1
+        ORDER BY qid
+    """,
+    # the oracle IS the naive per-stratum window ranking the scalable
+    # filter-and-refine path exists to avoid — hash match proves the
+    # order-statistics machinery equals exact ranking
+    "ext_stratified_split": """
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS r,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        ), assigned AS (
+            SELECT lang, doc_id,
+                   CASE WHEN r <= FLOOR(n * 0.8 + 0.5) THEN 'train'
+                        WHEN r <= FLOOR(n * 0.9 + 0.5) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ranked
+        )
+        SELECT lang, split, COUNT(*) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM assigned GROUP BY lang, split ORDER BY lang, split
     """,
     # built from the module's own TEXTNORM_SQL constant — the single
     # source of truth the normalizer keeps adjacent to its Spark

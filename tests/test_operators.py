@@ -1610,3 +1610,58 @@ def test_winnow_shared_run_guarantee(spark):
         sets.setdefault(r.doc_id, set()).add(r.fp)
     assert sets[1] & sets[2]           # guarantee: quote is caught
     assert not (sets[1] & sets[3])     # and no phantom matches
+
+
+def test_knn_classify_matches_bruteforce_vote(spark):
+    """knn_classify (broadcast-queries × blocked-corpus GEMM) must
+    reproduce the brute-force top-k majority vote under the same
+    deterministic (round-6 cos DESC, nbr) rank and (votes DESC, label)
+    tie-break — including a query id that also exists in the corpus
+    (self-masked)."""
+    import numpy as np
+
+    from mitoscape_spark.operators.similarity import knn_classify
+
+    rng = np.random.default_rng(7)
+    cvecs = rng.normal(size=(60, 12))
+    labels = [int(i % 4) for i in range(60)]
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in v], labels[i])
+            for i, v in enumerate(cvecs)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # queries: 5 fresh vectors + one id colliding with corpus id 3
+    qvecs = rng.normal(size=(5, 12))
+    qrows = [(100 + i, [float(x) for x in v]) for i, v in enumerate(qvecs)]
+    qrows.append((3, [float(x) for x in cvecs[3]]))
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["qid"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(corpus, queries, k=7, n_blocks=5).collect()
+    }
+    cu = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
+    for qid, qv in qrows:
+        q = np.asarray(qv)
+        sims = np.round(cu @ (q / np.linalg.norm(q)), 6)
+        order = sorted(
+            (i for i in range(60) if i != qid),
+            key=lambda i: (-sims[i], i),
+        )[:7]
+        votes: dict[int, int] = {}
+        for i in order:
+            votes[labels[i]] = votes.get(labels[i], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[qid] == (pred[0], pred[1]), qid
+
+
+def test_knn_classify_validates_k(spark, emb):
+    import pytest
+
+    from mitoscape_spark.operators.similarity import knn_classify
+
+    with pytest.raises(ValueError, match="k must be"):
+        knn_classify(emb, emb, k=0)

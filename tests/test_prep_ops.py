@@ -295,3 +295,80 @@ def test_apply_changes_valid_ops_still_work(spark):
         (r.k, r.v) for r in apply_changes(target, changes, ["k"]).collect()
     }
     assert got == {(1, "a2"), (3, "c"), (4, "d")}
+
+
+# ------------------------------------------- stratified exact split
+def test_stratified_exact_split_matches_window_ranking(spark):
+    """The filter-and-refine order-statistics path must equal the naive
+    per-stratum window ranking row-for-row (same hash, same
+    floor(n·cum+0.5) boundary rule) — the exactness claim the oracle
+    also pins at the aggregate level."""
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, SF, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in stratified_exact_split(
+            docs, "lang", "doc_id", fr
+        ).collect()
+    }
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h)
+    ref = (
+        docs.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .withColumn(
+            "want",
+            F.when(
+                F.col("r") <= F.floor(F.col("n") * 0.8 + 0.5), "train"
+            )
+            .when(F.col("r") <= F.floor(F.col("n") * 0.9 + 0.5), "val")
+            .otherwise("test"),
+        )
+        .collect()
+    )
+    assert len(got) == len(ref)
+    for r in ref:
+        assert got[r["doc_id"]] == r["want"], r["doc_id"]
+
+
+def test_stratified_exact_split_exact_quotas_and_holdout(spark):
+    """Every (stratum, split) cell gets exactly floor(n·cum+0.5) −
+    floor(n·prev_cum+0.5) rows; fractions summing below 1 leave a NULL
+    holdout of exactly the remainder."""
+    import math
+
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, SF, "documents")
+    out = stratified_exact_split(
+        docs, ["lang", "source"], "doc_id", {"a": 0.5, "b": 0.25}
+    )
+    cells: dict = {}
+    for r in out.groupBy("lang", "source", "split").count().collect():
+        cells.setdefault((r["lang"], r["source"]), {})[r["split"]] = r[
+            "count"
+        ]
+    assert cells  # multi-column strata resolved
+    for key, per in cells.items():
+        n = sum(per.values())
+        ka = int(math.floor(n * 0.5 + 0.5))
+        kb = int(math.floor(n * 0.75 + 0.5)) - ka
+        assert per.get("a", 0) == ka, (key, per)
+        assert per.get("b", 0) == kb, (key, per)
+        assert per.get(None, 0) == n - ka - kb, (key, per)
+
+
+def test_stratified_exact_split_validates_fractions(spark):
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="sum to > 1"):
+        stratified_exact_split(docs, "lang", "doc_id", {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="must be > 0"):
+        stratified_exact_split(docs, "lang", "doc_id", {"a": 0.5, "b": 0.0})
+    with pytest.raises(ValueError, match="empty"):
+        stratified_exact_split(docs, "lang", "doc_id", {})
