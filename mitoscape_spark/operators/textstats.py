@@ -367,3 +367,45 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("r_stopwords")
         & F.col("r_repetition"),
     )
+
+
+def boilerplate_fractions(
+    docs: DataFrame, n: int = 3, min_docs: int = 3
+) -> DataFrame:
+    """Per-document CORPUS-level repetition: the fraction of a doc's
+    distinct n-token shingles that occur in ≥ ``min_docs`` documents
+    corpus-wide — the boilerplate/template signal (headers, footers,
+    navigation, license blurbs) that per-document repetition scores
+    (``repetition_scores``) structurally cannot see, and a standard
+    web-corpus quality filter next to the Gopher rules.
+
+    Plan: distinct (doc, shingle) pairs → one shuffle groups document
+    frequency per shingle → join back on shingle (co-partitioned with
+    the agg, so the Exchange is reused) → per-doc agg. Docs shorter
+    than ``n`` tokens have no shingles and are absent from the output
+    (callers treating absence as "no boilerplate" should left-join).
+
+    100 TB shape: both shuffles key on the shingle string; at extreme
+    corpus sizes swap in the long-id shingle dictionary trick used by
+    the Jaccard prefix join (operators/dedup.py) to shrink shuffle
+    width — kept as plain strings here so the DuckDB oracle recomputes
+    the identical keys.
+    """
+    from mitoscape_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n)  # distinct per doc by construction
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("df") >= min_docs).cast("long")
+            ).alias("n_common"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(F.col("n_common") / F.col("n_shingles"), 6),
+        )
+    )

@@ -215,6 +215,19 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs).orderBy("doc_id")
 
 
+def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate signal
+    (operators/textstats.py::boilerplate_fractions): per doc, the
+    fraction of its distinct 3-gram shingles occurring in ≥ 3 docs
+    corpus-wide — the template/header/footer filter that per-document
+    repetition (ext_repetition) structurally cannot see. One shingle
+    doc-frequency shuffle + a co-partitioned join back."""
+    from mitoscape_spark.operators.textstats import boilerplate_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_fractions(docs, n=3, min_docs=3).orderBy("doc_id")
+
+
 def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint set (MOSS scheme): min 3-gram hash per
     4-window — local-match document fingerprinting, all JVM HOFs."""
@@ -3974,6 +3987,7 @@ QUERIES = {
     "ext_lang_id": ext_lang_id,
     "ext_quality": ext_quality,
     "ext_repetition": ext_repetition,
+    "ext_boilerplate": ext_boilerplate,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
     "ext_winnow_pairs": ext_winnow_pairs,
@@ -5304,6 +5318,20 @@ ORACLE = {
         SELECT b.doc_id, b.dup_token_frac,
                ROUND(COALESCE(m.tbf, 0.0), 6) AS top_bigram_frac
         FROM base b LEFT JOIN bgm m USING (doc_id) ORDER BY b.doc_id
+    """,
+    "ext_boilerplate": f"""
+        WITH {_TOKS}, {_SHINGLES3},
+        dfreq AS (
+            SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common,
+               ROUND(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS boilerplate_frac
+        FROM sh s JOIN dfreq d USING (shingle)
+        GROUP BY s.doc_id ORDER BY s.doc_id
     """,
     "ext_fingerprint": f"""
         WITH {_TOKS},

@@ -1665,3 +1665,31 @@ def test_knn_classify_validates_k(spark, emb):
 
     with pytest.raises(ValueError, match="k must be"):
         knn_classify(emb, emb, k=0)
+
+
+def test_boilerplate_fractions_planted_template(spark):
+    """Docs sharing a planted template phrase score a positive
+    corpus-level boilerplate fraction; a fully-unique doc scores 0;
+    docs shorter than the shingle width are absent."""
+    from mitoscape_spark.operators.textstats import boilerplate_fractions
+
+    template = "copyright acme corp all rights reserved"
+    rows = [
+        (1, f"{template} alpha beta gamma delta"),
+        (2, f"{template} epsilon zeta eta theta"),
+        (3, f"{template} iota kappa lam mu"),
+        (4, "completely unique content with no shared phrasing at all"),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_fractions(docs, n=3, min_docs=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # doc 5: < 3 tokens, no shingles
+    # the template contributes 4 shared 3-gram shingles to each of 1-3
+    for d in (1, 2, 3):
+        assert got[d]["n_common"] == 4, got[d]
+        assert 0 < got[d]["boilerplate_frac"] < 1
+    assert got[4]["n_common"] == 0
+    assert got[4]["boilerplate_frac"] == 0.0
