@@ -3377,6 +3377,37 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py::k_core): the 3-core
+    of the sparsified co-purchase graph (parts sharing ≥ 2 orders) —
+    11 peel rounds to the fixpoint at this scale, every surviving node
+    keeping core-degree ≥ 3. The oracle unrolls 16 peel rounds as
+    MATERIALIZED CTEs (the same over-unrolling-safe scheme as
+    ext_pagerank/ext_communities: peeling is monotone, post-fixpoint
+    rounds are no-ops), so the hash match pins the entire iterative
+    computation, not just its shape."""
+    from mitoscape_spark.operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(edges, k=3, max_rounds=16).orderBy("id")
+
+
 def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequency heavy hitters (operators/heavyhitters.py): users
     with >= 80 events, via per-partition candidate generation (pigeonhole
@@ -3946,6 +3977,7 @@ QUERIES = {
     "ext_revenue_concentration": ext_revenue_concentration,
     "ext_copurchase_pairs": ext_copurchase_pairs,
     "ext_triangle_count": ext_triangle_count,
+    "ext_kcore": ext_kcore,
     "ext_table_changes": ext_table_changes,
     "ext_cluster_balance": ext_cluster_balance,
     "ext_cluster_balance_invariants": ext_cluster_balance_invariants,
@@ -6786,3 +6818,56 @@ def _ann_lsh_oracle_sql() -> str:
 
 
 ORACLE["ext_ann_lsh"] = _ann_lsh_oracle_sql()
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
+    """DuckDB restatement of ext_kcore: the peel loop unrolled as
+    ``rounds`` MATERIALIZED CTE pairs (keep_r = nodes with degree ≥ k
+    in e_{r-1}; e_r = edges with both endpoints kept). Over-unrolling
+    past the fixpoint is safe — peeling is monotone, so extra rounds
+    reproduce the same edge set verbatim (the LPA/PageRank unrolling
+    argument). MATERIALIZED stops DuckDB inlining the chain
+    exponentially."""
+    parts = [
+        """e0 AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT a.l_partkey AS u, b.l_partkey AS v,
+                       COUNT(*) AS w
+                FROM (SELECT DISTINCT l_orderkey, l_partkey
+                      FROM lineitem) a
+                JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                      FROM lineitem) b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ) WHERE w >= 2
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+            SELECT x FROM (
+                SELECT u AS x FROM e{p} UNION ALL SELECT v FROM e{p}
+            ) GROUP BY x HAVING COUNT(*) >= {k}
+        )"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{p} e
+            JOIN k{r} a ON e.u = a.x JOIN k{r} b ON e.v = b.x
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT x AS id, COUNT(*) AS core_degree FROM (
+            SELECT u AS x FROM e{rounds} UNION ALL
+            SELECT v FROM e{rounds}
+        ) GROUP BY x ORDER BY id
+    """
+    )
+
+
+ORACLE["ext_kcore"] = _kcore_oracle_sql()

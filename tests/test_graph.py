@@ -215,3 +215,41 @@ def test_shortest_hops_bounded_and_isolated_source(spark):
         for r in shortest_hops(edges, sources, max_hops=2).collect()
     }
     assert got == {(1, 0), (7, 0), (2, 1), (3, 2)}  # 4 is beyond the bound
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (the chain peels away over multiple rounds — depth > 1
+    exercises the iteration, not just one filter); edge direction and
+    duplicates must not matter."""
+    from itertools import combinations
+
+    from mitoscape_spark.operators.graph import k_core
+
+    clique = list(combinations([1, 2, 3, 4], 2))
+    chain = [(4, 5), (5, 6), (6, 7)]
+    # reversed duplicates + a self-loop: canonicalization under test
+    edges = spark.createDataFrame(
+        clique + chain + [(b, a) for a, b in clique] + [(3, 3)],
+        "src long, dst long",
+    )
+    got = {
+        (r.id, r.core_degree) for r in k_core(edges, k=3).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_k_core_empty_core_and_max_rounds(spark):
+    """A bare chain has an empty 2-core (everything peels); a chain
+    long enough to out-peel max_rounds must raise, never return a
+    non-fixpoint."""
+    import pytest
+
+    from mitoscape_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    assert k_core(chain, k=2).count() == 0
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(chain, k=2, max_rounds=2)
