@@ -146,11 +146,16 @@ def daily_gapfill(
     fill: str = "zero",
 ) -> DataFrame:
     """(key, day, total) over the FULL global date span per key —
-    missing days appear with ``fill='zero'`` → 0.0, or
+    missing days appear with ``fill='zero'`` → 0.0,
     ``fill='ffill'`` → the last observed day's total (locf; null until
-    a key's first observation)."""
-    if fill not in ("zero", "ffill"):
-        raise ValueError(f"fill must be zero|ffill, got {fill!r}")
+    a key's first observation), or ``fill='linear'`` → linear
+    interpolation between the surrounding observed days (the
+    TimescaleDB ``interpolate()`` semantics: null outside a key's
+    observed range, exact day-weighted blend inside — two window
+    passes over the tiny spine, no extra shuffle beyond the ffill
+    plan)."""
+    if fill not in ("zero", "ffill", "linear"):
+        raise ValueError(f"fill must be zero|ffill|linear, got {fill!r}")
     daily = daily_rollup(events, key_col, ts_col, value_col)
     bounds = events.agg(
         F.to_date(F.min(ts_col)).alias("_lo"),
@@ -170,13 +175,36 @@ def daily_gapfill(
         )
     from pyspark.sql import Window
 
-    w = (
+    wp = (
         Window.partitionBy("key")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if fill == "ffill":
+        return joined.select(
+            "key",
+            "day",
+            F.last("total", ignorenulls=True).over(wp).alias("total"),
+        )
+    wn = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("total").isNotNull(), F.col("day"))
+    pv = F.last("total", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wp)
+    nv = F.first("total", ignorenulls=True).over(wn)
+    nd = F.first(obs_day, ignorenulls=True).over(wn)
+    # missing day ⇒ strictly between two observations (or off an end,
+    # where a null endpoint nulls the whole expression — intended)
+    interp = pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(
+        nd, pd_
+    )
     return joined.select(
         "key",
         "day",
-        F.last("total", ignorenulls=True).over(w).alias("total"),
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .otherwise(F.round(interp, 4))
+        .alias("total"),
     )

@@ -1293,6 +1293,22 @@ def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR interpolation (TimescaleDB
+    ``interpolate()`` semantics): missing days blend the surrounding
+    observed days day-weighted; null outside a user's observed range.
+    Same spine/join plan as ext_gapfill plus two window passes over
+    the (tiny) filled series."""
+    from mitoscape_spark.operators.timeseries import daily_gapfill
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        daily_gapfill(events, fill="linear")
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "day")
+    )
+
+
 def ext_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: WAV payloads (generated distributed,
     deterministic per doc_id) → framed rFFT → log band energies via
@@ -4036,6 +4052,7 @@ QUERIES = {
     "ext_bpe_learned": ext_bpe_learned,
     "ext_bpe_first_merge": ext_bpe_first_merge,
     "ext_gapfill": ext_gapfill,
+    "ext_gapfill_linear": ext_gapfill_linear,
     "ext_audio_spectral": ext_audio_spectral,
     "ext_funnel": ext_funnel,
     "ext_funnel_windowed": ext_funnel_windowed,
@@ -5560,6 +5577,59 @@ ORACLE = {
         FROM spine s LEFT JOIN daily d
         ON s.user_id = d.user_id AND s.day = d.day
         ORDER BY s.user_id, s.day
+    """,
+    "ext_gapfill_linear": """
+        WITH bounds AS (
+            SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS lo,
+                   CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT u.user_id, CAST(g.d AS DATE) AS day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN bounds
+            CROSS JOIN UNNEST(generate_series(
+                CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS g(d)
+        ),
+        daily AS (
+            SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT s.user_id, s.day, d.total
+            FROM spine s LEFT JOIN daily d
+            ON s.user_id = d.user_id AND s.day = d.day
+        ),
+        x AS (
+            SELECT user_id, day, total,
+                   last_value(total IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN total IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   first_value(total IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN total IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM j
+        )
+        SELECT user_id, day,
+               CASE WHEN total IS NOT NULL THEN total
+                    ELSE ROUND(pv + (nv - pv)
+                               * date_diff('day', pd, day) * 1.0
+                               / date_diff('day', pd, nd), 4) END AS total
+        FROM x ORDER BY user_id, day
     """,
     "ext_funnel": """
         WITH e AS (

@@ -109,3 +109,28 @@ def test_ewma_raises_past_numeric_horizon(spark):
     # same span is fine at a slower decay (horizon ~6500 days)
     out = ewma_daily(df, decay=0.9).collect()
     assert all(r.ewma == r.ewma for r in out)  # no NaN
+
+
+def test_linear_interpolates_between_observations(spark):
+    """fill='linear': missing days blend the surrounding observations
+    day-weighted; outside a key's observed range stays null (the
+    TimescaleDB interpolate() contract)."""
+    ev = _ev(spark, [(1, 1, 10.0), (1, 4, 40.0), (2, 2, 8.0), (2, 3, 6.0)])
+    out = {
+        (r["key"], str(r["day"])): r["total"]
+        for r in daily_gapfill(ev, fill="linear").collect()
+    }
+    assert out[(1, "2024-01-01")] == 10.0
+    assert out[(1, "2024-01-02")] == 20.0  # 10 + (40-10)*1/3
+    assert out[(1, "2024-01-03")] == 30.0
+    assert out[(1, "2024-01-04")] == 40.0
+    assert out[(2, "2024-01-01")] is None  # before first obs
+    assert out[(2, "2024-01-04")] is None  # after last obs
+    assert out[(2, "2024-01-02")] == 8.0
+    assert out[(2, "2024-01-03")] == 6.0
+
+
+def test_gapfill_rejects_unknown_fill(spark):
+    ev = _ev(spark, [(1, 1, 1.0)])
+    with pytest.raises(ValueError, match="zero|ffill|linear"):
+        daily_gapfill(ev, fill="nearest")
