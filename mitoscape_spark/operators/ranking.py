@@ -1,0 +1,114 @@
+"""Distributed exact ranking + cross-group quantile normalization.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans a
+SINGLE-partition window — one task owns the whole table. ``global_rank``
+is the scalable exact replacement for non-unique sort keys (the
+unique-numeric case is ``operators/packing.py::global_row_number``):
+range-bucket the rows on approximate score boundaries, rank inside each
+bucket in parallel, and add the tiny exclusive per-bucket prefix counts.
+Bucket boundaries only steer balance — the final rank is exact for ANY
+boundary choice, so approx quantiles are safe here.
+
+``quantile_normalize`` is the batch-effect corrector every mixed-source
+corpus needs before a global score threshold: each group's score
+distribution maps onto the POOLED distribution (replace a score by the
+pooled order statistic at the score's within-group percent_rank) — a
+quality cutoff then means the same thing for every source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    out_col: str = "rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact 1-based global rank under ``(score, id)`` order (dense in
+    rows, not values — every row gets a distinct rank; ``id_col`` is
+    the deterministic tiebreak and must be unique).
+
+    Two-phase: ``n_buckets`` range buckets from approx score quantiles
+    (ties share a bucket — the composite order resolves them inside
+    one window partition), per-bucket counts collect to the driver
+    (n_buckets rows), and rank = exclusive bucket prefix + in-bucket
+    ``row_number``. The only serialized state is the boundary list; at
+    100 TB raise ``n_buckets`` ∝ cluster width.
+    """
+    from pyspark.sql import Window
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        df.agg(
+            F.percentile_approx(score_col, fracs, 10_000).alias("_b")
+        ).first()["_b"]
+        or []
+    )
+    # dedupe boundaries (heavy ties collapse buckets — harmless)
+    bounds = sorted({float(b) for b in bounds if b is not None})
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(score_col) >= F.lit(b)).cast("int")
+    bucketed = df.withColumn("_bk", bucket)
+    counts = {
+        r["_bk"]: r["_n"]
+        for r in bucketed.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(bk), int(off)) for bk, off in offsets.items()],
+        "_bk int, _off long",
+    )
+    w = Window.partitionBy("_bk").orderBy(score_col, id_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "_bk")
+        .withColumn(out_col, F.col("_off") + F.row_number().over(w))
+        .drop("_bk", "_off")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    out_col: str = "norm_score",
+) -> DataFrame:
+    """Map each group's score distribution onto the pooled distribution:
+    a row at within-group percent_rank ``pr`` receives the pooled order
+    statistic at rank ``floor(pr·(N−1)) + 1`` (lower interpolation —
+    exactly restatable in SQL, hence oracle-checkable). Ties and the
+    single-row-group edge follow the engines' shared percent_rank
+    definition ((rank−1)/(n−1), 0 for n=1 — deterministic under the
+    (score, id) tiebreak).
+
+    Plan: one pooled ``global_rank`` (bucketed, parallel) builds the
+    rank→value lookup; one per-group window computes pr (groups
+    partition the shuffle); one equi-join on the computed rank fetches
+    the normalized value. Nothing global ever sits in one task.
+    """
+    from pyspark.sql import Window
+
+    n_total = df.count()
+    lookup = global_rank(df, score_col, id_col, out_col="_r").select(
+        "_r", F.col(score_col).cast("double").alias(out_col)
+    )
+    wg = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    target = df.withColumn(
+        "_r",
+        (
+            F.floor(F.percent_rank().over(wg) * F.lit(n_total - 1)) + 1
+        ).cast("long"),
+    )
+    return target.join(lookup, "_r").drop("_r")

@@ -215,6 +215,29 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs).orderBy("doc_id")
 
 
+def ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (operators/ranking.py::quantile_normalize): each source's n_chars
+    distribution maps onto the pooled distribution (pooled order
+    statistic at the within-source percent_rank, lower interpolation)
+    — the batch-effect correction that makes one global quality
+    threshold mean the same thing for every source. The pooled ranking
+    runs through global_rank's bucketed two-phase plan (no
+    single-partition window); the oracle restates it with the naive
+    global ROW_NUMBER, so the hash match proves the distributed
+    ranking exact."""
+    from mitoscape_spark.operators.ranking import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        quantile_normalize(docs, "n_chars", "source", "doc_id")
+        .select("doc_id", "source", "n_chars", "norm_score")
+        .orderBy("doc_id")
+    )
+
+
 def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate signal
     (operators/textstats.py::boilerplate_fractions): per doc, the
@@ -4036,6 +4059,7 @@ QUERIES = {
     "ext_quality": ext_quality,
     "ext_repetition": ext_repetition,
     "ext_boilerplate": ext_boilerplate,
+    "ext_quantile_norm": ext_quantile_norm,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
     "ext_winnow_pairs": ext_winnow_pairs,
@@ -5367,6 +5391,24 @@ ORACLE = {
         SELECT b.doc_id, b.dup_token_frac,
                ROUND(COALESCE(m.tbf, 0.0), 6) AS top_bigram_frac
         FROM base b LEFT JOIN bgm m USING (doc_id) ORDER BY b.doc_id
+    """,
+    "ext_quantile_norm": """
+        WITH pooled AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r,
+                   CAST(n_chars AS DOUBLE) AS v
+            FROM documents
+        ), pr AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(FLOOR(
+                       PERCENT_RANK() OVER (
+                           PARTITION BY source ORDER BY n_chars, doc_id
+                       ) * (SELECT COUNT(*) - 1 FROM documents)
+                   ) AS BIGINT) + 1 AS k
+            FROM documents
+        )
+        SELECT p.doc_id, p.source, p.n_chars, l.v AS norm_score
+        FROM pr p JOIN pooled l ON p.k = l.r
+        ORDER BY p.doc_id
     """,
     "ext_boilerplate": f"""
         WITH {_TOKS}, {_SHINGLES3},
