@@ -469,3 +469,70 @@ def stratified_exact_split(
         .withColumn(out_col, expr)
         .drop("_h", "_hd", *t_cols)
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis one-pass scheme: each row draws a uniform
+    u ∈ (0, 1] from ``md5(salt || id)`` and ranks by the key
+    ``ln(u) / w`` (the monotone log of u^(1/w)); the top-k keys ARE a
+    weighted sample without replacement. The importance-sampling
+    primitive for quality-weighted corpus selection: P(row in sample)
+    rises with weight, no row repeats, and — unlike ``DataFrame.sample``
+    — the same rows are chosen on every run, engine, and partitioning.
+
+    Per ``group_col`` (one window shuffle, groups partition the work)
+    or global (``TakeOrdered`` top-k, no full sort). Rows with NULL or
+    non-positive weight are excluded (zero weight = never sampled, and
+    ln(u)/0 is undefined — documented contract, mirrored by oracles).
+
+    Cross-engine note: ``ln`` may differ in the last ulp between JVM
+    and DuckDB libms; two keys would have to collide within ~1e-16 for
+    a rank to flip (P ≈ n²·1e-16 — the sign-LSH class of negligible),
+    and the key itself is never emitted.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_without_replacement: k >= 1")
+    u = (
+        F.conv(
+            F.substring(_full_hash(id_col, salt), 1, 13), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4503599627370497.0)  # (0, 1]; 16^13 + 1
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_wk", F.log(u) / F.col(weight_col))
+    if group_col is None:
+        return (
+            keyed.orderBy(F.col("_wk").desc(), F.col(id_col))
+            .limit(k)
+            .drop("_wk")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_wk").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_wk", "_rk")
+    )
+
+
+def _full_hash(key_col: str, salt: str) -> Column:
+    """Full 32-hex md5 of (salt || key) with the same NULL-sentinel
+    contract as ``_hash_prefix``."""
+    key = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("__null_key__")
+    )
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.md5(key)

@@ -215,6 +215,26 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs).orderBy("doc_id")
 
 
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample_without_replacement):
+    10 docs per source, inclusion probability rising with n_chars —
+    the Efraimidis–Spirakis ln(u)/w key with u drawn from md5(doc_id),
+    so the sample is identical on every run, engine, and partitioning.
+    The oracle recomputes the identical keys (the hex-prefix integer
+    conversion is bit-exact cross-engine) and the same top-k."""
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return weighted_sample_without_replacement(
+        docs, "n_chars", k=10, id_col="doc_id", group_col="source"
+    ).orderBy("source", "doc_id")
+
+
 def ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization
     (operators/ranking.py::quantile_normalize): each source's n_chars
@@ -4060,6 +4080,7 @@ QUERIES = {
     "ext_repetition": ext_repetition,
     "ext_boilerplate": ext_boilerplate,
     "ext_quantile_norm": ext_quantile_norm,
+    "ext_weighted_sample": ext_weighted_sample,
     "ext_fingerprint": ext_fingerprint,
     "ext_winnow_fingerprint": ext_winnow_fingerprint,
     "ext_winnow_pairs": ext_winnow_pairs,
@@ -5391,6 +5412,21 @@ ORACLE = {
         SELECT b.doc_id, b.dup_token_frac,
                ROUND(COALESCE(m.tbf, 0.0), 6) AS top_bigram_frac
         FROM base b LEFT JOIN bgm m USING (doc_id) ORDER BY b.doc_id
+    """,
+    "ext_weighted_sample": """
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                        )::BIGINT + 1.0) / 4503599627370497.0)
+                   / n_chars AS wk
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT source, doc_id, n_chars FROM keyed
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY wk DESC, doc_id
+        ) <= 10
+        ORDER BY source, doc_id
     """,
     "ext_quantile_norm": """
         WITH pooled AS (

@@ -372,3 +372,57 @@ def test_stratified_exact_split_validates_fractions(spark):
         stratified_exact_split(docs, "lang", "doc_id", {"a": 0.5, "b": 0.0})
     with pytest.raises(ValueError, match="empty"):
         stratified_exact_split(docs, "lang", "doc_id", {})
+
+
+# ------------------------------------- weighted sampling (ES scheme)
+def test_weighted_sample_biased_deterministic_no_replacement(spark):
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    # 50 heavy rows (w=200) vs 150 light rows (w=1)
+    rows = [(i, 200.0 if i < 50 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [
+        r["id"]
+        for r in weighted_sample_without_replacement(
+            df, "w", k=40, id_col="id"
+        ).collect()
+    ]
+    assert len(got) == len(set(got)) == 40  # without replacement
+    heavy = sum(1 for i in got if i < 50)
+    # heavy rows are 25% of the population but ~99% of the mass;
+    # any sane draw puts well over half the sample on them
+    assert heavy > 25, heavy
+    again = [
+        r["id"]
+        for r in weighted_sample_without_replacement(
+            df, "w", k=40, id_col="id"
+        ).collect()
+    ]
+    assert got == again  # deterministic
+
+
+def test_weighted_sample_grouped_and_excludes_nonpositive(spark):
+    import pytest
+
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [("a", i, float(i % 5)) for i in range(20)] + [
+        ("b", 100 + i, 1.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = weighted_sample_without_replacement(
+        df, "w", k=5, id_col="id", group_col="g"
+    ).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 5
+    assert sorted(by_g["b"]) == [100, 101, 102]  # fewer rows than k
+    # w=0 rows (i % 5 == 0) can never be sampled
+    assert all(i % 5 != 0 for i in by_g["a"])
+    with pytest.raises(ValueError, match="k >= 1"):
+        weighted_sample_without_replacement(df, "w", k=0, id_col="id")
