@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.operators.orderstats import running_prefix
+
 EPS = 1e-6
 
 
@@ -378,4 +380,68 @@ def _drift_report_grouped_numeric(
         .where(F.col("_tr2").isNotNull() & F.col("_tc2").isNotNull())
         .groupBy(group_col, "col_name")
         .agg(F.round(F.sum("_term"), digits).alias("psi"))
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
+    distributions of rows where ``side_col`` equals ``side_a`` vs
+    ``side_b``: D = sup_v |F_a(v) − F_b(v)|, evaluated exactly at every
+    observed value. PSI (above) needs binning and an epsilon; KS is the
+    binning-free companion — exact, threshold-free, and sensitive to
+    shape changes PSI's coarse histogram can smear out.
+
+    Plan shape: one scan reduces both sides to per-distinct-value
+    counts (one hash agg), the two empirical CDFs come from
+    ``orderstats.running_prefix`` (two-phase — NO single-partition
+    global window), and the sup is a 1-row final agg. Scales with
+    distinct-value cardinality, not row count.
+
+    Returns one row: (ks_d, n_a, n_b), ks_d rounded to 6 dp — the CDF
+    divisions are exact-integer / exact-integer in IEEE doubles, so
+    both engines compute identical values and the hash matches.
+    """
+    sides = df.where(
+        F.col(side_col).isin(side_a, side_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("_v"),
+        (F.col(side_col) == side_a).cast("long").alias("_a"),
+        (F.col(side_col) == side_b).cast("long").alias("_b"),
+    )
+    per_value = sides.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
+    )
+    cdf = running_prefix(
+        per_value,
+        "_v",
+        {"_fa": ("_ca", "sum"), "_fb": ("_cb", "sum")},
+        n_buckets=n_buckets,
+    )
+    totals = sides.agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))  # 1-row stats join
+        .select(
+            (F.col("_fa") / F.col("_na"))
+            .alias("_Fa"),
+            (F.col("_fb") / F.col("_nb")).alias("_Fb"),
+            "_na",
+            "_nb",
+        )
+        .agg(
+            F.round(F.max(F.abs(F.col("_Fa") - F.col("_Fb"))), 6).alias(
+                "ks_d"
+            ),
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+        )
     )

@@ -1,0 +1,122 @@
+"""Two-phase running aggregates over a GLOBAL order, without the
+single-partition window.
+
+``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY plans one window
+partition — a single task owns the whole table, the classic 100 TB
+bottleneck (same failure mode as ``packing.py``'s prefix sum, which
+handles the integral-unique-key special case). ``running_prefix`` is
+the general form for ANY ordering key with one row per distinct key:
+
+1. range-bucket the keys on approximate quantile boundaries (boundary
+   quality only steers balance — correctness holds for any split);
+2. combine each bucket to one row (sum / min per tracked column);
+3. exclusive-scan the tiny bucket table on the driver (n_buckets
+   values — the only serialized state, exactly like
+   ``ranking.py::global_rank``);
+4. broadcast the per-bucket base back and finish with a within-bucket
+   window — bounded partitions, full parallelism.
+
+Callers pre-aggregate to one row per key (a groupBy they need anyway);
+``skyline_2d`` and ``drift.ks_statistic`` both ride on this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KINDS = ("sum", "min")
+
+
+def running_prefix(
+    df: DataFrame,
+    order_col: str,
+    specs: dict[str, tuple[str, str]],
+    n_buckets: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Add running-aggregate columns over the global ascending order of
+    ``order_col``. ``specs`` maps each output column to
+    ``(input_col, kind)`` with kind in {"sum", "min"}.
+
+    Contract: ``df`` has ONE row per distinct ``order_col`` value
+    (pre-aggregate first) — within-key order would otherwise be
+    ambiguous. ``strict=True`` aggregates strictly-preceding keys only
+    (current row excluded); a strict prefix with no preceding rows is
+    NULL for both kinds (sum of nothing stays NULL here on purpose —
+    callers distinguish "empty prefix" from "prefix sums to 0").
+    """
+    for out, (_, kind) in specs.items():
+        if kind not in _KINDS:
+            raise ValueError(f"running_prefix: kind {kind!r} for {out!r}")
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        df.agg(
+            F.percentile_approx(order_col, fracs, 10_000).alias("_b")
+        ).first()["_b"]
+        or []
+    )
+    bounds = sorted({float(b) for b in bounds if b is not None})
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) >= F.lit(b)).cast("int")
+    bucketed = df.withColumn("_bk", bucket)
+
+    combined = bucketed.groupBy("_bk").agg(
+        *[
+            (F.sum(src) if kind == "sum" else F.min(src)).alias(out)
+            for out, (src, kind) in specs.items()
+        ]
+    )
+    # n_buckets rows — the deliberate, bounded driver state
+    rows = {r["_bk"]: r for r in combined.collect()}
+    base_rows, acc = [], {out: None for out in specs}
+    for bk in sorted(rows):
+        base_rows.append((int(bk),) + tuple(acc[out] for out in specs))
+        r = rows[bk]
+        for out, (_, kind) in specs.items():
+            v = r[out]
+            if v is None:
+                continue
+            if acc[out] is None:
+                acc[out] = v
+            elif kind == "sum":
+                acc[out] = acc[out] + v
+            else:
+                acc[out] = min(acc[out], v)
+
+    spark = df.sparkSession
+    base_schema = ", ".join(
+        ["_bk int"] + [f"_base_{out} double" for out in specs]
+    )
+    base_df = spark.createDataFrame(
+        [
+            (bk,) + tuple(None if v is None else float(v) for v in vals)
+            for bk, *vals in base_rows
+        ],
+        base_schema,
+    )
+
+    end = -1 if strict else 0
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out_df = bucketed.join(F.broadcast(base_df), "_bk")
+    for out, (src, kind) in specs.items():
+        local = (F.sum(src) if kind == "sum" else F.min(src)).over(w)
+        base = F.col(f"_base_{out}")
+        if kind == "sum":
+            merged = (
+                F.when(local.isNull() & base.isNull(), F.lit(None))
+                .otherwise(
+                    F.coalesce(local, F.lit(0.0))
+                    + F.coalesce(base, F.lit(0.0))
+                )
+            )
+        else:
+            merged = F.least(local, base)  # least skips NULLs
+        out_df = out_df.withColumn(out, merged)
+    return out_df.drop("_bk", *[f"_base_{out}" for out in specs])

@@ -7019,3 +7019,66 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
 
 
 ORACLE["ext_kcore"] = _kcore_oracle_sql()
+
+
+def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Pareto frontier of parts minimizing (retail price,
+    size) jointly — the multi-objective "best tradeoffs" query. The
+    distributed sweep (operators/skyline) replaces the oracle's O(n²)
+    NOT-EXISTS anti-join with groupBy + two-phase running-min; no
+    single-partition window, no quadratic pair space."""
+    from mitoscape_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    ).orderBy("p_partkey")
+
+
+def ext_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: exact two-sample Kolmogorov–Smirnov distance between
+    the click and purchase `value` distributions — the binning-free
+    companion to ext_drift_psi. CDFs via the two-phase prefix sum;
+    cost scales with distinct-value cardinality, not rows."""
+    from mitoscape_spark.operators.drift import ks_statistic
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_statistic(events, "value", "event_type", "click", "purchase")
+
+
+QUERIES["ext_skyline"] = ext_skyline
+QUERIES["ext_drift_ks"] = ext_drift_ks
+
+ORACLE["ext_skyline"] = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    ORDER BY p_partkey
+"""
+
+ORACLE["ext_drift_ks"] = """
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), g AS (
+        SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY v
+    ), c AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+               SUM(cb) OVER (ORDER BY v) AS fb
+        FROM g
+    ), t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM s)
+    SELECT ROUND(MAX(ABS(fa * 1.0 / na - fb * 1.0 / nb)), 6) AS ks_d,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM c, t GROUP BY na, nb
+"""

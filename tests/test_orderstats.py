@@ -1,0 +1,146 @@
+"""running_prefix / skyline_2d / ks_statistic vs brute-force locals."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mitoscape_spark.operators.drift import ks_statistic
+from mitoscape_spark.operators.orderstats import running_prefix
+from mitoscape_spark.operators.skyline import skyline_2d
+
+
+def _prefix_local(rows, strict, kind):
+    # rows: sorted [(k, v)]; returns {k: prefix}
+    out, acc = {}, []
+    for k, v in rows:
+        vals = acc if strict else acc + [v]
+        vals = [x for x in vals if x is not None]
+        if not vals:
+            out[k] = None
+        elif kind == "sum":
+            out[k] = sum(vals)
+        else:
+            out[k] = min(vals)
+        acc.append(v)
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("kind", ["sum", "min"])
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
+def test_running_prefix_matches_local(spark, strict, kind, n_buckets):
+    rng = random.Random(7)
+    rows = [(float(k), float(rng.randint(-50, 50))) for k in range(200)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k double, v double").repartition(8)
+    got = {
+        r["k"]: r["p"]
+        for r in running_prefix(
+            df, "k", {"p": ("v", kind)}, n_buckets=n_buckets,
+            strict=strict,
+        ).collect()
+    }
+    want = _prefix_local(sorted(rows), strict, kind)
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_running_prefix_two_columns_at_once(spark):
+    rows = [(1.0, 5.0, 2.0), (2.0, 1.0, 9.0), (3.0, 4.0, 1.0)]
+    df = spark.createDataFrame(rows, "k double, a double, b double")
+    got = {
+        r["k"]: (r["sa"], r["mb"])
+        for r in running_prefix(
+            df, "k", {"sa": ("a", "sum"), "mb": ("b", "min")}
+        ).collect()
+    }
+    assert got == {1.0: (5.0, 2.0), 2.0: (6.0, 2.0), 3.0: (10.0, 1.0)}
+
+
+def test_running_prefix_rejects_bad_kind(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "k double, v double")
+    with pytest.raises(ValueError):
+        running_prefix(df, "k", {"p": ("v", "avg")})
+
+
+def _skyline_local(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in pts
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_skyline_2d_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    pts = [
+        (rng.randint(0, 30) * 1.0, rng.randint(0, 30)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "x double, y int").repartition(8)
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    assert got == _skyline_local(pts)
+
+
+def test_skyline_keeps_duplicate_frontier_points(spark):
+    pts = [(1.0, 5), (1.0, 5), (2.0, 3), (3.0, 3), (0.5, 9)]
+    df = spark.createDataFrame(pts, "x double, y int")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    # (3.0, 3) is dominated by (2.0, 3); both (1.0, 5) copies survive
+    assert got == [(0.5, 9), (1.0, 5), (1.0, 5), (2.0, 3)]
+
+
+def test_skyline_ignores_null_coordinates(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 0), (0.5, None)], "x double, y int"
+    )
+    got = [(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()]
+    assert got == [(1.0, 1)]
+
+
+def _ks_local(a, b):
+    values = sorted(set(a) | set(b))
+    best = 0.0
+    for v in values:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+@pytest.mark.parametrize("shift", [0.0, 2.5])
+def test_ks_statistic_matches_bruteforce(spark, shift):
+    rng = random.Random(11)
+    a = [round(rng.gauss(0, 1), 2) for _ in range(400)]
+    b = [round(rng.gauss(shift, 1), 2) for _ in range(300)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "side string, v double").repartition(8)
+    row = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+    assert row["n_a"] == 400 and row["n_b"] == 300
+    assert row["ks_d"] == pytest.approx(_ks_local(a, b), abs=1e-6)
+    if shift:
+        assert row["ks_d"] > 0.5  # a 2.5σ shift is unmistakable
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [("a", float(i % 10)) for i in range(100)] + [
+        ("b", float(i % 10)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "side string, v double")
+    assert ks_statistic(df, "v", "side", "a", "b").collect()[0][
+        "ks_d"
+    ] == pytest.approx(0.0, abs=1e-12)
