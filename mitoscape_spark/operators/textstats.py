@@ -409,3 +409,64 @@ def boilerplate_fractions(
             F.round(F.col("n_common") / F.col("n_shingles"), 6),
         )
     )
+
+
+def token_group_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group characteristic vocabulary: pointwise mutual information
+    between token and group, PMI(t, g) = ln( P(t,g) / (P(t)·P(g)) ) —
+    the domain-signature statistic (which tokens over-index in THIS
+    source vs the corpus). Returns the ``top_k`` tokens per group by
+    PMI (ties broken by token), with counts and PMI rounded to 6 dp.
+
+    Plan shape: one token explode feeds ONE (token, group) hash agg;
+    token marginals re-aggregate that (already-small) table — the raw
+    token stream is shuffled exactly once; group marginals and the
+    grand total are tiny broadcast stats joins. The ranking window
+    partitions by group — bounded by per-group distinct vocabulary,
+    never a global sort.
+
+    Cross-engine determinism: the PMI ratio is computed as
+    (double(c_tg)·double(N)) / (double(c_t)·double(c_g)) — two IEEE
+    multiplies and one divide on exact integers, bit-identical in
+    DuckDB; ranking uses the ratio (not its log), and ln() only feeds
+    the ROUND(…, 6)-ed display value.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    c_tg = toks.groupBy("tok", "grp").agg(
+        F.count(F.lit(1)).alias("c_tg")
+    )
+    c_t = c_tg.groupBy("tok").agg(F.sum("c_tg").alias("c_t"))
+    c_g = c_tg.groupBy("grp").agg(F.sum("c_tg").alias("c_g"))
+    total = c_tg.agg(F.sum("c_tg").alias("n_total"))
+
+    ratio = (
+        F.col("c_tg").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("c_t").cast("double") * F.col("c_g").cast("double"))
+    w = Window.partitionBy("grp").orderBy(
+        F.col("_ratio").desc(), F.col("tok")
+    )
+    return (
+        c_tg.join(c_t, "tok")
+        .join(F.broadcast(c_g), "grp")
+        .crossJoin(F.broadcast(total))  # 1-row stats join
+        .withColumn("_ratio", ratio)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "tok",
+            F.col("c_tg").cast("long").alias("n_tok_grp"),
+            F.round(F.log("_ratio"), 6).alias("pmi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -7082,3 +7082,51 @@ ORACLE["ext_drift_ks"] = """
            CAST(nb AS BIGINT) AS n_b
     FROM c, t GROUP BY na, nb
 """
+
+
+def ext_pmi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-source characteristic vocabulary — top-5 tokens by
+    token↔source PMI. One explode shuffle; marginals re-aggregate the
+    (token, source) table; broadcast stats joins; per-group window."""
+    from mitoscape_spark.operators.textstats import token_group_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_group_pmi(docs, "text", "source", top_k=5).orderBy(
+        "source", "rank"
+    )
+
+
+QUERIES["ext_pmi_tokens"] = ext_pmi_tokens
+
+ORACLE["ext_pmi_tokens"] = """
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), c_tg AS (
+        SELECT tok, grp, COUNT(*) AS c_tg FROM toks GROUP BY tok, grp
+    ), c_t AS (
+        SELECT tok, SUM(c_tg) AS c_t FROM c_tg GROUP BY tok
+    ), c_g AS (
+        SELECT grp, SUM(c_tg) AS c_g FROM c_tg GROUP BY grp
+    ), tot AS (
+        SELECT SUM(c_tg) AS n_total FROM c_tg
+    ), scored AS (
+        SELECT g.grp, g.tok, g.c_tg,
+               (CAST(g.c_tg AS DOUBLE) * CAST(tot.n_total AS DOUBLE))
+               / (CAST(t.c_t AS DOUBLE) * CAST(s.c_g AS DOUBLE))
+               AS ratio
+        FROM c_tg g
+        JOIN c_t t USING (tok)
+        JOIN c_g s USING (grp), tot
+    )
+    SELECT grp AS source, tok,
+           CAST(c_tg AS BIGINT) AS n_tok_grp,
+           ROUND(LN(ratio), 6) AS pmi,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY ratio DESC, tok
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY source, rank
+"""
