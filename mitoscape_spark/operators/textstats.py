@@ -470,3 +470,43 @@ def token_group_pmi(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Least-squares fit of the corpus rank–frequency law: slope and
+    intercept of ln(freq) ~ ln(rank) over the vocabulary (Zipf's law
+    predicts slope ≈ −1; a much flatter slope is a classic symptom of
+    templated/duplicated corpora, a steeper one of tiny vocabularies).
+
+    Plan shape: one explode → token hash agg builds the vocabulary
+    (corpus-bounded, far smaller than the token stream); exact ranks
+    come from ``ranking.global_rank`` (two-phase — no single-partition
+    window even for billion-token vocabularies); the fit itself is one
+    covar/var aggregate. Output rounds to 4 dp — the aggregate sums
+    floats, and 4 dp absorbs both engines' summation-order jitter.
+    """
+    from mitoscape_spark.operators.ranking import global_rank
+
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(text_col), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_rank(
+        vocab.withColumn("_neg", -F.col("freq").cast("double")),
+        score_col="_neg",
+        id_col="tok",
+        out_col="rnk",
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+    )

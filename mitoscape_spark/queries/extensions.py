@@ -7130,3 +7130,39 @@ ORACLE["ext_pmi_tokens"] = """
     QUALIFY rank <= 5
     ORDER BY source, rank
 """
+
+
+def ext_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: corpus Zipf fit — ln(freq) ~ ln(rank) slope/intercept
+    over the vocabulary; ranks from the two-phase global_rank."""
+    from mitoscape_spark.operators.textstats import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs)
+
+
+QUERIES["ext_zipf_slope"] = ext_zipf_slope
+
+ORACLE["ext_zipf_slope"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), v AS (
+        SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+    ), r AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (
+                   ORDER BY -CAST(freq AS DOUBLE), tok
+               ) AS rnk
+        FROM v
+    ), l AS (
+        SELECT LN(CAST(rnk AS DOUBLE)) AS x,
+               LN(CAST(freq AS DOUBLE)) AS y
+        FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(COVAR_POP(x, y) / VAR_POP(x), 4) AS slope,
+           ROUND(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x), 4)
+               AS intercept
+    FROM l
+"""
