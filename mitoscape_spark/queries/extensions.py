@@ -7166,3 +7166,73 @@ ORACLE["ext_zipf_slope"] = """
                AS intercept
     FROM l
 """
+
+
+def ext_dp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: privacy-bounded per-nation revenue release —
+    per-customer contribution capping (clamp 100k) + seeded
+    deterministic Laplace(clamp/eps) noise, eps = 1. Same shuffles as
+    the non-private aggregate; the noise is a scalar projection."""
+    from mitoscape_spark.operators.privacy import dp_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey")
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    return dp_sum(
+        j,
+        group_col="nation",
+        value_col="o_totalprice",
+        contributor_col="o_custkey",
+        clamp=100_000.0,
+        epsilon=1.0,
+        salt="dp",
+    ).orderBy("nation")
+
+
+QUERIES["ext_dp_revenue"] = ext_dp_revenue
+
+ORACLE["ext_dp_revenue"] = """
+    WITH j AS (
+        SELECT n.n_name AS nation, o.o_custkey AS cust,
+               LEAST(GREATEST(CAST(o.o_totalprice AS DOUBLE), 0.0),
+                     100000.0) AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice IS NOT NULL
+    ), pc AS (
+        SELECT nation, cust, LEAST(SUM(v), 100000.0) AS part
+        FROM j GROUP BY nation, cust
+    ), g AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_contributors,
+               SUM(part) AS t
+        FROM pc GROUP BY nation
+    ), seeded AS (
+        SELECT *,
+               (('0x' || substr(md5('dp' || nation), 1, 13))::BIGINT
+                + 1.0) / 4503599627370497.0 AS u
+        FROM g
+    )
+    SELECT nation, n_contributors,
+           ROUND(t + (-100000.0) * SIGN(u - 0.5)
+                     * LN(1 - 2 * ABS(u - 0.5)), 2) AS noisy_sum
+    FROM seeded
+    ORDER BY nation
+"""
