@@ -7236,3 +7236,72 @@ ORACLE["ext_dp_revenue"] = """
     FROM seeded
     ORDER BY nation
 """
+
+
+def ext_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: portable Bloom runtime-filter audit — build a 4032-bit
+    filter over high-value order keys (selective dim predicate), probe
+    every lineitem row map-side, and report pass/true/false-positive
+    counts. The oracle recomputes the EXACT same filter bit-for-bit
+    (md5 positions, 63-bit words), so the false positives themselves
+    are hash-checked."""
+    from mitoscape_spark.operators.bloom import bloom_join_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return bloom_join_stats(
+        orders.where(F.col("o_totalprice") > 490000),
+        "o_orderkey",
+        lineitem,
+        "l_orderkey",
+    )
+
+
+QUERIES["ext_bloom_join"] = ext_bloom_join
+
+ORACLE["ext_bloom_join"] = """
+    WITH bk AS (
+        SELECT DISTINCT o_orderkey AS key
+        FROM orders WHERE o_totalprice > 490000
+    ), pos AS (
+        SELECT key,
+               (('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                     || CAST(key AS VARCHAR)), 1, 13)
+                )::BIGINT) % 4032 AS p
+        FROM bk, (SELECT unnest(range(3)) AS i)
+    ), words AS (
+        SELECT p // 63 AS w,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS mask
+        FROM pos GROUP BY 1
+    ), pk AS (
+        SELECT DISTINCT l_orderkey AS key
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), ppos AS (
+        SELECT key,
+               (('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                     || CAST(key AS VARCHAR)), 1, 13)
+                )::BIGINT) % 4032 AS p
+        FROM pk, (SELECT unnest(range(3)) AS i)
+    ), kpass AS (
+        SELECT pp.key,
+               (COUNT(*) FILTER (
+                   WHERE (w.mask
+                          & (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0
+               ) = 3) AS pass
+        FROM ppos pp LEFT JOIN words w ON pp.p // 63 = w.w
+        GROUP BY pp.key
+    ), audit AS (
+        SELECT kp.pass, (b.key IS NOT NULL) AS hit
+        FROM lineitem l
+        JOIN kpass kp ON l.l_orderkey = kp.key
+        LEFT JOIN bk b ON l.l_orderkey = b.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM audit
+"""
