@@ -510,3 +510,79 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(slope, 4).alias("slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
     )
+
+
+def novelty_fractions(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document marginal novelty in corpus (doc_id) order: the
+    fraction of a doc's distinct n-token shingles whose corpus-FIRST
+    occurrence (minimum doc_id) is this document. The ingest-curve
+    statistic dedup pipelines watch — novelty collapsing toward zero
+    means the crawl is re-reading itself and the marginal document buys
+    nothing; the mirror of ``boilerplate_fractions`` (which scores how
+    COMMON a doc's shingles are, not WHO minted them).
+
+    Plan: distinct (doc, shingle) pairs → min(doc_id) per shingle (one
+    shuffle on shingle) → join back on shingle (Exchange reuse, same
+    shape as boilerplate_fractions) → per-doc agg. Docs shorter than
+    ``n`` tokens have no shingles and are absent.
+    """
+    from mitoscape_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n)  # distinct per doc by construction
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.avg(
+                    (F.col("_first") == F.col("doc_id")).cast("double")
+                ),
+                6,
+            ).alias("novel_frac"),
+        )
+    )
+
+
+def heaps_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law V(n) ≈ K·n^β): for each
+    document in corpus (doc_id) order, the cumulative token count and
+    cumulative distinct vocabulary up to and including it. Zipf's
+    cousin (``zipf_fit``) describes the frequency law; this one answers
+    the scaling question — is the vocabulary still growing, or has the
+    crawl saturated?
+
+    Plan: one explode feeds (a) per-doc token counts and (b) per-token
+    first-occurrence doc (min doc_id); "new vocabulary minted per doc"
+    re-aggregates (b). Both cumulative sums run through
+    ``orderstats.running_prefix`` — two-phase, no single-partition
+    global window at any corpus size.
+    """
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("_fd"))
+    minted = first.groupBy(F.col("_fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    joined = per_doc.join(minted, "doc_id", "left").select(
+        "doc_id",
+        "_n",
+        F.coalesce("_v", F.lit(0)).alias("_v"),
+    )
+    return running_prefix(
+        joined,
+        "doc_id",
+        {"_ct": ("_n", "sum"), "_cv": ("_v", "sum")},
+    ).select(
+        "doc_id",
+        F.col("_ct").cast("long").alias("cum_tokens"),
+        F.col("_cv").cast("long").alias("cum_vocab"),
+    )

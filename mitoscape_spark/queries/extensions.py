@@ -7305,3 +7305,65 @@ ORACLE["ext_bloom_join"] = """
                 AS BIGINT) AS n_false_pos
     FROM audit
 """
+
+
+def ext_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-document marginal novelty — fraction of a doc's
+    distinct 3-shingles first minted by that doc (corpus doc_id order).
+    Same two-shuffle shape as ext_boilerplate; the ingest-freshness
+    curve dedup pipelines monitor."""
+    from mitoscape_spark.operators.textstats import novelty_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_fractions(docs, n=3).orderBy("doc_id")
+
+
+QUERIES["ext_novelty"] = ext_novelty
+
+ORACLE["ext_novelty"] = f"""
+    WITH {_TOKS}, {_SHINGLES3},
+    first AS (
+        SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(AVG(CASE WHEN f.fd = s.doc_id
+                          THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+    FROM sh s JOIN first f USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""
+
+
+def ext_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Heaps-law vocabulary growth — cumulative tokens vs
+    cumulative distinct vocabulary in doc_id order; cumulative sums via
+    the two-phase prefix primitive (no global-window bottleneck)."""
+    from mitoscape_spark.operators.textstats import heaps_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_curve(docs).orderBy("doc_id")
+
+
+QUERIES["ext_heaps_curve"] = ext_heaps_curve
+
+ORACLE["ext_heaps_curve"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), pd AS (
+        SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), ft AS (
+        SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok
+    ), nw AS (
+        SELECT fd AS doc_id, COUNT(*) AS v FROM ft GROUP BY fd
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n) OVER (ORDER BY p.doc_id) AS BIGINT)
+               AS cum_tokens,
+           CAST(SUM(COALESCE(w.v, 0)) OVER (ORDER BY p.doc_id)
+                AS BIGINT) AS cum_vocab
+    FROM pd p LEFT JOIN nw w USING (doc_id)
+    ORDER BY p.doc_id
+"""
