@@ -7367,3 +7367,77 @@ ORACLE["ext_heaps_curve"] = """
     FROM pd p LEFT JOIN nw w USING (doc_id)
     ORDER BY p.doc_id
 """
+
+
+def ext_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Count-Min sketch (1024×4) over lineitem part keys,
+    probed for every 100th part — true count vs sketch estimate side
+    by side. The oracle recomputes the sketch cell-for-cell, so the
+    hash check pins the collision behavior, not just the API."""
+    from mitoscape_spark.operators.countmin import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sketch = countmin_build(lineitem, "l_partkey", width=1024, depth=4)
+    probes = part.where(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey")
+    )
+    est = countmin_estimate(
+        sketch, probes, "p_partkey", width=1024, depth=4
+    )
+    truth = (
+        lineitem.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return (
+        est.join(truth, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            F.coalesce("true_count", F.lit(0))
+            .cast("long")
+            .alias("true_count"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+QUERIES["ext_countmin"] = ext_countmin
+
+ORACLE["ext_countmin"] = """
+    WITH keys AS (
+        SELECT l_partkey AS key FROM lineitem
+        WHERE l_partkey IS NOT NULL
+    ), cells AS (
+        SELECT d,
+               CAST((('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                      || CAST(key AS VARCHAR)), 1, 13))::BIGINT
+                     % 1024) AS INT) AS pos,
+               COUNT(*) AS c
+        FROM keys, (SELECT unnest(range(4)) AS d)
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT p_partkey AS key FROM part WHERE p_partkey % 100 = 0
+    ), pcell AS (
+        SELECT p.key, d.d,
+               CAST((('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                      || CAST(p.key AS VARCHAR)), 1, 13))::BIGINT
+                     % 1024) AS INT) AS pos
+        FROM probes p, (SELECT unnest(range(4)) AS d) d
+    ), est AS (
+        SELECT pc.key, MIN(COALESCE(c.c, 0)) AS cms_est
+        FROM pcell pc
+        LEFT JOIN cells c ON pc.d = c.d AND pc.pos = c.pos
+        GROUP BY pc.key
+    ), truth AS (
+        SELECT key, COUNT(*) AS true_count FROM keys GROUP BY key
+    )
+    SELECT e.key AS p_partkey,
+           CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM est e LEFT JOIN truth t ON e.key = t.key
+    ORDER BY p_partkey
+"""
