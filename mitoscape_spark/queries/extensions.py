@@ -7441,3 +7441,87 @@ ORACLE["ext_countmin"] = """
     FROM est e LEFT JOIN truth t ON e.key = t.key
     ORDER BY p_partkey
 """
+
+
+def ext_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: end-to-end retrieval evaluation — exact top-10 cosine
+    kNN runs over the embeddings scored against same-label qrels with
+    P@10 / MRR / nDCG@10 macro-averages (trec_eval contract; queries
+    with no relevant doc excluded)."""
+    from mitoscape_spark.operators.retrieval_eval import (
+        retrieval_metrics,
+    )
+    from mitoscape_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    runs = knn_join(emb, k=10).select(
+        F.col("id").alias("qid"),
+        F.col("nbr").alias("did"),
+        F.col("cos").alias("score"),
+    )
+    e = emb.select("vec_id", "label")
+    qrels = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.label") == F.col("b.label"))
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("did"),
+        )
+    )
+    return retrieval_metrics(runs, qrels, k=10)
+
+
+QUERIES["ext_retrieval_eval"] = ext_retrieval_eval
+
+ORACLE["ext_retrieval_eval"] = """
+    WITH pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT id AS qid, nbr AS did, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY cos DESC, nbr
+               ) AS rk
+        FROM pairs
+    ), top AS (
+        SELECT qid, did, rk FROM ranked WHERE rk <= 10
+    ), rel AS (
+        SELECT a.vec_id AS qid, b.vec_id AS did
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), flagged AS (
+        SELECT t.qid, t.rk, (r.did IS NOT NULL) AS is_rel
+        FROM top t
+        LEFT JOIN rel r ON t.qid = r.qid AND t.did = r.did
+    ), perq AS (
+        SELECT qid,
+               SUM(CASE WHEN is_rel THEN 1.0 ELSE 0.0 END) / 10.0
+                   AS p,
+               COALESCE(MAX(CASE WHEN is_rel THEN 1.0 / rk END), 0.0)
+                   AS mrr,
+               SUM(CASE WHEN is_rel THEN 1.0 / log2(rk + 1)
+                        ELSE 0.0 END) AS dcg
+        FROM flagged GROUP BY qid
+    ), nrel AS (
+        SELECT qid, COUNT(*) AS r FROM rel GROUP BY qid
+    ), idcg AS (
+        SELECT n.qid, SUM(1.0 / log2(i + 1)) AS idcg
+        FROM nrel n, UNNEST(range(1, LEAST(n.r, 10) + 1)) AS t(i)
+        GROUP BY n.qid
+    ), scored AS (
+        SELECT p.qid, p.p, p.mrr, p.dcg / i.idcg AS ndcg
+        FROM perq p
+        JOIN nrel USING (qid)
+        JOIN idcg i USING (qid)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(p), 6) AS p_at_k,
+           ROUND(AVG(mrr), 6) AS mrr,
+           ROUND(AVG(ndcg), 6) AS ndcg
+    FROM scored
+"""
