@@ -445,3 +445,76 @@ def ks_statistic(
             F.max("_nb").cast("long").alias("n_b"),
         )
     )
+
+
+def wasserstein_distance(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between the two sides'
+    ``value_col`` distributions: W1 = ∫ |F_a(v) − F_b(v)| dv — the
+    integral companion of ``ks_statistic``'s sup. KS answers "how far
+    apart at the worst point"; W1 answers "how much probability mass
+    must move, and how far" in the VALUE's units — the drift number you
+    can compare against a business tolerance (e.g. "mean shift worth
+    $3.20 per event").
+
+    Same plan as KS (per-distinct-value counts → two-phase prefix
+    CDFs); the integral adds one lead() window *within the already
+    materialized distinct-value table* for the gap to the next value,
+    partitioned by the same range buckets — still no global window.
+    Exactness note: W1 over an empirical distribution is a finite sum
+    of |F_a−F_b|·gap terms; both factors are exact-integer ratios and
+    value differences, so cross-engine agreement is at double
+    precision and the 6 dp rounding is cosmetic.
+    """
+    sides = df.where(
+        F.col(side_col).isin(side_a, side_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        (F.col(side_col) == side_a).cast("long").alias("_a"),
+        (F.col(side_col) == side_b).cast("long").alias("_b"),
+    )
+    per_value = sides.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"), F.sum("_b").alias("_cb")
+    )
+    cdf = running_prefix(
+        per_value,
+        "_v",
+        {"_fa": ("_ca", "sum"), "_fb": ("_cb", "sum")},
+        n_buckets=n_buckets,
+    )
+    totals = sides.agg(
+        F.sum("_a").alias("_na"), F.sum("_b").alias("_nb")
+    )
+    # the integral needs each value's gap to the NEXT distinct value —
+    # a global-order lead(). Expressed without a global window: the
+    # strict prefix-min of _v over DESCENDING value order (= ascending
+    # -_v) is exactly "smallest value strictly greater than mine",
+    # which is one more running_prefix pass over the same tiny table.
+    rev = running_prefix(
+        cdf.withColumn("_nv", -F.col("_v")),
+        "_nv",
+        {"_pm": ("_v", "min")},
+        n_buckets=n_buckets,
+        strict=True,
+    )
+    return (
+        rev.crossJoin(F.broadcast(totals))  # 1-row stats join
+        .where(F.col("_pm").isNotNull())  # last value: no gap term
+        .select(
+            (
+                F.abs(
+                    F.col("_fa") / F.col("_na")
+                    - F.col("_fb") / F.col("_nb")
+                )
+                * (F.col("_pm") - F.col("_v"))
+            ).alias("_term")
+        )
+        .agg(F.round(F.sum("_term"), 6).alias("w1"))
+    )

@@ -7525,3 +7525,41 @@ ORACLE["ext_retrieval_eval"] = """
            ROUND(AVG(ndcg), 6) AS ndcg
     FROM scored
 """
+
+
+def ext_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: earth-mover (W1) distance between the click and
+    purchase value distributions — the integral companion of
+    ext_drift_ks, in the value's own units. CDFs and the next-value
+    gap both ride the two-phase prefix primitive."""
+    from mitoscape_spark.operators.drift import wasserstein_distance
+
+    events = load_table(spark, sf_dir, "events")
+    return wasserstein_distance(
+        events, "value", "event_type", "click", "purchase"
+    )
+
+
+QUERIES["ext_drift_wasserstein"] = ext_drift_wasserstein
+
+ORACLE["ext_drift_wasserstein"] = """
+    WITH s AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), g AS (
+        SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY v
+    ), c AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS fa,
+               SUM(cb) OVER (ORDER BY v) AS fb,
+               LEAD(v) OVER (ORDER BY v) AS nv
+        FROM g
+    ), t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM s)
+    SELECT ROUND(SUM(ABS(fa * 1.0 / na - fb * 1.0 / nb)
+                     * (nv - v)), 6) AS w1
+    FROM c, t
+    WHERE nv IS NOT NULL
+"""

@@ -144,3 +144,48 @@ def test_ks_identical_samples_is_zero(spark):
     assert ks_statistic(df, "v", "side", "a", "b").collect()[0][
         "ks_d"
     ] == pytest.approx(0.0, abs=1e-12)
+
+
+def _w1_local(a, b):
+    values = sorted(set(a) | set(b))
+    total = 0.0
+    for v, nv in zip(values, values[1:]):
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        total += abs(fa - fb) * (nv - v)
+    return total
+
+
+def test_wasserstein_matches_bruteforce(spark):
+    from mitoscape_spark.operators.drift import wasserstein_distance
+
+    rng = random.Random(23)
+    a = [round(rng.uniform(0, 10), 2) for _ in range(300)]
+    b = [round(rng.uniform(2, 12), 2) for _ in range(200)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "side string, v double").repartition(8)
+    got = wasserstein_distance(df, "v", "side", "a", "b").collect()[0]["w1"]
+    assert got == pytest.approx(_w1_local(a, b), abs=1e-6)
+    # uniform(0,10) vs uniform(2,12): W1 converges to the 2.0 shift
+    assert 1.5 < got < 2.5
+
+
+def test_wasserstein_identical_is_zero(spark):
+    from mitoscape_spark.operators.drift import wasserstein_distance
+
+    rows = [("a", float(i)) for i in range(50)] + [
+        ("b", float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "side string, v double")
+    got = wasserstein_distance(df, "v", "side", "a", "b").collect()[0]["w1"]
+    assert got == pytest.approx(0.0, abs=1e-12)
+
+
+def test_wasserstein_pure_shift_equals_shift(spark):
+    from mitoscape_spark.operators.drift import wasserstein_distance
+
+    a = [float(i) for i in range(100)]
+    rows = [("a", v) for v in a] + [("b", v + 5.0) for v in a]
+    df = spark.createDataFrame(rows, "side string, v double")
+    got = wasserstein_distance(df, "v", "side", "a", "b").collect()[0]["w1"]
+    assert got == pytest.approx(5.0, abs=1e-9)
