@@ -7563,3 +7563,79 @@ ORACLE["ext_drift_wasserstein"] = """
     FROM c, t
     WHERE nv IS NOT NULL
 """
+
+
+def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: portable HyperLogLog distinct count of order keys in
+    lineitem (p=8, ±6.5% expected) next to the exact answer. Register
+    ranks are hex-string arithmetic — no floor(log2()) libm edge — so
+    the DuckDB oracle recomputes every register bit-for-bit."""
+    from mitoscape_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_registers(lineitem, "l_orderkey", p=8), p=8)
+    truth = lineitem.where(F.col("l_orderkey").isNotNull()).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("true_distinct")
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_distinct",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["ext_hll_distinct"] = ext_hll_distinct
+
+ORACLE["ext_hll_distinct"] = """
+    WITH h AS (
+        SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), pre AS (
+        SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS register,
+               substr(hx, 3, 13) AS hex,
+               ltrim(substr(hx, 3, 13), '0') AS stripped
+        FROM h
+    ), ranked AS (
+        SELECT register,
+               CASE WHEN stripped = '' THEN 53
+                    ELSE (LENGTH(hex) - LENGTH(stripped)) * 4
+                         + CASE WHEN SUBSTRING(stripped, 1, 1) = '1'
+                                    THEN 3
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('2', '3') THEN 2
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rk
+        FROM pre
+    ), regs AS (
+        SELECT register, MAX(rk) AS max_rank FROM ranked
+        GROUP BY register
+    ), agg AS (
+        SELECT SUM(POWER(2.0, -max_rank)) AS s, COUNT(*) AS n
+        FROM regs
+    ), est AS (
+        SELECT CASE
+            WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                  / (s + (256 - n))) <= 640.0 AND (256 - n) > 0
+            THEN 256.0 * LN(256.0 / (256 - n))
+            ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 / (s + (256 - n)) END AS raw
+        FROM agg
+    ), t AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS true_distinct
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    )
+    SELECT CAST(t.true_distinct AS BIGINT) AS true_distinct,
+           ROUND(e.raw, 4) AS hll_est,
+           ROUND(ABS(ROUND(e.raw, 4) - t.true_distinct)
+                 / t.true_distinct, 4) AS rel_err
+    FROM est e, t
+"""
