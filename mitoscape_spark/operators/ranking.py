@@ -112,3 +112,42 @@ def quantile_normalize(
         ).cast("long"),
     )
     return target.join(lookup, "_r").drop("_r")
+
+
+def global_ntile(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int,
+    out_col: str = "bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact k-quantile bucket (1..k) under global ``(score, id)``
+    ascending order — the scalable stand-in for the single-partition
+    ``NTILE(k) OVER (ORDER BY ...)``. Bucket boundary contract is
+    ``floor((rank-1)·k/n) + 1`` (even spread; differs from SQL NTILE's
+    big-buckets-first fill when n % k != 0 — deterministic and stated
+    so oracles restate it verbatim). Ranks come from ``global_rank``;
+    n is a 1-row broadcast stats join.
+    """
+    if k < 1:
+        raise ValueError("global_ntile: k >= 1")
+    ranked = global_rank(
+        df, score_col, id_col, out_col="_rnk", n_buckets=n_buckets
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))  # 1-row stats join
+        .withColumn(
+            out_col,
+            (
+                F.floor(
+                    (F.col("_rnk") - 1)
+                    * F.lit(float(k))
+                    / F.col("_n")
+                )
+                + 1
+            ).cast("int"),
+        )
+        .drop("_rnk", "_n")
+    )

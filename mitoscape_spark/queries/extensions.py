@@ -7639,3 +7639,88 @@ ORACLE["ext_hll_distinct"] = """
                  / t.true_distinct, 4) AS rel_err
     FROM est e, t
 """
+
+
+def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: RFM customer segmentation — recency / frequency /
+    monetary quintile scores per customer, rolled up to segment counts
+    and average revenue. Each quintile is a two-phase ``global_ntile``
+    (never a single-partition NTILE window); the even-spread bucket
+    contract floor((rank-1)·5/n)+1 is restated verbatim in the
+    oracle."""
+    from mitoscape_spark.operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    # revenue in integer CENTS: sums/averages/rank order stay exact
+    # integers, immune to cross-engine float-summation order and to
+    # ROUND-at-a-half-boundary implementation differences
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(cents).alias("_rev"),
+    )
+    # ascending score = better rank first: negate so "most recent /
+    # most frequent / highest revenue" gets bucket 1
+    scored = cust.select(
+        "o_custkey",
+        (-F.unix_timestamp("_last")).cast("double").alias("_r"),
+        (-F.col("_freq")).cast("double").alias("_f"),
+        (-F.col("_rev")).cast("double").alias("_m"),
+        "_rev",
+    )
+    for col, out in (("_r", "r_score"), ("_f", "f_score"), ("_m", "m_score")):
+        scored = global_ntile(scored, col, "o_custkey", 5, out_col=out)
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            # nearest-cent average as floor(s/n + 1/2) — exact-integer
+            # inputs, one IEEE divide, floor: bit-identical cross-engine
+            F.floor(
+                F.sum("_rev") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_revenue_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+QUERIES["ext_rfm_segments"] = ext_rfm_segments
+
+ORACLE["ext_rfm_segments"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_dt,
+               COUNT(*) AS freq,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ), n AS (SELECT COUNT(*) AS n FROM cust),
+    ranked AS (
+        SELECT o_custkey, rev,
+               ROW_NUMBER() OVER (ORDER BY last_dt DESC, o_custkey)
+                   AS r_rnk,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey)
+                   AS f_rnk,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+                   AS m_rnk
+        FROM cust
+    ), scored AS (
+        SELECT o_custkey, rev,
+               CAST(FLOOR((r_rnk - 1) * 5.0 / n.n) + 1 AS INT)
+                   AS r_score,
+               CAST(FLOOR((f_rnk - 1) * 5.0 / n.n) + 1 AS INT)
+                   AS f_score,
+               CAST(FLOOR((m_rnk - 1) * 5.0 / n.n) + 1 AS INT)
+                   AS m_score
+        FROM ranked, n
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(FLOOR(SUM(rev) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+               AS avg_revenue_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
