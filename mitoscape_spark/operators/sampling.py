@@ -536,3 +536,104 @@ def _full_hash(key_col: str, salt: str) -> Column:
     if salt:
         key = F.concat(F.lit(salt), key)
     return F.md5(key)
+
+
+def sample_negatives(
+    positives: DataFrame,
+    corpus: DataFrame,
+    qid_col: str,
+    did_col: str,
+    k: int,
+    oversample: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: for every query in ``positives``, ``k`` corpus documents
+    that are NOT among its positives (and not itself) — drawn by the
+    engine-portable md5 primitive, so the same negatives come out on
+    every run, engine, and partitioning.
+
+    Scale shape — the naive formulation (query × corpus cross join,
+    then sample) is quadratic in ROWS. This one is linear: the corpus
+    gets a dense 1..N index once (two-phase ``ranking.global_rank`` —
+    no single-partition window), each query mints ``oversample·k``
+    pseudo-random indices as a generate (md5(salt:qid:j) mod N — a
+    flatMap, no shuffle), and candidates resolve through ONE equi-join
+    on the index. Collisions with positives/self/duplicate draws are
+    rejected afterwards; survivors keep draw order, truncated to k.
+
+    With P positives out of N corpus docs, a query under-fills only if
+    > (oversample−1)·k of its oversample·k draws reject — vanishing
+    for oversample ≥ 3 unless P/N is large; under-filled queries are
+    returned short (count them if the contract matters downstream).
+    """
+    from pyspark.sql import Window
+
+    from mitoscape_spark.operators.ranking import global_rank
+
+    if k < 1 or oversample < 1:
+        raise ValueError("sample_negatives: k >= 1, oversample >= 1")
+    idx = global_rank(
+        corpus.select(F.col(did_col).alias("_did")).distinct(),
+        score_col="_did",
+        id_col="_did",
+        out_col="_idx",
+    )
+    n = idx.count()  # 1-scalar driver state, like the bucket bounds
+    n_draws = oversample * k
+    qids = positives.select(F.col(qid_col).alias("_qid")).distinct()
+    draws = qids.select(
+        "_qid",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(n_draws)])
+        ).alias("_j"),
+    ).withColumn(
+        "_idx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            F.col("_qid").cast("string"),
+                            F.lit(":"),
+                            F.col("_j").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n)
+        )
+        + 1,
+    )
+    cand = (
+        draws.join(idx, "_idx")
+        .where(F.col("_did") != F.col("_qid"))
+        .join(
+            positives.select(
+                F.col(qid_col).alias("_qid"),
+                F.col(did_col).alias("_did"),
+            ).distinct(),
+            ["_qid", "_did"],
+            "left_anti",
+        )
+    )
+    # duplicate draws of one candidate keep the earliest j; then the
+    # first k surviving draws in j order are the sample
+    w_dup = Window.partitionBy("_qid", "_did").orderBy("_j")
+    w_take = Window.partitionBy("_qid").orderBy("_j")
+    return (
+        cand.withColumn("_dup", F.row_number().over(w_dup))
+        .where(F.col("_dup") == 1)
+        .withColumn("_take", F.row_number().over(w_take))
+        .where(F.col("_take") <= k)
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col("_did").alias("neg_id"),
+            F.col("_take").cast("int").alias("draw_order"),
+        )
+    )

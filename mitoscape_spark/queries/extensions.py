@@ -7724,3 +7724,150 @@ ORACLE["ext_rfm_segments"] = """
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
 """
+
+
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: hard-negative mining for contrastive training — each
+    query vector's top-3 most-similar OTHER-label vectors (the
+    retrieval near-misses a random sampler never finds). Exact kNN
+    runs re-ranked after the label anti-filter; per-query windows."""
+    from mitoscape_spark.operators.similarity import knn_join
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    runs = knn_join(emb, k=20)  # depth covers the filtered-out pos
+    lab = emb.select("vec_id", "label")
+    flagged = (
+        runs.join(
+            lab.select(
+                F.col("vec_id").alias("id"),
+                F.col("label").alias("_ql"),
+            ),
+            "id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("nbr"),
+                F.col("label").alias("_nl"),
+            ),
+            "nbr",
+        )
+        .where(F.col("_ql") != F.col("_nl"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), "nbr")
+    return (
+        flagged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("id").alias("qid"),
+            F.col("nbr").alias("neg_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES["ext_hard_negatives"] = ext_hard_negatives
+
+ORACLE["ext_hard_negatives"] = """
+    WITH pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               a.label AS ql, b.label AS nl,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT id, nbr, ql, nl, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY cos DESC, nbr
+               ) AS rk
+        FROM pairs
+    ), hard AS (
+        SELECT id, nbr, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY cos DESC, nbr
+               ) AS rank
+        FROM knn
+        WHERE rk <= 20 AND ql <> nl
+    )
+    SELECT id AS qid, nbr AS neg_id, cos,
+           CAST(rank AS INT) AS rank
+    FROM hard
+    WHERE rank <= 3
+    ORDER BY qid, rank
+"""
+
+
+def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: deterministic uniform negative sampling — 5 non-same-
+    label corpus vectors per query, drawn via md5 index draws resolved
+    through ONE equi-join (linear, never query × corpus)."""
+    from mitoscape_spark.operators.sampling import sample_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label")
+    positives = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.label") == F.col("b.label"))
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+    )
+    return sample_negatives(
+        positives,
+        emb.select(F.col("vec_id")),
+        qid_col="qid",
+        did_col="vec_id",
+        k=5,
+        oversample=3,
+        salt="neg",
+    ).orderBy("qid", "draw_order")
+
+
+QUERIES["ext_negative_sampling"] = ext_negative_sampling
+
+ORACLE["ext_negative_sampling"] = """
+    WITH corpus AS (
+        SELECT vec_id AS did,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS idx
+        FROM (SELECT DISTINCT vec_id FROM embeddings)
+    ), n AS (SELECT COUNT(*) AS n FROM corpus),
+    pos AS (
+        SELECT a.vec_id AS qid, b.vec_id AS did
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), qids AS (SELECT DISTINCT qid FROM pos),
+    draws AS (
+        SELECT q.qid, j,
+               (('0x' || substr(md5('neg:' || CAST(q.qid AS VARCHAR)
+                    || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT
+                % n.n) + 1 AS idx
+        FROM qids q, (SELECT unnest(range(15)) AS j), n
+    ), cand AS (
+        SELECT d.qid, c.did, d.j
+        FROM draws d
+        JOIN corpus c USING (idx)
+        WHERE c.did <> d.qid
+          AND NOT EXISTS (
+              SELECT 1 FROM pos p
+              WHERE p.qid = d.qid AND p.did = c.did
+          )
+    ), dedup AS (
+        SELECT qid, did, j FROM cand
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid, did ORDER BY j
+        ) = 1
+    )
+    SELECT qid, did AS neg_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY j
+           ) AS INT) AS draw_order
+    FROM dedup
+    QUALIFY draw_order <= 5
+    ORDER BY qid, draw_order
+"""
