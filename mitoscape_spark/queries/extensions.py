@@ -7660,17 +7660,29 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_freq"),
         F.sum(cents).alias("_rev"),
     )
+    # each global_ntile fires two internal actions (quantile probe +
+    # bucket counts); CHAINING the three would re-execute the orders
+    # agg ~9x through the growing lineage — materialize the small
+    # per-customer table once and score the three dimensions as
+    # independent branches joined back on the key
+    cust = cust.localCheckpoint(eager=False)
     # ascending score = better rank first: negate so "most recent /
     # most frequent / highest revenue" gets bucket 1
-    scored = cust.select(
-        "o_custkey",
-        (-F.unix_timestamp("_last")).cast("double").alias("_r"),
-        (-F.col("_freq")).cast("double").alias("_f"),
-        (-F.col("_rev")).cast("double").alias("_m"),
-        "_rev",
-    )
-    for col, out in (("_r", "r_score"), ("_f", "f_score"), ("_m", "m_score")):
-        scored = global_ntile(scored, col, "o_custkey", 5, out_col=out)
+    dims = {
+        "r_score": (-F.unix_timestamp("_last")).cast("double"),
+        "f_score": (-F.col("_freq")).cast("double"),
+        "m_score": (-F.col("_rev")).cast("double"),
+    }
+    scored = cust.select("o_custkey", "_rev")
+    for out, score in dims.items():
+        branch = global_ntile(
+            cust.select("o_custkey", score.alias("_s")),
+            "_s",
+            "o_custkey",
+            5,
+            out_col=out,
+        ).select("o_custkey", out)
+        scored = scored.join(branch, "o_custkey")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
