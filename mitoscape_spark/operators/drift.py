@@ -497,6 +497,10 @@ def wasserstein_distance(
     # strict prefix-min of _v over DESCENDING value order (= ascending
     # -_v) is exactly "smallest value strictly greater than mine",
     # which is one more running_prefix pass over the same tiny table.
+    # the reverse pass fires its own quantile/bucket actions — pin the
+    # (distinct-value-sized) CDF table so those don't re-run the whole
+    # per-value aggregation lineage (same trick as ext_rfm_segments)
+    cdf = cdf.localCheckpoint(eager=False)
     rev = running_prefix(
         cdf.withColumn("_nv", -F.col("_v")),
         "_nv",
