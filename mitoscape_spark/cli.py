@@ -327,23 +327,54 @@ def cmd_prep(args, spark: SparkSession) -> int:
 
 
 def cmd_drift(args, spark: SparkSession) -> int:
-    """PSI drift report between two parquet snapshots, columns chosen
-    by the caller — exit code 2 when any column crosses the alert
-    threshold, so schedulers can gate downstream jobs on it."""
-    from mitoscape_spark.operators.drift import drift_report
+    """Drift report between two parquet snapshots, columns chosen by
+    the caller — exit code 2 when any column crosses the alert
+    threshold, so schedulers can gate downstream jobs on it.
+    ``--stat`` picks the statistic: psi (binned, default; works for
+    categorical columns too), ks (exact sup-CDF distance, numeric
+    only, in [0,1]) or w1 (earth-mover distance, numeric only, in the
+    column's own units — pick --alert accordingly)."""
+    from mitoscape_spark.operators.drift import (
+        drift_report,
+        ks_statistic,
+        wasserstein_distance,
+    )
 
     ref = spark.read.parquet(args.reference)
     cur = spark.read.parquet(args.current)
     cols = args.columns.split(",")
-    rows = drift_report(ref, cur, cols, bins=args.bins).orderBy(
-        F.col("psi").desc()
-    ).collect()
     worst = 0.0
-    for r in rows:
-        print(f"drift: {r.col_name} psi={r.psi}")
-        worst = max(worst, r.psi or 0.0)
+    if args.stat == "psi":
+        rows = drift_report(ref, cur, cols, bins=args.bins).orderBy(
+            F.col("psi").desc()
+        ).collect()
+        for r in rows:
+            print(f"drift: {r.col_name} psi={r.psi}")
+            worst = max(worst, r.psi or 0.0)
+    else:
+        two_sample = (
+            ks_statistic if args.stat == "ks" else wasserstein_distance
+        )
+        for col in cols:
+            tagged = (
+                ref.select(F.col(col).cast("double").alias("_v"))
+                .withColumn("_side", F.lit("ref"))
+                .unionByName(
+                    cur.select(
+                        F.col(col).cast("double").alias("_v")
+                    ).withColumn("_side", F.lit("cur"))
+                )
+            )
+            row = two_sample(
+                tagged, "_v", "_side", "ref", "cur"
+            ).collect()[0]
+            val = row[0] or 0.0
+            print(f"drift: {col} {args.stat}={val}")
+            worst = max(worst, val)
     if worst >= args.alert:
-        print(f"drift: ALERT worst psi {worst} >= {args.alert}")
+        print(
+            f"drift: ALERT worst {args.stat} {worst} >= {args.alert}"
+        )
         return 2
     return 0
 
@@ -540,8 +571,11 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--current", required=True)
     dr.add_argument("--columns", required=True, help="comma-separated")
     dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--stat", choices=("psi", "ks", "w1"),
+                    default="psi",
+                    help="psi (binned) | ks (sup-CDF) | w1 (earth-mover)")
     dr.add_argument("--alert", type=float, default=0.25,
-                    help="exit 2 when any psi >= this")
+                    help="exit 2 when any statistic >= this")
     dr.set_defaults(fn=cmd_drift)
 
     hk = sub.add_parser(

@@ -417,6 +417,33 @@ def test_cli_drift_alert_exit_code(spark, tmp_path, capsys):
     assert "ALERT" in capsys.readouterr().out
 
 
+def test_cli_drift_ks_and_w1_stats(spark, tmp_path, capsys):
+    ref_p = str(tmp_path / "ref2")
+    shifted_p = str(tmp_path / "cur2")
+    spark.range(500).selectExpr("CAST(id % 50 AS DOUBLE) AS x").write.parquet(ref_p)
+    spark.range(500).selectExpr(
+        "CAST(id % 50 + 25 AS DOUBLE) AS x"
+    ).write.parquet(shifted_p)
+    # identical snapshots: both statistics are 0 -> clean exit
+    for stat in ("ks", "w1"):
+        assert main(
+            ["drift", "--reference", ref_p, "--current", ref_p,
+             "--columns", "x", "--stat", stat], spark=spark,
+        ) == 0
+    # +25 shift: KS = 0.5 (alert at default 0.25), W1 = 25 units
+    assert main(
+        ["drift", "--reference", ref_p, "--current", shifted_p,
+         "--columns", "x", "--stat", "ks"], spark=spark,
+    ) == 2
+    assert main(
+        ["drift", "--reference", ref_p, "--current", shifted_p,
+         "--columns", "x", "--stat", "w1", "--alert", "10"],
+        spark=spark,
+    ) == 2
+    out = capsys.readouterr().out
+    assert "ks=0.5" in out and "w1=25.0" in out
+
+
 def test_cli_hot_keys(spark, tmp_path, capsys):
     p = str(tmp_path / "ev")
     spark.createDataFrame(
