@@ -50,6 +50,11 @@ def running_prefix(
         if kind not in _KINDS:
             raise ValueError(f"running_prefix: kind {kind!r} for {out!r}")
 
+    # three actions touch `df` (quantile probe, bucket combine, final
+    # plan); pin it so they don't re-run the caller's upstream lineage
+    # three times — by contract it is already reduced to one row per
+    # distinct key, so the materialization is key-cardinality-sized
+    df = df.localCheckpoint(eager=False)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = (
         df.agg(
