@@ -7883,3 +7883,47 @@ ORACLE["ext_negative_sampling"] = """
     QUALIFY draw_order <= 5
     ORDER BY qid, draw_order
 """
+
+
+def ext_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: streaming Count-Min maintenance END-TO-END — lineitem
+    part keys stream in as two micro-batches, the per-batch sketches
+    sum-merge exactly-once into one snapshot table, and the FINAL
+    state must equal DuckDB's one-shot sketch over the full table
+    cell-for-cell (sum-merge is the sketch where a replayed batch
+    would silently double-count — this check pins merge-across-batches
+    == build-once AND the ledger protocol in one verdict)."""
+    from mitoscape_spark.streaming.sinks import stream_countmin
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return _run_two_batch_stream_service(
+        spark,
+        rows,
+        "l_orderkey",
+        lambda stream, root: stream_countmin(
+            stream, f"{root}/pairs", f"{root}/ckpt",
+            key_col="l_partkey",
+        ),
+        lambda state: state.orderBy("d", "pos"),
+        "d int, pos int, c long",
+    )
+
+
+QUERIES["ext_stream_countmin"] = ext_stream_countmin
+
+ORACLE["ext_stream_countmin"] = """
+    WITH keys AS (
+        SELECT l_partkey AS key FROM lineitem
+        WHERE l_partkey IS NOT NULL
+    )
+    SELECT d,
+           CAST((('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                  || CAST(key AS VARCHAR)), 1, 13))::BIGINT
+                 % 1024) AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM keys, (SELECT unnest(range(4)) AS d)
+    GROUP BY 1, 2
+    ORDER BY d, pos
+"""

@@ -593,3 +593,95 @@ def stream_drift_monitor(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def sketch_maintenance_committer(state_dir: str, build_fn, merge_fn):
+    """(batch_df, batch_id) function maintaining a MERGEABLE sketch as
+    a snapshot table: state_{n} = merge(state_{n-1}, build(batch_n)),
+    one ledgered OVERWRITE commit per micro-batch. The always-on
+    profile of a 100 TB ingest — frequency (Count-Min) or cardinality
+    (HyperLogLog) answerable at any moment from a KB-scale table,
+    without re-scanning the landing zone; history = per-batch sketch
+    versions, time-travelable like any snapshot table.
+
+    Exactly-once is what makes SUM-merged sketches (Count-Min) honest:
+    a replayed batch merged twice would silently double-count — the
+    batch_id ledger turns the replay into a no-op. (HLL's max-merge is
+    idempotent and would survive replay anyway; the protocol covers
+    both.) First batch bootstraps from the build alone; later batches
+    read the LATEST committed state — safe against concurrent readers
+    because snapshot versions are immutable until vacuum.
+    """
+    from mitoscape_spark.sources import snapshots as snap
+
+    _ledger = _commit_ledger
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _ledger(state_dir):
+            return
+        delta = build_fn(batch_df)
+        try:
+            prev = snap.read(batch_df.sparkSession, state_dir)
+            state = merge_fn(prev, delta)
+        except (FileNotFoundError, ValueError):  # first batch
+            state = delta
+        snap.commit(
+            state, state_dir, mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+
+    return commit_batch
+
+
+def stream_countmin(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> StreamingQuery:
+    """Streaming Count-Min maintenance: rows in, the current frequency
+    sketch out as a snapshot table, exactly once per micro-batch."""
+    from mitoscape_spark.operators.countmin import (
+        countmin_build,
+        countmin_merge,
+    )
+
+    return (
+        stream.writeStream.foreachBatch(
+            sketch_maintenance_committer(
+                state_dir,
+                lambda b: countmin_build(b, key_col, width, depth),
+                countmin_merge,
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def stream_hll(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str,
+    p: int = 8,
+) -> StreamingQuery:
+    """Streaming HyperLogLog maintenance: the live distinct-count
+    sketch as a snapshot table, register-wise max-merged per batch."""
+    from mitoscape_spark.operators.hll import hll_merge, hll_registers
+
+    return (
+        stream.writeStream.foreachBatch(
+            sketch_maintenance_committer(
+                state_dir,
+                lambda b: hll_registers(b, key_col, p),
+                hll_merge,
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
