@@ -7927,3 +7927,61 @@ ORACLE["ext_stream_countmin"] = """
     GROUP BY 1, 2
     ORDER BY d, pos
 """
+
+
+def ext_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: streaming HyperLogLog maintenance END-TO-END — order
+    keys stream in as two micro-batches, registers max-merge into one
+    snapshot table, and the FINAL register state must equal DuckDB's
+    one-shot register computation bit-for-bit (the cardinality twin of
+    ext_stream_countmin)."""
+    from mitoscape_spark.streaming.sinks import stream_hll
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("split_key"),
+        F.col("o_custkey"),
+    )
+    return _run_two_batch_stream_service(
+        spark,
+        rows,
+        "split_key",
+        lambda stream, root: stream_hll(
+            stream, f"{root}/pairs", f"{root}/ckpt",
+            key_col="o_custkey", p=8,
+        ),
+        lambda state: state.orderBy("register"),
+        "register int, max_rank int",
+    )
+
+
+QUERIES["ext_stream_hll"] = ext_stream_hll
+
+ORACLE["ext_stream_hll"] = """
+    WITH h AS (
+        SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), pre AS (
+        SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS register,
+               substr(hx, 3, 13) AS hex,
+               ltrim(substr(hx, 3, 13), '0') AS stripped
+        FROM h
+    ), ranked AS (
+        SELECT register,
+               CASE WHEN stripped = '' THEN 53
+                    ELSE (LENGTH(hex) - LENGTH(stripped)) * 4
+                         + CASE WHEN SUBSTRING(stripped, 1, 1) = '1'
+                                    THEN 3
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('2', '3') THEN 2
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rk
+        FROM pre
+    )
+    SELECT CAST(register AS INT) AS register,
+           CAST(MAX(rk) AS INT) AS max_rank
+    FROM ranked
+    GROUP BY register
+    ORDER BY register
+"""
