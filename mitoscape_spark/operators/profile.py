@@ -198,3 +198,52 @@ def correlation_matrix(
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp values into the group's
+    [p_lo, p_hi] percentile band, then report (n, lo, hi, mean_raw,
+    mean_winsorized) — the robust mean a heavy-tailed quality/score
+    column needs before thresholding (one 10^6-token outlier document
+    should not drag its source's average).
+
+    Plan: one exact-percentile hash agg per group (Spark's
+    ``percentile`` — same linear interpolation as DuckDB's
+    ``quantile_cont``), broadcast the small per-group band table back,
+    clamp map-side, one final agg. Two shuffles total, both on the
+    group key. The band edges round to 4 dp BEFORE clamping so both
+    engines clamp against identical thresholds (the interpolation can
+    differ in the last ulp; a raw-threshold clamp would then flip
+    boundary values).
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("winsorized_stats: 0 <= lo < hi <= 1")
+    clean = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    bands = clean.groupBy("_g").agg(
+        F.round(F.expr(f"percentile(_v, {lo})"), 4).alias("_lo"),
+        F.round(F.expr(f"percentile(_v, {hi})"), 4).alias("_hi"),
+    )
+    clamped = clean.join(F.broadcast(bands), "_g").select(
+        "_g",
+        "_v",
+        "_lo",
+        "_hi",
+        F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+        .alias("_w"),
+    )
+    return clamped.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_lo").alias("p_lo"),
+        F.min("_hi").alias("p_hi"),
+        F.round(F.avg("_v"), 4).alias("mean_raw"),
+        F.round(F.avg("_w"), 4).alias("mean_winsorized"),
+    )

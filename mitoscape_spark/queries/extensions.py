@@ -7985,3 +7985,41 @@ ORACLE["ext_stream_hll"] = """
     GROUP BY register
     ORDER BY register
 """
+
+
+def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-source winsorized document-length means — clamp
+    n_chars into each source's [p05, p95] band (edges rounded before
+    clamping so both engines clamp identical thresholds)."""
+    from mitoscape_spark.operators.profile import winsorized_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winsorized_stats(docs, "source", "n_chars").orderBy("source")
+
+
+QUERIES["ext_winsorized_stats"] = ext_winsorized_stats
+
+ORACLE["ext_winsorized_stats"] = """
+    WITH clean AS (
+        SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        FROM documents WHERE n_chars IS NOT NULL
+    ), bands AS (
+        SELECT g,
+               ROUND(quantile_cont(v, 0.05), 4) AS lo,
+               ROUND(quantile_cont(v, 0.95), 4) AS hi
+        FROM clean GROUP BY g
+    ), clamped AS (
+        SELECT c.g, c.v, b.lo, b.hi,
+               LEAST(GREATEST(c.v, b.lo), b.hi) AS w
+        FROM clean c JOIN bands b USING (g)
+    )
+    SELECT g AS source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(lo) AS p_lo,
+           MIN(hi) AS p_hi,
+           ROUND(AVG(v), 4) AS mean_raw,
+           ROUND(AVG(w), 4) AS mean_winsorized
+    FROM clamped
+    GROUP BY g
+    ORDER BY source
+"""
