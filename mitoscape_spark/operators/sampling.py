@@ -579,6 +579,10 @@ def sample_negatives(
         id_col="_did",
         out_col="_idx",
     )
+    # count + the candidate join both act on idx, and global_rank's
+    # own internal actions already ran the distinct scan twice — pin
+    # the (corpus-id-sized) index so nothing re-derives it again
+    idx = idx.localCheckpoint(eager=False)
     n = idx.count()  # 1-scalar driver state, like the bucket bounds
     n_draws = oversample * k
     qids = positives.select(F.col(qid_col).alias("_qid")).distinct()
