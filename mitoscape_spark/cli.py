@@ -414,6 +414,44 @@ def cmd_hot_keys(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_sketch(args, spark: SparkSession) -> int:
+    """Profile a column through the portable sketches: HLL distinct
+    estimate and/or Count-Min frequency estimates for given probe keys
+    — the KB-state answer to \"how big / how frequent\" that never
+    rescans the table twice."""
+    df = spark.read.parquet(args.input)
+    if args.stat == "hll":
+        from mitoscape_spark.operators.hll import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        est = hll_estimate(
+            hll_registers(df, args.column, p=args.p), p=args.p
+        ).collect()[0]["hll_est"]
+        print(f"sketch: {args.column} hll_distinct~={est}")
+    else:
+        from mitoscape_spark.operators.countmin import (
+            countmin_build,
+            countmin_estimate,
+        )
+
+        if not args.keys:
+            raise SystemExit("sketch: --keys required for --stat cms")
+        sk = countmin_build(
+            df, args.column, width=args.width, depth=args.depth
+        )
+        probes = spark.createDataFrame(
+            [(k,) for k in args.keys.split(",")], f"{args.column} string"
+        ).select(F.col(args.column).cast(df.schema[args.column].dataType))
+        rows = countmin_estimate(
+            sk, probes, args.column, width=args.width, depth=args.depth
+        ).orderBy(args.column).collect()
+        for r in rows:
+            print(f"sketch: {args.column}={r[args.column]} freq~={r.cms_est}")
+    return 0
+
+
 def cmd_expect(args, spark: SparkSession) -> int:
     """Run a JSON expectations file against a parquet table; print the
     report; exit 3 when any rule fails — the ingest gate between
@@ -586,6 +624,18 @@ def build_parser() -> argparse.ArgumentParser:
     hk.add_argument("--threshold", type=int, required=True)
     hk.add_argument("--limit", type=int, default=50)
     hk.set_defaults(fn=cmd_hot_keys)
+
+    sk = sub.add_parser(
+        "sketch", help="HLL distinct / Count-Min frequency estimates"
+    )
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--column", required=True)
+    sk.add_argument("--stat", choices=("hll", "cms"), default="hll")
+    sk.add_argument("--p", type=int, default=8, help="HLL precision")
+    sk.add_argument("--width", type=int, default=1024)
+    sk.add_argument("--depth", type=int, default=4)
+    sk.add_argument("--keys", help="comma-separated probe keys (cms)")
+    sk.set_defaults(fn=cmd_sketch)
 
     ex = sub.add_parser(
         "expect", help="validate a parquet table against a JSON rule file"

@@ -526,3 +526,35 @@ def test_cli_search_modes(spark, tmp_path, capsys):
         ["search", "--input", p, "--query", "vector join"], spark=spark,
     ) == 0
     assert "bm25=" in capsys.readouterr().out
+
+
+def test_cli_sketch_hll_and_cms(spark, tmp_path, capsys):
+    p = str(tmp_path / "sk")
+    spark.createDataFrame(
+        [(i % 40,) for i in range(400)], "k long"
+    ).write.parquet(p)
+    assert main(
+        ["sketch", "--input", p, "--column", "k"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "hll_distinct~=" in out
+    est = float(out.split("hll_distinct~=")[1].strip())
+    assert 30 <= est <= 50  # 40 distinct, small-range correction
+    assert main(
+        ["sketch", "--input", p, "--column", "k", "--stat", "cms",
+         "--keys", "0,1"], spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "k=0 freq~=10" in out and "k=1 freq~=10" in out
+
+
+def test_cli_sketch_cms_requires_keys(spark, tmp_path):
+    p = str(tmp_path / "sk2")
+    spark.createDataFrame([(1,)], "k long").write.parquet(p)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            ["sketch", "--input", p, "--column", "k", "--stat", "cms"],
+            spark=spark,
+        )
