@@ -8023,3 +8023,112 @@ ORACLE["ext_winsorized_stats"] = """
     GROUP BY g
     ORDER BY source
 """
+
+
+def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: MinHash estimator audit — for every LSH candidate
+    pair, the signature-agreement estimate (matches/8) NEXT TO the
+    exact shingle Jaccard, with the absolute error. The measurement
+    that justifies a chosen (num_hashes, band) config on real data;
+    every piece (signatures, banding, exact Jaccard) recomputed
+    verbatim by the oracle."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidate_pairs(sigs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        "seed",
+        F.col("minhash").alias("_ma"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        "seed",
+        F.col("minhash").alias("_mb"),
+    )
+    est = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("_ma") == F.col("_mb")).cast("double")), 4
+            ).alias("minhash_est")
+        )
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "minhash_est",
+            "jaccard",
+            F.round(F.abs(F.col("minhash_est") - F.col("jaccard")), 4)
+            .alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["ext_minhash_accuracy"] = ext_minhash_accuracy
+
+ORACLE["ext_minhash_accuracy"] = f"""
+    WITH {_TOKS}, {_SHINGLES3},
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle)))
+                   AS minhash
+        FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, ',' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(AVG(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1.0 ELSE 0.0 END), 4) AS minhash_est
+        FROM cands c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_common * 1.0
+                     / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.minhash_est, x.jaccard,
+           ROUND(ABS(e.minhash_est - x.jaccard), 4) AS abs_err
+    FROM est e JOIN exact x USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b
+"""
