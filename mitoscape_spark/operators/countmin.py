@@ -108,3 +108,26 @@ def countmin_estimate(
             .alias("cms_est")
         )
     )
+
+
+def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation WITHOUT executing the join: for two
+    same-shape sketches over join-key streams, the AMS/CMS estimator
+    |A ⋈ B| ≈ min_d Σ_pos cA[d][pos]·cB[d][pos] — an upper-biased
+    estimate of Σ_v fA(v)·fB(v) that two KB-scale tables answer where
+    the true number needs the full shuffle. The query-planning
+    primitive (join reordering, skew pre-detection) and the capacity
+    check before materializing a blowup-prone join.
+
+    Returns one row (cms_join_size,). Cost: a ≤ depth·width equi-join.
+    """
+    return (
+        a.select("d", "pos", F.col("c").alias("_ca"))
+        .join(
+            b.select("d", "pos", F.col("c").alias("_cb")),
+            ["d", "pos"],
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+        .agg(F.min("_dot").cast("long").alias("cms_join_size"))
+    )

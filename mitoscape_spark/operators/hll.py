@@ -101,3 +101,57 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return agg.select(F.round(est, 4).alias("hll_est"))
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, key_col: str, p: int = 8
+) -> DataFrame:
+    """(group, register, max_rank): one HLL sketch per group — the
+    approximate-COUNT-DISTINCT-per-group workhorse (distinct users per
+    day, distinct tokens per source) in ≤ 2^p rows per group instead
+    of a distinct-key shuffle. Same register math as the global
+    sketch; merge across loads with a (group, register) max."""
+    if not 4 <= p <= 16 or p % 4:
+        raise ValueError("hll_registers_grouped: p in {4, 8, 12, 16}")
+    h = F.md5(F.col(key_col).cast("string"))
+    hex_digits = p // 4
+    prepared = (
+        df.where(
+            F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(h, 1, hex_digits), 16, 10)
+            .cast("int")
+            .alias("register"),
+            F.substring(h, hex_digits + 1, 13).alias("_hex"),
+        )
+        .withColumn(
+            "_stripped", F.expr("TRIM(LEADING '0' FROM _hex)")
+        )
+        .withColumn("rank", F.expr(_RANK_SQL).cast("int"))
+    )
+    return prepared.groupBy("grp", "register").agg(
+        F.max("rank").alias("max_rank")
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, p: int = 8
+) -> DataFrame:
+    """(grp, hll_est) per group from grouped register sketches — same
+    estimator and small-range correction as ``hll_estimate``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s_all = F.col("_s") + (F.lit(m) - F.col("_n"))
+    v = F.lit(m) - F.col("_n")
+    raw = F.lit(alpha * m * m) / s_all
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select("grp", F.round(est, 4).alias("hll_est"))

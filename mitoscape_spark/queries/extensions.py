@@ -8132,3 +8132,147 @@ ORACLE["ext_minhash_accuracy"] = f"""
     FROM est e JOIN exact x USING (doc_a, doc_b)
     ORDER BY doc_a, doc_b
 """
+
+
+def ext_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: approximate COUNT(DISTINCT customer) per order
+    priority via per-group portable HLL sketches, next to the exact
+    answer — the distinct-per-group workhorse in <= 256 rows per group
+    instead of a distinct-key shuffle."""
+    from mitoscape_spark.operators.hll import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = hll_estimate_grouped(
+        hll_registers_grouped(
+            orders, "o_orderpriority", "o_custkey", p=8
+        ),
+        p=8,
+    )
+    truth = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.countDistinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return (
+        est.join(truth, "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "true_distinct",
+            "hll_est",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def ext_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: self-join cardinality estimation from two KB-scale
+    Count-Min sketches — the AMS inner-product estimate of
+    |lineitem ⋈ lineitem| on l_partkey (= Σ f(v)², the blowup number
+    for the co-purchase self-join) next to the exact answer, WITHOUT
+    executing the join."""
+    from mitoscape_spark.operators.countmin import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sk = countmin_build(lineitem, "l_partkey", width=1024, depth=4)
+    sk = sk.localCheckpoint(eager=False)  # both estimator sides read it
+    est = countmin_inner_product(sk, sk)
+    truth = (
+        lineitem.where(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.col("_c") * F.col("_c"))
+            .cast("long")
+            .alias("true_join_size")
+        )
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_join_size", "cms_join_size"
+    )
+
+
+QUERIES["ext_hll_grouped"] = ext_hll_grouped
+QUERIES["ext_join_size_est"] = ext_join_size_est
+
+ORACLE["ext_hll_grouped"] = """
+    WITH h AS (
+        SELECT o_orderpriority AS grp,
+               md5(CAST(o_custkey AS VARCHAR)) AS hx
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), pre AS (
+        SELECT grp,
+               ('0x' || substr(hx, 1, 2))::BIGINT AS register,
+               substr(hx, 3, 13) AS hex,
+               ltrim(substr(hx, 3, 13), '0') AS stripped
+        FROM h
+    ), ranked AS (
+        SELECT grp, register,
+               CASE WHEN stripped = '' THEN 53
+                    ELSE (LENGTH(hex) - LENGTH(stripped)) * 4
+                         + CASE WHEN SUBSTRING(stripped, 1, 1) = '1'
+                                    THEN 3
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('2', '3') THEN 2
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rk
+        FROM pre
+    ), regs AS (
+        SELECT grp, register, MAX(rk) AS max_rank
+        FROM ranked GROUP BY grp, register
+    ), agg AS (
+        SELECT grp, SUM(POWER(2.0, -max_rank)) AS s, COUNT(*) AS n
+        FROM regs GROUP BY grp
+    ), est AS (
+        SELECT grp, CASE
+            WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                  / (s + (256 - n))) <= 640.0 AND (256 - n) > 0
+            THEN 256.0 * LN(256.0 / (256 - n))
+            ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 / (s + (256 - n)) END AS raw
+        FROM agg
+    ), t AS (
+        SELECT o_orderpriority AS grp,
+               COUNT(DISTINCT o_custkey) AS true_distinct
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY o_orderpriority
+    )
+    SELECT t.grp AS o_orderpriority,
+           CAST(t.true_distinct AS BIGINT) AS true_distinct,
+           ROUND(e.raw, 4) AS hll_est
+    FROM est e JOIN t USING (grp)
+    ORDER BY o_orderpriority
+"""
+
+ORACLE["ext_join_size_est"] = """
+    WITH keys AS (
+        SELECT l_partkey AS key FROM lineitem
+        WHERE l_partkey IS NOT NULL
+    ), cells AS (
+        SELECT d,
+               (('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                 || CAST(key AS VARCHAR)), 1, 13))::BIGINT
+                % 1024) AS pos,
+               COUNT(*) AS c
+        FROM keys, (SELECT unnest(range(4)) AS d)
+        GROUP BY 1, 2
+    ), dots AS (
+        SELECT d, SUM(c * c) AS dot FROM cells GROUP BY d
+    ), t AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_size
+        FROM (SELECT COUNT(*) AS c FROM keys GROUP BY key)
+    )
+    SELECT t.true_join_size,
+           CAST((SELECT MIN(dot) FROM dots) AS BIGINT)
+               AS cms_join_size
+    FROM t
+"""

@@ -56,3 +56,26 @@ def test_rejects_bad_shape(spark):
         countmin_build(df, "k", width=1, depth=4)
     with pytest.raises(ValueError):
         countmin_build(df, "k", width=16, depth=0)
+
+
+def test_inner_product_upper_bounds_true_join_size(spark):
+    from mitoscape_spark.operators.countmin import countmin_inner_product
+
+    # f(v) = 10 for 50 keys: true self-join size = 50 * 100 = 5000
+    df = _freqs(spark, [i % 50 for i in range(500)])
+    sk = countmin_build(df, "k", width=512, depth=4)
+    sk = sk.localCheckpoint(eager=False)
+    est = countmin_inner_product(sk, sk).collect()[0]["cms_join_size"]
+    assert est >= 5000  # never under-estimates
+    assert est <= 5000 * 2  # collisions bounded at this width
+
+
+def test_inner_product_disjoint_keys_is_small(spark):
+    from mitoscape_spark.operators.countmin import countmin_inner_product
+
+    a = countmin_build(_freqs(spark, range(100)), "k", 1024, 4)
+    b = countmin_build(
+        _freqs(spark, range(10_000, 10_100)), "k", 1024, 4
+    )
+    est = countmin_inner_product(a, b).collect()[0]["cms_join_size"]
+    assert est <= 30  # only hash collisions contribute

@@ -61,3 +61,23 @@ def test_rejects_bad_p(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=7)
+
+
+def test_grouped_accuracy_within_theory(spark):
+    from mitoscape_spark.operators.hll import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    rows = [("a", i) for i in range(5000)] + [
+        ("b", i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    est = {
+        r["grp"]: r["hll_est"]
+        for r in hll_estimate_grouped(
+            hll_registers_grouped(df, "g", "k")
+        ).collect()
+    }
+    assert abs(est["a"] - 5000) / 5000 < 0.23
+    assert abs(est["b"] - 200) / 200 < 0.25  # linear-counting regime
