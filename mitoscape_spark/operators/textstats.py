@@ -586,3 +586,102 @@ def heaps_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("_ct").cast("long").alias("cum_tokens"),
         F.col("_cv").cast("long").alias("cum_vocab"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group token-distribution statistics: Shannon entropy
+    H = −Σ p ln p (nats), distinct-token count, and type–token ratio —
+    the lexical-diversity profile (a template-farm source shows low
+    entropy and TTR long before a human reads it). One explode feeds
+    one (group, token) agg; entropy is a per-group sum over the
+    already-reduced count table.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("_c").over(Window.partitionBy("grp"))
+    p = F.col("_c") / tot
+    return (
+        counts.select("grp", "tok", "_c", (-p * F.log(p)).alias("_h"))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.sum("_h"), 6).alias("entropy"),
+            F.round(F.count(F.lit(1)) / F.sum("_c"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
+def js_divergence_by_group(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Jensen–Shannon divergence of each group's token distribution
+    from the WHOLE-corpus distribution — the domain-similarity score
+    (0 = indistinguishable from the mix, ln 2 = disjoint vocabulary).
+    Unlike KL it needs no epsilon smoothing: the mixture
+    m = (p + q) / 2 is nonzero wherever either side is, and absent
+    tokens contribute their one-sided ½·p·ln(p/m) = ½·p·ln 2 term.
+
+    Plan: one explode → (group, token) counts; corpus marginals
+    re-aggregate that table; the JS sum runs per group over the
+    reduced counts. Every probability is an exact-integer ratio, so
+    cross-engine agreement is at double precision under the 6 dp
+    rounding.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    c_gt = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).alias("_cg")
+    )
+    c_t = c_gt.groupBy("tok").agg(F.sum("_cg").alias("_ct"))
+    from pyspark.sql import Window
+
+    n_g = F.sum("_cg").over(Window.partitionBy("grp"))
+    joined = c_gt.join(c_t, "tok").crossJoin(
+        F.broadcast(c_gt.agg(F.sum("_cg").alias("_n")))  # 1-row stats
+    )
+    # materialize p/q before the final agg — a window expression can't
+    # live inside an aggregate
+    probs = joined.select(
+        "grp",
+        (F.col("_cg") / n_g).alias("_p"),
+        (F.col("_ct") / F.col("_n")).alias("_q"),
+    )
+    p, q = F.col("_p"), F.col("_q")
+    m = (p + q) / 2
+    # the q-side sum over tokens ABSENT from the group needs the full
+    # corpus term ½·q·ln(q/(q/2)) = ½·q·ln 2 minus the present-token
+    # corrections — expressed as: ½ Σ_present q·ln(q/m) + ½·ln2·(1−Q)
+    # where Q = Σ_present q
+    term = (
+        F.lit(0.5) * p * F.log(p / m)
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    import math
+
+    return (
+        probs.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.round(
+                F.sum(term)
+                + F.lit(0.5 * math.log(2.0))
+                * (F.lit(1.0) - F.sum(q)),
+                6,
+            ).alias("js_divergence")
+        )
+    )

@@ -8276,3 +8276,78 @@ ORACLE["ext_join_size_est"] = """
                AS cms_join_size
     FROM t
 """
+
+
+def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-source lexical diversity — token Shannon entropy,
+    type count, type-token ratio."""
+    from mitoscape_spark.operators.textstats import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("source")
+
+
+def ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Jensen-Shannon divergence of each source's token
+    distribution from the whole corpus — smoothing-free domain
+    similarity (absent tokens contribute closed-form half-ln2 mass)."""
+    from mitoscape_spark.operators.textstats import (
+        js_divergence_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_by_group(docs).orderBy("source")
+
+
+QUERIES["ext_token_entropy"] = ext_token_entropy
+QUERIES["ext_js_divergence"] = ext_js_divergence
+
+ORACLE["ext_token_entropy"] = """
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY grp, tok
+    ), tot AS (
+        SELECT grp, SUM(c) AS n FROM counts GROUP BY grp
+    )
+    SELECT c.grp AS source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(SUM(-(c.c * 1.0 / t.n) * LN(c.c * 1.0 / t.n)), 6)
+               AS entropy,
+           ROUND(COUNT(*) * 1.0 / t.n, 6) AS type_token_ratio
+    FROM counts c JOIN tot t USING (grp)
+    GROUP BY c.grp, t.n
+    ORDER BY source
+"""
+
+ORACLE["ext_js_divergence"] = """
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), cg AS (
+        SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY grp, tok
+    ), ct AS (
+        SELECT tok, SUM(c) AS ctot FROM cg GROUP BY tok
+    ), ng AS (
+        SELECT grp, SUM(c) AS n FROM cg GROUP BY grp
+    ), n AS (SELECT SUM(c) AS total FROM cg),
+    terms AS (
+        SELECT g.grp,
+               (g.c * 1.0 / ng.n) AS p,
+               (t.ctot * 1.0 / n.total) AS q
+        FROM cg g
+        JOIN ct t USING (tok)
+        JOIN ng USING (grp), n
+    )
+    SELECT grp AS source,
+           ROUND(SUM(0.5 * p * LN(p / ((p + q) / 2))
+                     + 0.5 * q * LN(q / ((p + q) / 2)))
+                 + 0.5 * LN(2) * (1 - SUM(q)), 6) AS js_divergence
+    FROM terms
+    GROUP BY grp
+    ORDER BY source
+"""
