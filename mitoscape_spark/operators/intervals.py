@@ -124,3 +124,51 @@ def interval_overlap_join(
         .where(overlap & anchor)
         .drop("_bucket")
     )
+
+
+def coverage_depth(
+    df: DataFrame, start_col: str, end_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Interval coverage depth: for integer intervals [start, end]
+    (end inclusive), the number of intervals covering each position —
+    reported at every breakpoint (the depth is constant between
+    breakpoints). The genomics per-position read-depth operator
+    (bedtools genomecov over NUMT/alignment intervals —
+    MTClassifierModel.scala's interval table is the reference's use of
+    this shape) and equally the "concurrent open orders/sessions over
+    time" OLAP question.
+
+    The classic sweep is sort-all-events + running sum — a global
+    window. Here: explode each interval to (+1 at start, −1 at end+1)
+    events (a flatMap), reduce per position (one hash agg), and take
+    the inclusive running sum through ``orderstats.running_prefix`` —
+    cost scales with distinct breakpoints, never a single-task sort.
+    """
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    events = (
+        df.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) >= F.col(start_col))
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).cast("long").alias("pos"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        (F.col(end_col).cast("long") + 1).alias("pos"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.pos").alias("pos"), F.col("e.delta").alias("d"))
+    )
+    per_pos = events.groupBy("pos").agg(F.sum("d").alias("_d"))
+    return running_prefix(
+        per_pos, "pos", {"_depth": ("_d", "sum")}, n_buckets=n_buckets
+    ).select("pos", F.col("_depth").cast("long").alias("depth"))

@@ -8351,3 +8351,53 @@ ORACLE["ext_js_divergence"] = """
     GROUP BY grp
     ORDER BY source
 """
+
+
+def ext_coverage_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: interval coverage depth — concurrent open orders per
+    day (each order stays open o_orderkey % 30 days). The genomics
+    per-position depth sweep (the reference's NUMT interval shape)
+    as explode → per-position agg → two-phase running sum."""
+    from mitoscape_spark.operators.intervals import coverage_depth
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("start_day"),
+        (
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).cast("long")
+            + F.col("o_orderkey") % 30
+        ).alias("end_day"),
+    )
+    return coverage_depth(iv, "start_day", "end_day").orderBy("pos")
+
+
+QUERIES["ext_coverage_depth"] = ext_coverage_depth
+
+ORACLE["ext_coverage_depth"] = """
+    WITH iv AS (
+        SELECT CAST(DATEDIFF('day', DATE '1990-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS start_day,
+               CAST(DATEDIFF('day', DATE '1990-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT)
+                   + o_orderkey % 30 AS end_day
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+    ), ev AS (
+        SELECT start_day AS pos, 1 AS d FROM iv
+        WHERE end_day >= start_day
+        UNION ALL
+        SELECT end_day + 1 AS pos, -1 AS d FROM iv
+        WHERE end_day >= start_day
+    ), per_pos AS (
+        SELECT pos, SUM(d) AS d FROM ev GROUP BY pos
+    )
+    SELECT pos,
+           CAST(SUM(d) OVER (ORDER BY pos) AS BIGINT) AS depth
+    FROM per_pos
+    ORDER BY pos
+"""

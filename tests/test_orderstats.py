@@ -189,3 +189,35 @@ def test_wasserstein_pure_shift_equals_shift(spark):
     df = spark.createDataFrame(rows, "side string, v double")
     got = wasserstein_distance(df, "v", "side", "a", "b").collect()[0]["w1"]
     assert got == pytest.approx(5.0, abs=1e-9)
+
+
+def test_coverage_depth_matches_bruteforce(spark):
+    from mitoscape_spark.operators.intervals import coverage_depth
+
+    rng = random.Random(31)
+    ivs = []
+    for _ in range(200):
+        s = rng.randint(0, 100)
+        ivs.append((s, s + rng.randint(0, 20)))
+    df = spark.createDataFrame(ivs, "s long, e long").repartition(8)
+    got = {
+        r["pos"]: r["depth"]
+        for r in coverage_depth(df, "s", "e").collect()
+    }
+    # brute force: depth at every breakpoint position
+    breaks = sorted({s for s, _ in ivs} | {e + 1 for _, e in ivs})
+    for pos in breaks:
+        want = sum(1 for s, e in ivs if s <= pos <= e)
+        assert got[pos] == want
+    # beyond the last end, depth returns to zero
+    assert got[max(breaks)] == 0
+
+
+def test_coverage_depth_skips_invalid_intervals(spark):
+    from mitoscape_spark.operators.intervals import coverage_depth
+
+    df = spark.createDataFrame(
+        [(0, 5), (10, 2), (None, 3), (4, None)], "s long, e long"
+    )
+    rows = {r["pos"]: r["depth"] for r in coverage_depth(df, "s", "e").collect()}
+    assert rows == {0: 1, 6: 0}  # only the valid [0,5] contributes
