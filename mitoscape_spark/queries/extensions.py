@@ -8401,3 +8401,55 @@ ORACLE["ext_coverage_depth"] = """
     FROM per_pos
     ORDER BY pos
 """
+
+
+def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Gini coefficient of customer revenue — the inequality
+    scalar behind ext_revenue_concentration's Lorenz deciles:
+    G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n over ascending-sorted revenue.
+    Ranks via the two-phase global_rank (no single-partition window);
+    revenue flows as integer cents so every product and sum is exact
+    and the one final division is bit-identical cross-engine."""
+    from mitoscape_spark.operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_rev"))
+    ranked = global_rank(
+        cust.withColumn("_s", F.col("_rev").cast("double")),
+        score_col="_s",
+        id_col="o_custkey",
+        out_col="_i",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("_i") * F.col("_rev"))
+                / (F.count(F.lit(1)) * F.sum("_rev"))
+            )
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+QUERIES["ext_gini"] = ext_gini
+
+ORACLE["ext_gini"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(rev AS DOUBLE), o_custkey
+               ) AS i
+        FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+                 - (COUNT(*) + 1) * 1.0 / COUNT(*), 6) AS gini
+    FROM ranked
+"""
