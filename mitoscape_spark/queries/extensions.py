@@ -8453,3 +8453,51 @@ ORACLE["ext_gini"] = """
                  - (COUNT(*) + 1) * 1.0 / COUNT(*), 6) AS gini
     FROM ranked
 """
+
+
+def ext_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: exponentially time-decayed revenue per customer —
+    Σ value·exp(−ln2/30 · days_before_anchor), the feature-store
+    recency-weighted aggregate (30-day half-life; anchor = newest
+    order date, a 1-row broadcast stats join). One scan, one group
+    agg; the decay is a scalar projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+    lam = F.log(F.lit(2.0)) / F.lit(30.0)
+    decayed = (
+        orders.crossJoin(F.broadcast(anchor))  # 1-row stats join
+        .select(
+            "o_custkey",
+            (
+                F.col("o_totalprice")
+                * F.exp(
+                    -lam
+                    * F.datediff(F.col("_anchor"), F.col("o_orderdate"))
+                )
+            ).alias("_dv"),
+        )
+    )
+    return (
+        decayed.groupBy("o_custkey")
+        .agg(F.round(F.sum("_dv"), 4).alias("decayed_revenue"))
+        .orderBy("o_custkey")
+    )
+
+
+QUERIES["ext_decay_agg"] = ext_decay_agg
+
+ORACLE["ext_decay_agg"] = """
+    WITH anchor AS (
+        SELECT MAX(o_orderdate) AS a FROM orders
+    )
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice
+                     * EXP(-(LN(2.0) / 30.0)
+                           * DATEDIFF('day',
+                                      CAST(o_orderdate AS DATE),
+                                      CAST(anchor.a AS DATE)))), 4)
+               AS decayed_revenue
+    FROM orders, anchor
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
