@@ -8501,3 +8501,74 @@ ORACLE["ext_decay_agg"] = """
     GROUP BY o_custkey
     ORDER BY o_custkey
 """
+
+
+def ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-user inter-event burstiness B = (σ−μ)/(σ+μ) over
+    inter-arrival gaps (Goh–Barabási): B→−1 periodic, ≈0 Poisson, →1
+    bursty. One per-user lag window + one agg; users with < 3 events
+    (fewer than 2 gaps) are excluded — σ of one gap is 0 by fiat and
+    would fake perfect periodicity."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn(
+            "_gap",
+            # ts is TIMESTAMP_NTZ; the pinned-UTC ltz hop + cast to
+            # double is micros/1e6 — the exact same IEEE op as
+            # DuckDB's epoch(), so gaps match bit-for-bit (integer
+            # unix_timestamp would TRUNCATE where DuckDB CAST rounds)
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double")).over(
+                w
+            ),
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("_gap").alias("_mu"),
+        F.stddev_pop("_gap").alias("_sigma"),
+    )
+    return (
+        stats.where(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(
+                (F.col("_sigma") - F.col("_mu"))
+                / (F.col("_sigma") + F.col("_mu")),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ext_burstiness"] = ext_burstiness
+
+ORACLE["ext_burstiness"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(CAST(ts AS TIMESTAMP))
+               - epoch(CAST(LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS TIMESTAMP)) AS gap
+        FROM events
+    ), g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               AVG(gap) AS mu,
+               STDDEV_POP(gap) AS sigma
+        FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM stats
+    WHERE n_gaps >= 2
+    ORDER BY user_id
+"""
