@@ -396,3 +396,54 @@ def k_core(
         f"k_core: no fixpoint within {max_rounds} rounds "
         f"(peeling depth exceeds the budget — raise max_rounds)"
     )
+
+
+def adamic_adar_scores(
+    edges: DataFrame, min_common: int = 2
+) -> DataFrame:
+    """Link prediction over an undirected graph: Adamic–Adar score
+    AA(u, v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) for node pairs NOT yet
+    connected — the recommender/graph-completion primitive (rare shared
+    neighbors say more than celebrity hubs, hence the 1/ln damping).
+
+    Input: (u, v) edges, u < v, one row per undirected edge. Pairs
+    with fewer than ``min_common`` shared neighbors are dropped —
+    that floor is what bounds the candidate space (same wedge-cost
+    shape as triangle counting: fan-out per hub z is deg(z)², so a
+    degree cap or the Suri–Vassilvitskii orientation applies to
+    hub-heavy graphs before this).
+
+    Plan: symmetrize → degree agg (broadcast back) → wedge self-join
+    on the shared neighbor z → pair agg → anti-join existing edges.
+    Scores round to 6 dp (sums of 1/ln terms — summation-order jitter
+    is last-ulp only).
+    """
+    sym = edges.selectExpr("u", "v").union(
+        edges.selectExpr("v AS u", "u AS v")
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    adj = sym.select(F.col("u").alias("z"), F.col("v").alias("n"))
+    wedges = (
+        adj.alias("a")
+        .join(adj.alias("b"), "z")
+        .where(F.col("a.n") < F.col("b.n"))
+        .select(
+            "z", F.col("a.n").alias("u"), F.col("b.n").alias("v")
+        )
+        .join(F.broadcast(deg), "z")
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("_deg"))), 6
+            ).alias("aa_score"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    return scored.join(
+        edges.select("u", "v"), ["u", "v"], "left_anti"
+    )

@@ -8572,3 +8572,65 @@ ORACLE["ext_burstiness"] = """
     WHERE n_gaps >= 2
     ORDER BY user_id
 """
+
+
+def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Adamic-Adar link prediction over the co-purchase
+    graph — which unconnected part pairs share the most (rarity-
+    weighted) neighbors. Wedge join + degree broadcast + anti-join of
+    existing edges; candidates floored at 2 shared neighbors."""
+    from mitoscape_spark.operators.graph import adamic_adar_scores
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .where(F.col("_s") >= 2)
+        .select("u", "v")
+    )
+    return adamic_adar_scores(edges, min_common=2).orderBy("u", "v")
+
+
+QUERIES["ext_link_prediction"] = ext_link_prediction
+
+ORACLE["ext_link_prediction"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY u
+    ), adj AS (
+        SELECT u AS z, v AS n FROM sym
+    ), wedges AS (
+        SELECT a.z, a.n AS u, b.n AS v
+        FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+    ), scored AS (
+        SELECT w.u, w.v,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               ROUND(SUM(1.0 / LN(d.d)), 6) AS aa_score
+        FROM wedges w JOIN deg d ON w.z = d.z
+        GROUP BY w.u, w.v
+        HAVING COUNT(*) >= 2
+    )
+    SELECT s.u, s.v, s.n_common, s.aa_score
+    FROM scored s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v
+    )
+    ORDER BY s.u, s.v
+"""
