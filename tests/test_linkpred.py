@@ -17,8 +17,13 @@ def test_adamic_adar_hand_graph(spark):
         (r["u"], r["v"]): (r["n_common"], r["aa_score"])
         for r in adamic_adar_scores(edges, min_common=2).collect()
     }
-    want = round(1 / math.log(2) + 1 / math.log(3), 6)
-    assert got == {(1, 3): (2, pytest.approx(want, abs=1e-6))}
+    # (1,3): common {2 (deg 2), 9 (deg 3)}; (2,9): common {1, 3} (deg 2)
+    want_13 = round(1 / math.log(2) + 1 / math.log(3), 6)
+    want_29 = round(2 / math.log(2), 6)
+    assert got == {
+        (1, 3): (2, pytest.approx(want_13, abs=1e-6)),
+        (2, 9): (2, pytest.approx(want_29, abs=1e-6)),
+    }
 
 
 def test_existing_edges_excluded(spark):
