@@ -8634,3 +8634,117 @@ ORACLE["ext_link_prediction"] = """
     )
     ORDER BY s.u, s.v
 """
+
+
+def ext_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Welch's unequal-variance t-test — are click and
+    purchase values drawn from the same mean? One conditional
+    aggregation tree (the ext_ab_test pattern for CONTINUOUS
+    outcomes); t statistic and Welch-Satterthwaite df rounded to 4."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "click").alias("_a"), "value"
+    )
+    agg = s.agg(
+        F.sum(F.col("_a").cast("long")).alias("n1"),
+        F.sum((~F.col("_a")).cast("long")).alias("n2"),
+        F.avg(F.when(F.col("_a"), F.col("value"))).alias("m1"),
+        F.avg(F.when(~F.col("_a"), F.col("value"))).alias("m2"),
+        F.var_samp(F.when(F.col("_a"), F.col("value"))).alias("v1"),
+        F.var_samp(F.when(~F.col("_a"), F.col("value"))).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
+def ext_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: multivariate anomaly gate — diagonal-covariance
+    Mahalanobis distance over (quantity, price, discount): d² = Σ z².
+    One stats agg broadcast back, one scalar projection, one count —
+    the 3-feature generalization of the z-score fence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = li.agg(
+        *[F.avg(c).alias(f"_m_{c}") for c in cols],
+        *[F.stddev_pop(c).alias(f"_s_{c}") for c in cols],
+    )
+    d2 = None
+    for c in cols:
+        z = (F.col(c) - F.col(f"_m_{c}")) / F.col(f"_s_{c}")
+        d2 = z * z if d2 is None else d2 + z * z
+    flagged = li.crossJoin(F.broadcast(stats)).select(  # 1-row stats
+        d2.alias("_d2")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("_d2") > 9.0).cast("long"))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.max("_d2"), 2).alias("max_d2"),
+    )
+
+
+QUERIES["ext_welch_ttest"] = ext_welch_ttest
+QUERIES["ext_mahalanobis"] = ext_mahalanobis
+
+ORACLE["ext_welch_ttest"] = """
+    WITH s AS (
+        SELECT (event_type = 'click') AS a, value
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL
+    ), agg AS (
+        SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN a THEN 0 ELSE 1 END) AS n2,
+               AVG(CASE WHEN a THEN value END) AS m1,
+               AVG(CASE WHEN NOT a THEN value END) AS m2,
+               VAR_SAMP(CASE WHEN a THEN value END) AS v1,
+               VAR_SAMP(CASE WHEN NOT a THEN value END) AS v2
+        FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(m1 - m2, 4) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2)
+               AS welch_df
+    FROM agg
+"""
+
+ORACLE["ext_mahalanobis"] = """
+    WITH stats AS (
+        SELECT AVG(l_quantity) AS mq, STDDEV_POP(l_quantity) AS sq,
+               AVG(l_extendedprice) AS mp,
+               STDDEV_POP(l_extendedprice) AS sp,
+               AVG(l_discount) AS md, STDDEV_POP(l_discount) AS sd
+        FROM lineitem
+    ), d AS (
+        SELECT ((l_quantity - mq) / sq) * ((l_quantity - mq) / sq)
+               + ((l_extendedprice - mp) / sp)
+                 * ((l_extendedprice - mp) / sp)
+               + ((l_discount - md) / sd) * ((l_discount - md) / sd)
+                   AS d2
+        FROM lineitem, stats
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(d2), 2) AS max_d2
+    FROM d
+"""
