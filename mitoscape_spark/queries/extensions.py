@@ -8748,3 +8748,80 @@ ORACLE["ext_mahalanobis"] = """
            ROUND(MAX(d2), 2) AS max_d2
     FROM d
 """
+
+
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: cohort lifetime-value curves — customers cohorted by
+    first-order month, cumulative revenue per cohort at each months-
+    since-first offset. The window runs PARTITIONED BY cohort (bounded
+    partitions — never a global sort); revenue as integer cents for
+    cross-engine exactness."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("_cohort")
+    )
+    j = orders.join(first, "o_custkey").select(
+        F.col("_cohort").alias("cohort_month"),
+        (
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.col("_cohort")
+            )
+        )
+        .cast("int")
+        .alias("month_offset"),
+        cents.alias("_rev"),
+    )
+    per_cell = j.groupBy("cohort_month", "month_offset").agg(
+        F.sum("_rev").alias("_m_rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_cell.withColumn(
+            "cum_revenue_cents", F.sum("_m_rev").over(w).cast("long")
+        )
+        .select(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            "month_offset",
+            F.col("_m_rev").cast("long").alias("revenue_cents"),
+            "cum_revenue_cents",
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+QUERIES["ext_cohort_ltv"] = ext_cohort_ltv
+
+ORACLE["ext_cohort_ltv"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS om,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS rev
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, MIN(om) AS cohort FROM o GROUP BY o_custkey
+    ), j AS (
+        SELECT f.cohort AS cohort_month,
+               CAST(DATEDIFF('month', f.cohort, o.om) AS INT)
+                   AS month_offset,
+               o.rev
+        FROM o JOIN first f USING (o_custkey)
+    ), per_cell AS (
+        SELECT cohort_month, month_offset, SUM(rev) AS m_rev
+        FROM j GROUP BY cohort_month, month_offset
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           month_offset,
+           CAST(m_rev AS BIGINT) AS revenue_cents,
+           CAST(SUM(m_rev) OVER (
+               PARTITION BY cohort_month ORDER BY month_offset
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM per_cell
+    ORDER BY cohort_month, month_offset
+"""
