@@ -8825,3 +8825,111 @@ ORACLE["ext_cohort_ltv"] = """
     FROM per_cell
     ORDER BY cohort_month, month_offset
 """
+
+
+def ext_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: estimated distinct users TO DATE per day — the
+    dashboard curve — by prefix-merging per-day HLL registers instead
+    of rescanning history daily: registers grid (days × 256, bounded)
+    → running register max (window PARTITIONED by register — 256
+    bounded partitions, never global) → per-day estimate. The payoff
+    of a mergeable sketch: each day costs one day of data."""
+    from mitoscape_spark.operators.hll import hll_registers_grouped
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = hll_registers_grouped(
+        events.select(
+            F.to_date("ts").alias("day"), F.col("user_id")
+        ),
+        "day",
+        "user_id",
+        p=8,
+    ).select(F.col("grp").alias("day"), "register", "max_rank")
+    days = daily.select("day").distinct()
+    regs = daily.select("register").distinct()
+    grid = days.crossJoin(F.broadcast(regs))  # bounded 256-row side
+    w = (
+        Window.partitionBy("register")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(daily, ["day", "register"], "left")
+        .withColumn("_cum", F.max("max_rank").over(w))
+        .where(F.col("_cum").isNotNull())
+    )
+    # per-day estimate over the as-of register states (reuse the
+    # grouped estimator with day as the group)
+    from mitoscape_spark.operators.hll import hll_estimate_grouped
+
+    est = hll_estimate_grouped(
+        cum.select(
+            F.col("day").alias("grp"),
+            "register",
+            F.col("_cum").alias("max_rank"),
+        ),
+        p=8,
+    )
+    return est.select(F.col("grp").alias("day"), "hll_est").orderBy(
+        "day"
+    )
+
+
+QUERIES["ext_cumulative_users"] = ext_cumulative_users
+
+ORACLE["ext_cumulative_users"] = """
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day,
+               md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events WHERE user_id IS NOT NULL
+    ), pre AS (
+        SELECT day,
+               ('0x' || substr(hx, 1, 2))::BIGINT AS register,
+               substr(hx, 3, 13) AS hex,
+               ltrim(substr(hx, 3, 13), '0') AS stripped
+        FROM h
+    ), ranked AS (
+        SELECT day, register,
+               CASE WHEN stripped = '' THEN 53
+                    ELSE (LENGTH(hex) - LENGTH(stripped)) * 4
+                         + CASE WHEN SUBSTRING(stripped, 1, 1) = '1'
+                                    THEN 3
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('2', '3') THEN 2
+                                WHEN SUBSTRING(stripped, 1, 1)
+                                     IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rk
+        FROM pre
+    ), daily AS (
+        SELECT day, register, MAX(rk) AS max_rank
+        FROM ranked GROUP BY day, register
+    ), grid AS (
+        SELECT d.day, r.register
+        FROM (SELECT DISTINCT day FROM daily) d,
+             (SELECT DISTINCT register FROM daily) r
+    ), cum AS (
+        SELECT g.day, g.register,
+               MAX(dl.max_rank) OVER (
+                   PARTITION BY g.register ORDER BY g.day
+               ) AS c
+        FROM grid g
+        LEFT JOIN daily dl
+          ON g.day = dl.day AND g.register = dl.register
+    ), live AS (
+        SELECT day, register, c FROM cum WHERE c IS NOT NULL
+    ), agg AS (
+        SELECT day, SUM(POWER(2.0, -c)) AS s, COUNT(*) AS n
+        FROM live GROUP BY day
+    )
+    SELECT day,
+           ROUND(CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                     / (s + (256 - n))) <= 640.0 AND (256 - n) > 0
+               THEN 256.0 * LN(256.0 / (256 - n))
+               ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                    / (s + (256 - n)) END, 4) AS hll_est
+    FROM agg
+    ORDER BY day
+"""
