@@ -8933,3 +8933,78 @@ ORACLE["ext_cumulative_users"] = """
     FROM agg
     ORDER BY day
 """
+
+
+def ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: CUSUM change-point detection per event type — the
+    day where the cumulative deviation of daily means from the series
+    mean peaks (the classic level-shift locator, the monitoring
+    companion to drift: PSI/KS say THAT it moved, CUSUM says WHEN).
+    Windows partition by event type over days — bounded partitions.
+    Ranking uses |CUSUM| ROUNDED to 6 dp then day, so float
+    summation-order jitter cannot flip the argmax across engines."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.avg("value").alias("_m"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.withColumn("_mu", F.avg("_m").over(w_all))
+        .withColumn(
+            "_cusum", F.sum(F.col("_m") - F.col("_mu")).over(w_cum)
+        )
+        .withColumn("_a", F.round(F.abs("_cusum"), 6))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("_a").desc(), "day"
+    )
+    return (
+        cusum.withColumn("_r", F.row_number().over(w_rank))
+        .where(F.col("_r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("_a").alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ext_cusum"] = ext_cusum
+
+ORACLE["ext_cusum"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               AVG(value) AS m
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), c AS (
+        SELECT event_type, day,
+               ROUND(ABS(SUM(m - mu) OVER (
+                   PARTITION BY event_type ORDER BY day
+               )), 6) AS a
+        FROM (
+            SELECT event_type, day, m,
+                   AVG(m) OVER (PARTITION BY event_type) AS mu
+            FROM daily
+        )
+    )
+    SELECT event_type, day AS change_day, a AS max_abs_cusum
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY a DESC, day
+    ) = 1
+    ORDER BY event_type
+"""
