@@ -641,3 +641,86 @@ def sample_negatives(
             F.col("_take").cast("int").alias("draw_order"),
         )
     )
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "wr",
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement — k independent
+    categorical draws by cumulative-weight inversion (the multinomial
+    resampling primitive: bootstrap replicas, importance resampling,
+    epoch mixing where one document may legitimately repeat).
+    Complements ``weighted_sample_without_replacement`` (E–S keys
+    cannot produce repeats by construction).
+
+    Plan shape: each row gets its cumulative-weight interval
+    [lower, lower+w) from the two-phase prefix sum (no global window);
+    the k draw targets derive from ``md5(salt:j)`` scaled by the total
+    weight (one collected scalar, like the corpus size in
+    ``sample_negatives``) and ship BROADCAST as a literal array — each
+    row checks membership map-side, so the cost is one linear pass,
+    never a k × n join. Integer weights keep every interval bound and
+    target exact cross-engine; float weights work but put draws within
+    one ulp of a boundary at (negligible) cross-engine risk.
+
+    Returns (draw_order 0..k-1, id, weight); rows with NULL or
+    non-positive weight are excluded, mirroring the E–S contract.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_with_replacement: k >= 1")
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    rows = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    cum = running_prefix(
+        rows, "_id", {"_lo": ("_w", "sum")}, strict=True
+    ).select(
+        "_id", "_w", F.coalesce("_lo", F.lit(0.0)).alias("_lo")
+    )
+    total = rows.agg(F.sum("_w")).first()[0]
+    if total is None:
+        return cum.select(
+            F.lit(0).cast("int").alias("draw_order"),
+            F.col("_id").alias(id_col),
+            F.col("_w").alias(weight_col),
+        ).where(F.lit(False))
+    targets = []
+    import hashlib
+
+    for j in range(k):
+        h = hashlib.md5(f"{salt}:{j}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / 4503599627370497.0  # (0, 1]
+        # map u in (0,1] onto [0, total): flip to 1-u in [0,1)
+        targets.append((j, (1.0 - u) * float(total)))
+    draws = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.lit(t).alias("t")
+            )
+            for j, t in targets
+        ]
+    )
+    hits = F.filter(
+        draws,
+        lambda d: (d["t"] >= F.col("_lo"))
+        & (d["t"] < F.col("_lo") + F.col("_w")),
+    )
+    return (
+        cum.select(
+            F.explode(hits).alias("d"), "_id", "_w"
+        )
+        .select(
+            F.col("d.j").cast("int").alias("draw_order"),
+            F.col("_id").alias(id_col),
+            F.col("_w").alias(weight_col),
+        )
+        .orderBy("draw_order")
+    )

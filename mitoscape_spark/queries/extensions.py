@@ -9008,3 +9008,47 @@ ORACLE["ext_cusum"] = """
     ) = 1
     ORDER BY event_type
 """
+
+
+def ext_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: deterministic weighted sampling WITH replacement — 20
+    multinomial draws over documents weighted by length, by
+    cumulative-weight inversion (two-phase prefix sum + broadcast
+    targets; integer weights keep every bound exact cross-engine)."""
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_with_replacement(
+        docs, "n_chars", k=20, id_col="doc_id", salt="wr"
+    ).orderBy("draw_order")
+
+
+QUERIES["ext_weighted_sample_wr"] = ext_weighted_sample_wr
+
+ORACLE["ext_weighted_sample_wr"] = """
+    WITH rows_ AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), cum AS (
+        SELECT doc_id, w,
+               COALESCE(SUM(w) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0.0) AS lo
+        FROM rows_
+    ), t AS (SELECT SUM(w) AS total FROM rows_),
+    draws AS (
+        SELECT CAST(j AS INT) AS draw_order,
+               (1.0 - (('0x' || substr(md5('wr:' || CAST(j AS VARCHAR)),
+                        1, 13))::BIGINT + 1.0) / 4503599627370497.0)
+               * t.total AS tgt
+        FROM (SELECT unnest(range(20)) AS j), t
+    )
+    SELECT d.draw_order, c.doc_id, c.w AS n_chars
+    FROM draws d JOIN cum c
+      ON d.tgt >= c.lo AND d.tgt < c.lo + c.w
+    ORDER BY d.draw_order
+"""

@@ -69,3 +69,39 @@ def test_rejects_bad_params(spark):
     pos, corpus = _mk(spark, [(0, 1)], [0, 1])
     with pytest.raises(ValueError):
         sample_negatives(pos, corpus, "qid", "did", k=0)
+
+
+def test_weighted_wr_sampling_bias_and_determinism(spark):
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    # one heavy item (weight 1000) among 100 light (weight 1):
+    # ~91% of draws should hit the heavy item
+    rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_with_replacement(
+        df, "w", k=50, id_col="id"
+    ).collect()
+    assert len(out) == 50  # every draw resolves to exactly one row
+    assert sorted(r["draw_order"] for r in out) == list(range(50))
+    heavy = sum(1 for r in out if r["id"] == 0)
+    assert heavy >= 35  # E ~ 45.5; generous slack
+    again = weighted_sample_with_replacement(
+        df, "w", k=50, id_col="id"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_wr_excludes_nonpositive(spark):
+    from mitoscape_spark.operators.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "id long, w double"
+    )
+    out = weighted_sample_with_replacement(
+        df, "w", k=10, id_col="id"
+    ).collect()
+    assert len(out) == 10 and all(r["id"] == 1 for r in out)
