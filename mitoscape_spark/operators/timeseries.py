@@ -208,3 +208,89 @@ def daily_gapfill(
         .otherwise(F.round(interp, 4))
         .alias("total"),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring:
+    S(t) = Π_{t_i ≤ t, event} (1 − d_i / n_i), the time-to-event curve
+    (churn, time-to-repurchase, failure analysis) that naive
+    "average duration" metrics get WRONG the moment observations are
+    censored — dropping censored rows biases short, counting them as
+    events biases long; KM uses them correctly as at-risk mass.
+
+    Input: one row per subject — (duration, event) with event=1 for an
+    observed event and 0 for censoring at that duration.
+
+    Scale shape: subjects reduce to one row per distinct duration (d_i
+    events, c_i censored — one hash agg); the at-risk count
+    n_i = N − Σ_{t < t_i}(d + c) and the cumulative log-survival both
+    ride ONE inclusive two-phase prefix pass (strict values recovered
+    by subtracting the row's own contribution) — no global window.
+    Survival = exp(Σ ln(1 − d/n)) — a running product expressed as a
+    prefix sum. Output rows at event times only (the standard KM
+    support), survival rounded to 6 dp.
+    """
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    per_t = (
+        durations.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.sum((F.col(event_col) == 0).cast("long")).alias("c"),
+        )
+    )
+    total = durations.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).count()
+    # inclusive prefix of (d + c) and of the per-time log factor; the
+    # log factor needs n_t, which itself needs the strict prefix —
+    # recovered as inclusive − own, so ONE pass still suffices for
+    # (d+c); the log-survival then takes a second pass over the same
+    # (already pinned) per-time table
+    stage1 = running_prefix(
+        per_t.withColumn("_dc", F.col("d") + F.col("c")),
+        "t",
+        {"_s1": ("_dc", "sum")},
+        n_buckets=n_buckets,
+    ).withColumn(
+        "n_at_risk",
+        (F.lit(total) - (F.col("_s1") - F.col("_dc"))).cast("long"),
+    )
+    # the last event time can have d == n_at_risk (factor 0) —
+    # ln(0) errors in DuckDB and NULLs in Spark; floor the factor at
+    # 1e-12 so exp(Σ) underflows to a value that ROUNDs to exactly 0.0
+    # in both engines (the curve correctly terminates at 0)
+    stage1 = stage1.withColumn(
+        "_term",
+        F.when(
+            F.col("d") > 0,
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d") / F.col("n_at_risk"),
+                    F.lit(1e-12),
+                )
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = running_prefix(
+        stage1, "t", {"_ls": ("_term", "sum")}, n_buckets=n_buckets
+    )
+    return (
+        out.where(F.col("d") > 0)
+        .select(
+            F.col("t").alias(duration_col),
+            "n_at_risk",
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round(F.exp("_ls"), 6).alias("survival"),
+        )
+    )

@@ -9052,3 +9052,97 @@ ORACLE["ext_weighted_sample_wr"] = """
       ON d.tgt >= c.lo AND d.tgt < c.lo + c.w
     ORDER BY d.draw_order
 """
+
+
+def ext_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Kaplan-Meier time-to-repurchase — days from first to
+    second order, right-censored at the dataset horizon for one-order
+    customers. The survival curve naive averages get wrong under
+    censoring; at-risk and log-survival via the two-phase prefix."""
+    from mitoscape_spark.operators.timeseries import kaplan_meier
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("_d"),
+        F.row_number().over(w).alias("_r"),
+    ).where(F.col("_r") <= 2)
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("_h")
+    )
+    per_cust = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("_r") == 1, F.col("_d"))).alias("_t0"),
+            F.min(F.when(F.col("_r") == 2, F.col("_d"))).alias("_t1"),
+        )
+        .crossJoin(F.broadcast(horizon))  # 1-row stats join
+        .select(
+            F.when(
+                F.col("_t1").isNotNull(),
+                F.datediff("_t1", "_t0"),
+            )
+            .otherwise(F.datediff("_h", "_t0"))
+            .cast("long")
+            .alias("duration"),
+            F.col("_t1").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return kaplan_meier(per_cust).orderBy("duration")
+
+
+QUERIES["ext_kaplan_meier"] = ext_kaplan_meier
+
+ORACLE["ext_kaplan_meier"] = """
+    WITH ranked AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS r
+        FROM orders
+    ), h AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS hz FROM orders
+    ), per_cust AS (
+        SELECT CASE WHEN t1 IS NOT NULL
+                    THEN DATEDIFF('day', t0, t1)
+                    ELSE DATEDIFF('day', t0, h.hz) END AS duration,
+               CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM (
+            SELECT o_custkey,
+                   MIN(CASE WHEN r = 1 THEN d END) AS t0,
+                   MIN(CASE WHEN r = 2 THEN d END) AS t1
+            FROM ranked WHERE r <= 2 GROUP BY o_custkey
+        ), h
+    ), per_t AS (
+        SELECT duration AS t,
+               SUM(event) AS d,
+               SUM(1 - event) AS c
+        FROM per_cust GROUP BY duration
+    ), n AS (SELECT SUM(d + c) AS total FROM per_t),
+    cum AS (
+        SELECT t, d, c,
+               n.total - (SUM(d + c) OVER (ORDER BY t) - (d + c))
+                   AS n_at_risk
+        FROM per_t, n
+    ), terms AS (
+        SELECT t, d, c, n_at_risk,
+               CASE WHEN d > 0
+                    THEN LN(GREATEST(1.0 - d * 1.0 / n_at_risk,
+                                     1e-12))
+                    ELSE 0.0 END AS term
+        FROM cum
+    )
+    SELECT t AS duration,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(EXP(SUM(term) OVER (ORDER BY t)), 6) AS survival
+    FROM terms
+    QUALIFY d > 0
+    ORDER BY duration
+"""
