@@ -9146,3 +9146,67 @@ ORACLE["ext_kaplan_meier"] = """
     QUALIFY d > 0
     ORDER BY duration
 """
+
+
+def ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Benford's-law audit of order totals — observed
+    leading-digit frequencies vs log10(1 + 1/d) expectation with the
+    chi-square distance (the forensic-accounting screen for fabricated
+    values). The leading digit comes from the INTEGER-CENTS string
+    (identical formatting in both engines) — deriving it from
+    floor(x/10^floor(log10 x)) would put values near powers of ten at
+    libm last-ulp risk."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digits = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("_n"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.crossJoin(F.broadcast(total))  # 1-row stats join
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("_n"), 6).alias("p_obs"),
+            F.round(exp_p, 6).alias("p_benford"),
+            F.round(
+                F.pow(
+                    F.col("n_obs") - F.col("_n") * exp_p, F.lit(2.0)
+                )
+                / (F.col("_n") * exp_p),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["ext_benford"] = ext_benford
+
+ORACLE["ext_benford"] = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY 1
+    ), t AS (SELECT SUM(n_obs) AS n FROM digits)
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(n_obs * 1.0 / t.n, 6) AS p_obs,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford,
+           ROUND(POWER(n_obs - t.n * LOG10(1.0 + 1.0 / digit), 2.0)
+                 / (t.n * LOG10(1.0 + 1.0 / digit)), 4) AS chi2_term
+    FROM digits, t
+    ORDER BY digit
+"""
