@@ -9210,3 +9210,86 @@ ORACLE["ext_benford"] = """
     FROM digits, t
     ORDER BY digit
 """
+
+
+def ext_drift_ks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-type weekday-vs-weekend KS distance — the grouped
+    form of ext_drift_ks. The CDFs here ride windows PARTITIONED BY
+    event type (bounded partitions: per-type distinct values), so no
+    two-phase machinery is needed; the global-order primitive is only
+    for UNpartitioned order."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("_we"),
+    )
+    per_v = s.groupBy("event_type", "v").agg(
+        F.sum("_we").alias("_cw"),
+        F.sum(F.lit(1) - F.col("_we")).alias("_cd"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = (
+        per_v.withColumn("_fw", F.sum("_cw").over(w_cum))
+        .withColumn("_fd", F.sum("_cd").over(w_cum))
+        .withColumn("_nw", F.sum("_cw").over(w_all))
+        .withColumn("_nd", F.sum("_cd").over(w_all))
+    )
+    return (
+        cdf.groupBy("event_type")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_fw") / F.col("_nw")
+                        - F.col("_fd") / F.col("_nd")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.max("_nw").cast("long").alias("n_weekend"),
+            F.max("_nd").cast("long").alias("n_weekday"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ext_drift_ks_grouped"] = ext_drift_ks_grouped
+
+ORACLE["ext_drift_ks_grouped"] = """
+    WITH s AS (
+        SELECT event_type, value AS v,
+               CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS we
+        FROM events WHERE value IS NOT NULL
+    ), per_v AS (
+        SELECT event_type, v,
+               SUM(we) AS cw, SUM(1 - we) AS cd
+        FROM s GROUP BY event_type, v
+    ), cdf AS (
+        SELECT event_type,
+               SUM(cw) OVER (
+                   PARTITION BY event_type ORDER BY v
+               ) AS fw,
+               SUM(cd) OVER (
+                   PARTITION BY event_type ORDER BY v
+               ) AS fd,
+               SUM(cw) OVER (PARTITION BY event_type) AS nw,
+               SUM(cd) OVER (PARTITION BY event_type) AS nd
+        FROM per_v
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(fw * 1.0 / nw - fd * 1.0 / nd)), 6) AS ks_d,
+           CAST(MAX(nw) AS BIGINT) AS n_weekend,
+           CAST(MAX(nd) AS BIGINT) AS n_weekday
+    FROM cdf
+    GROUP BY event_type
+    ORDER BY event_type
+"""
