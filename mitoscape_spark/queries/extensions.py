@@ -9293,3 +9293,129 @@ ORACLE["ext_drift_ks_grouped"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def ext_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: median imputation + missingness indicators — every
+    7th event's value is knocked out deterministically, the imputer
+    fills the column median (one 1-row agg broadcast back) and appends
+    the was-null flag models need to see missingness."""
+    from mitoscape_spark.operators.features import impute_numeric
+
+    events = load_table(spark, sf_dir, "events")
+    holed = events.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    imp = impute_numeric(holed, ["value"], strategy="median")
+    return (
+        imp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value__was_null").cast("long").alias("n_imputed"),
+            F.round(F.avg("value"), 4).alias("avg_after_impute"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: leave-one-out target encoding of order priority
+    against order value (smoothing m=10) — the high-cardinality
+    categorical encoder, leakage-guarded by excluding each row's own
+    label. Group stats broadcast; the encode is a projection."""
+    from mitoscape_spark.operators.features import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    enc = target_encode_loo(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        smoothing=10.0,
+    )
+    return enc.select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderpriority__te")
+    ).orderBy("o_orderkey")
+
+
+def ext_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: equal-frequency binning of document lengths into 10
+    quantile bins (two-phase global_ntile — no single-partition NTILE
+    window), with per-bin occupancy and value ranges."""
+    from mitoscape_spark.operators.features import (
+        discretize_equal_frequency,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = discretize_equal_frequency(
+        docs.select("doc_id", "n_chars"),
+        value_col="n_chars",
+        id_col="doc_id",
+        n_bins=10,
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["ext_impute"] = ext_impute
+QUERIES["ext_target_encoding"] = ext_target_encoding
+QUERIES["ext_discretize"] = ext_discretize
+
+ORACLE["ext_impute"] = """
+    WITH holed AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                   AS value
+        FROM events
+    ), fill AS (
+        SELECT ROUND(quantile_cont(value, 0.5), 6) AS f FROM holed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_imputed,
+           ROUND(AVG(COALESCE(value, fill.f)), 4) AS avg_after_impute
+    FROM holed, fill
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+ORACLE["ext_target_encoding"] = """
+    WITH grp AS (
+        SELECT o_orderpriority,
+               SUM(o_totalprice) AS sy,
+               COUNT(o_totalprice) AS ny
+        FROM orders GROUP BY o_orderpriority
+    ), gm AS (SELECT AVG(o_totalprice) AS m FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND((g.sy - COALESCE(o.o_totalprice, 0.0) + 10.0 * gm.m)
+                 / (g.ny - CASE WHEN o.o_totalprice IS NOT NULL
+                                THEN 1 ELSE 0 END + 10.0), 6)
+               AS o_orderpriority__te
+    FROM orders o JOIN grp g USING (o_orderpriority), gm
+    ORDER BY o.o_orderkey
+"""
+
+ORACLE["ext_discretize"] = """
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r
+        FROM documents WHERE n_chars IS NOT NULL
+    ), n AS (SELECT COUNT(*) AS n FROM ranked)
+    SELECT CAST(FLOOR((r - 1) * 10.0 / n.n) + 1 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(n_chars) AS lo,
+           MAX(n_chars) AS hi
+    FROM ranked, n
+    GROUP BY 1
+    ORDER BY bin
+"""
