@@ -9419,3 +9419,178 @@ ORACLE["ext_discretize"] = """
     GROUP BY 1
     ORDER BY bin
 """
+
+
+def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: chi-square independence test + Cramér's V between
+    event type and weekday — "does event mix depend on day of week".
+    One contingency agg; expected counts from broadcast marginals; the
+    test statistic is a scalar reduction."""
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ma = obs.groupBy("a").agg(F.sum("o").alias("_na"))
+    mb = obs.groupBy("b").agg(F.sum("o").alias("_nb"))
+    tot = obs.agg(F.sum("o").alias("_n"))
+    e = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    cells = (
+        obs.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))  # 1-row stats join
+        .select(
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("_t"),
+            "_n",
+        )
+    )
+    # dof = (r-1)(c-1); V = sqrt(chi2 / (n * min(r-1, c-1)))
+    dims = obs.agg(
+        F.countDistinct("a").alias("_r"),
+        F.countDistinct("b").alias("_c"),
+    )
+    return (
+        cells.agg(
+            F.sum("_t").alias("_chi2"), F.max("_n").alias("_n2")
+        )
+        .crossJoin(F.broadcast(dims))  # 1-row stats join
+        .select(
+            F.round("_chi2", 4).alias("chi2"),
+            ((F.col("_r") - 1) * (F.col("_c") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("_chi2")
+                    / (
+                        F.col("_n2")
+                        * F.least(
+                            F.col("_r") - 1, F.col("_c") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: association rules from the co-purchase 2-itemsets —
+    confidence = supp(a,b)/supp(a) and lift = confidence/P(b) for both
+    rule directions of every pair with support ≥ 2 (the A-priori rule
+    step on top of ext_copurchase_pairs' candidate pass). Pair and
+    item supports are two hash aggs; the rule table is pair-bounded."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy(F.col("l_partkey").alias("x")).agg(
+        F.count(F.lit(1)).alias("_sx")
+    )
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("_sxy"))
+        .where(F.col("_sxy") >= 2)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("y").alias("x"),
+            F.col("x").alias("y"),
+            "_sxy",
+        )
+    )
+    rules = (
+        both.join(item, "x")
+        .join(
+            item.select(
+                F.col("x").alias("y"), F.col("_sx").alias("_sy")
+            ),
+            "y",
+        )
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("_sxy").cast("long").alias("support"),
+            F.round(F.col("_sxy") / F.col("_sx"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("_sxy") / F.col("_sx"))
+                / (F.col("_sy") / F.lit(float(n_orders))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy("antecedent", "consequent")
+
+
+QUERIES["ext_chi2_independence"] = ext_chi2_independence
+QUERIES["ext_association_rules"] = ext_association_rules
+
+ORACLE["ext_chi2_independence"] = """
+    WITH obs AS (
+        SELECT event_type AS a,
+               dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS b,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), ma AS (SELECT a, SUM(o) AS na FROM obs GROUP BY a),
+    mb AS (SELECT b, SUM(o) AS nb FROM obs GROUP BY b),
+    t AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT (o.o - (ma.na * 1.0 * mb.nb / t.n))
+               * (o.o - (ma.na * 1.0 * mb.nb / t.n))
+               / (ma.na * 1.0 * mb.nb / t.n) AS term,
+               t.n AS n
+        FROM obs o JOIN ma USING (a) JOIN mb USING (b), t
+    ), dims AS (
+        SELECT COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+        FROM obs
+    )
+    SELECT ROUND(SUM(term), 4) AS chi2,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(SUM(term)
+                 / (MAX(n) * LEAST(dims.r - 1, dims.c - 1))), 6)
+               AS cramers_v
+    FROM cells, dims
+    GROUP BY dims.r, dims.c
+"""
+
+ORACLE["ext_association_rules"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+    ), item AS (
+        SELECT l_partkey AS x, COUNT(*) AS sx FROM op GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS sxy
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), bidir AS (
+        SELECT x, y, sxy FROM pairs
+        UNION ALL
+        SELECT y, x, sxy FROM pairs
+    )
+    SELECT b.x AS antecedent, b.y AS consequent,
+           CAST(b.sxy AS BIGINT) AS support,
+           ROUND(b.sxy * 1.0 / ix.sx, 6) AS confidence,
+           ROUND((b.sxy * 1.0 / ix.sx)
+                 / (iy.sx * 1.0 / n.n_orders), 6) AS lift
+    FROM bidir b
+    JOIN item ix ON b.x = ix.x
+    JOIN item iy ON b.y = iy.x, n
+    ORDER BY antecedent, consequent
+"""
