@@ -9594,3 +9594,121 @@ ORACLE["ext_association_rules"] = """
     JOIN item iy ON b.y = iy.x, n
     ORDER BY antecedent, consequent
 """
+
+
+def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: dedup-tuning table — for each Jaccard threshold, how
+    many true pairs exist, how many the banded-MinHash candidates
+    catch, and the resulting precision/recall. The one-look answer to
+    'which threshold does THIS corpus need'; exact pairs and candidates
+    are each computed once and the sweep is a broadcast threshold
+    explode over the tiny pair table."""
+    from mitoscape_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    cands = minhash_candidate_pairs(
+        minhash_signatures(docs)
+    ).withColumn("_is_cand", F.lit(1))
+    joined = exact.join(cands, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("_is_cand", F.lit(0)).alias("_c")
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t / 10.0) for t in range(2, 10)])
+    ).alias("threshold")
+    swept = joined.select(thresholds, "jaccard", "_c").where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    # candidates BELOW each threshold (false positives at that cut)
+    cand_total = cands.count()
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum("_c").cast("long").alias("n_caught"),
+        )
+        .select(
+            "threshold",
+            "n_true_pairs",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_true_pairs"), 6)
+            .alias("recall"),
+            F.round(
+                F.col("n_caught") / F.lit(float(cand_total)), 6
+            ).alias("precision_at_cut"),
+        )
+        .orderBy("threshold")
+    )
+
+
+QUERIES["ext_dedup_threshold_sweep"] = ext_dedup_threshold_sweep
+
+ORACLE["ext_dedup_threshold_sweep"] = f"""
+    WITH {_TOKS}, {_SHINGLES3},
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_common * 1.0
+                     / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle)))
+                   AS minhash
+        FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, ',' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    ct AS (SELECT COUNT(*) AS n_cands FROM cands),
+    joined AS (
+        SELECT e.jaccard,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS isc
+        FROM exact e
+        LEFT JOIN cands c
+          ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    ),
+    swept AS (
+        SELECT t.threshold, j.jaccard, j.isc
+        FROM joined j,
+             (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                  AS threshold) t
+        WHERE j.jaccard >= t.threshold
+    )
+    SELECT s.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(s.isc) AS BIGINT) AS n_caught,
+           ROUND(SUM(s.isc) * 1.0 / COUNT(*), 6) AS recall,
+           ROUND(SUM(s.isc) * 1.0 / ct.n_cands, 6)
+               AS precision_at_cut
+    FROM swept s, ct
+    GROUP BY s.threshold, ct.n_cands
+    ORDER BY s.threshold
+"""
