@@ -9712,3 +9712,149 @@ ORACLE["ext_dedup_threshold_sweep"] = f"""
     GROUP BY s.threshold, ct.n_cands
     ORDER BY s.threshold
 """
+
+
+def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: degree assortativity of the co-purchase graph —
+    Pearson correlation of endpoint degrees over edges (positive =
+    hubs prefer hubs). Degrees from one agg broadcast onto the edge
+    list counted ONCE per direction (the standard undirected
+    convention); the coefficient is one corr aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .where(F.col("_s") >= 2)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        sym.join(
+            F.broadcast(deg.select(F.col("z").alias("u"),
+                                   F.col("d").alias("_du"))), "u"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("z").alias("v"),
+                                   F.col("d").alias("_dv"))), "v"
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        F.round(
+            F.corr(
+                F.col("_du").cast("double"),
+                F.col("_dv").cast("double"),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def ext_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: global clustering coefficient = 3·triangles / wedges
+    of the co-purchase graph — how much of the neighborhood structure
+    closes into triangles. Triangle count via the degree-ordered
+    orientation (operators/graph.py — no quadratic celebrity reducer);
+    wedges = Σ d(d−1)/2 from the degree table."""
+    from mitoscape_spark.operators.graph import triangle_counts
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .where(F.col("_s") >= 2)
+        .select("u", "v")
+    )
+    tri = triangle_counts(edges, src="u", dst="v").agg(
+        F.sum("n_triangles").alias("_t3")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    wedges = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(
+            F.sum(
+                F.col("_d") * (F.col("_d") - 1) / 2
+            ).alias("_w")
+        )
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        (F.col("_t3") / 3).cast("long").alias("n_triangles"),
+        F.col("_w").cast("long").alias("n_wedges"),
+        F.round(F.col("_t3") / F.col("_w"), 6).alias(
+            "global_clustering"
+        ),
+    )
+
+
+QUERIES["ext_graph_assortativity"] = ext_graph_assortativity
+QUERIES["ext_clustering_coefficient"] = ext_clustering_coefficient
+
+ORACLE["ext_graph_assortativity"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           ROUND(CORR(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)), 6)
+               AS assortativity
+    FROM sym s
+    JOIN deg du ON s.u = du.z
+    JOIN deg dv ON s.v = dv.z
+"""
+
+ORACLE["ext_clustering_coefficient"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), tri AS (
+        SELECT COUNT(*) AS t
+        FROM e ab JOIN e bc ON ab.v = bc.u
+        JOIN e ac ON ab.u = ac.u AND bc.v = ac.v
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    ), w AS (
+        SELECT SUM(d * (d - 1) / 2) AS w FROM deg
+    )
+    SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(w.w AS BIGINT) AS n_wedges,
+           ROUND(3.0 * tri.t / w.w, 6) AS global_clustering
+    FROM tri, w
+"""
