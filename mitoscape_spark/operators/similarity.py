@@ -1066,3 +1066,130 @@ def load_ivfpq(path: str) -> IVFPQIndex:
     idx.ivf = load_ivf(os.path.join(path, "ivf"))
     idx.pq = load_pq(os.path.join(path, "pq"))
     return idx
+
+
+def embedding_distance_histogram(
+    embeddings: DataFrame,
+    n_bins: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Histogram of ALL-pairs cosine similarities (bins over [-1, 1])
+    WITHOUT materializing a single pair row — the distance-distribution
+    profile that picks the embedding-dedup threshold / ANN radius by
+    evidence instead of folklore (a bimodal profile hands you ε; a
+    unimodal one warns dedup will be a precision bloodbath).
+
+    Plan: the same blocked packing as
+    ``dedup.embedding_near_duplicates`` (one shuffle into ~B block
+    matrices), one numpy GEMM per block pair inside ``mapInPandas`` —
+    but each task reduces its n²/B² cosines to ≤ ``n_bins`` partial
+    counts via ``np.bincount`` before anything leaves the task; the
+    final agg sums ≤ tasks·n_bins rows. O(n²·d) flops, O(bins) output.
+
+    Cross-engine note: a pair whose cosine sits within float-GEMM
+    error (~1e-15) of a bin edge could bin differently than a
+    sequential-dot oracle — probability ~pairs·1e-14, the repo's
+    negligible class.
+    """
+    from mitoscape_spark.operators.dedup import (
+        _auto_n_blocks,
+        _parallelism_blocks,
+        _require_integral_id,
+    )
+
+    _require_integral_id(
+        embeddings, id_col, "embedding_distance_histogram"
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+    if n_blocks is None:
+        stats = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("v")).alias("d"),
+        ).first()
+        n_blocks = max(
+            _auto_n_blocks((stats["n"] or 0) * (stats["d"] or 0) * 8),
+            _parallelism_blocks(
+                embeddings.sparkSession,
+                float(stats["n"] or 0) ** 2 * (stats["d"] or 0),
+            ),
+        )
+    packed = (
+        e.withColumn(
+            "block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+        )
+        .groupBy("block")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    sc = embeddings.sparkSession.sparkContext
+    n_tasks = max(
+        1,
+        min(n_blocks * (n_blocks + 1) // 2, 2 * sc.defaultParallelism),
+    )
+    block_pairs = a.join(
+        b, F.col("block_a") <= F.col("block_b")
+    ).repartition(n_tasks)
+    bins = int(n_bins)
+
+    def hist_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            acc = np.zeros(bins, dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(x) for x in row.vecs_a])
+                mb = np.array([np.asarray(x) for x in row.vecs_b])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                if row.block_a == row.block_b:
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    mask = np.ones_like(cos, dtype=bool)
+                vals = cos[mask]
+                idx = np.clip(
+                    np.floor((vals + 1.0) / 2.0 * bins).astype(
+                        np.int64
+                    ),
+                    0,
+                    bins - 1,
+                )
+                acc += np.bincount(idx, minlength=bins)
+            nz = np.nonzero(acc)[0]
+            yield pd.DataFrame(
+                {"bin": nz.astype("int32"), "n": acc[nz]}
+            )
+
+    partials = block_pairs.mapInPandas(
+        hist_partial, schema="bin int, n long"
+    )
+    return (
+        partials.groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * (2.0 / bins), 6)
+            .alias("bin_lo"),
+            "n_pairs",
+        )
+    )

@@ -9858,3 +9858,40 @@ ORACLE["ext_clustering_coefficient"] = """
            ROUND(3.0 * tri.t / w.w, 6) AS global_clustering
     FROM tri, w
 """
+
+
+def ext_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: all-pairs cosine distance profile of the embedding
+    corpus — 40 bins over [-1, 1], computed by per-block-pair GEMMs
+    that reduce to bin counts INSIDE each task (O(n²·d) flops, O(bins)
+    rows ever shuffled). The evidence behind the dedup-ε choice."""
+    from mitoscape_spark.operators.similarity import (
+        embedding_distance_histogram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_distance_histogram(emb, n_bins=40).orderBy("bin")
+
+
+QUERIES["ext_distance_histogram"] = ext_distance_histogram
+
+ORACLE["ext_distance_histogram"] = """
+    WITH pairs AS (
+        SELECT list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+    ), binned AS (
+        SELECT CAST(LEAST(GREATEST(
+                   FLOOR((cos + 1.0) / 2.0 * 40), 0), 39) AS INT)
+                   AS bin
+        FROM pairs
+    )
+    SELECT bin,
+           ROUND(-1.0 + bin * (2.0 / 40), 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+"""
