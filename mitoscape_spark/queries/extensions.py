@@ -9895,3 +9895,42 @@ ORACLE["ext_distance_histogram"] = """
     GROUP BY bin
     ORDER BY bin
 """
+
+
+def ext_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: streaming bottom-k uniform sample END-TO-END — 100
+    documents sampled by smallest md5 across two micro-batches; the
+    final state must equal the one-shot global bottom-k (the sample
+    twin of ext_stream_countmin / ext_stream_hll)."""
+    from mitoscape_spark.streaming.sinks import stream_bottomk_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return _run_two_batch_stream_service(
+        spark,
+        docs,
+        "doc_id",
+        lambda stream, root: stream_bottomk_sample(
+            stream, f"{root}/pairs", f"{root}/ckpt",
+            id_col="doc_id", k=100, salt="bk",
+        ),
+        lambda state: state.select("doc_id", "source").orderBy(
+            "doc_id"
+        ),
+        "doc_id long, source string",
+    )
+
+
+QUERIES["ext_stream_sample"] = ext_stream_sample
+
+ORACLE["ext_stream_sample"] = """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               md5('bk' || CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents
+    )
+    ORDER BY hk, doc_id
+    LIMIT 100
+"""

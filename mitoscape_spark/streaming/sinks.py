@@ -685,3 +685,47 @@ def stream_hll(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_bottomk_sample(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str,
+    k: int = 100,
+    salt: str = "bk",
+) -> StreamingQuery:
+    """Streaming uniform-sample maintenance: keep the k rows with the
+    SMALLEST md5(salt || id) across everything ever seen — the
+    bottom-k sketch, which IS a uniform sample without replacement
+    (hash order is uniform) and, unlike reservoir sampling, is
+    deterministic, engine-portable, and MERGEABLE (union → k smallest
+    again). Rides the same exactly-once ledgered-overwrite protocol as
+    stream_countmin/stream_hll; bottom-k is idempotent under replay,
+    but the ledger still skips the wasted work."""
+
+    def build(batch: DataFrame) -> DataFrame:
+        keyed = batch.withColumn(
+            "_hk",
+            F.md5(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ),
+        )
+        return keyed.orderBy("_hk", id_col).limit(k)
+
+    def merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(delta)
+            .dropDuplicates([id_col])
+            .orderBy("_hk", id_col)
+            .limit(k)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(
+            sketch_maintenance_committer(state_dir, build, merge)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -74,3 +74,45 @@ def test_hll_service_matches_direct_build(spark, tmp_path):
         for r in snap.read(spark, state_dir).collect()
     }
     assert got == want
+
+
+def test_bottomk_sample_service_matches_oneshot(spark, tmp_path):
+    import hashlib
+
+    from mitoscape_spark.streaming.sinks import stream_bottomk_sample  # noqa: F401 (service under test via committer)
+    from mitoscape_spark.streaming import sinks as S
+    from pyspark.sql import functions as F
+
+    state_dir = str(tmp_path / "bk")
+    k, salt = 10, "t"
+
+    def build(batch):
+        keyed = batch.withColumn(
+            "_hk",
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+        )
+        return keyed.orderBy("_hk", "id").limit(k)
+
+    def merge(prev, delta):
+        return (
+            prev.unionByName(delta)
+            .dropDuplicates(["id"])
+            .orderBy("_hk", "id")
+            .limit(k)
+        )
+
+    commit = S.sketch_maintenance_committer(state_dir, build, merge)
+    b0 = spark.createDataFrame([(i,) for i in range(0, 400)], "id long")
+    b1 = spark.createDataFrame([(i,) for i in range(400, 900)], "id long")
+    commit(b0, 0)
+    commit(b1, 1)
+    got = sorted(
+        r["id"] for r in snap.read(spark, state_dir).collect()
+    )
+    want = sorted(
+        sorted(
+            range(900),
+            key=lambda i: hashlib.md5(f"{salt}{i}".encode()).hexdigest(),
+        )[:k]
+    )
+    assert got == want
