@@ -9934,3 +9934,76 @@ ORACLE["ext_stream_sample"] = """
     ORDER BY hk, doc_id
     LIMIT 100
 """
+
+
+def ext_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: per-document keyword extraction — top-3 tokens by
+    TF·ln(N/DF) with raw token strings (portable IDF — unlike the
+    HashingTF pipeline in operators/tfidf.py, every number here is
+    engine-reproducible). One explode feeds TF and DF aggs; DF joins
+    back on token; ranking windows partition by doc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    scored = tf.join(df_, "tok").withColumn(
+        "_score",
+        F.col("_tf")
+        * F.log(F.lit(float(n_docs)) / F.col("_df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), "tok"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("_tf").cast("long").alias("tf"),
+            F.col("_df").cast("long").alias("df"),
+            F.round("_score", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+QUERIES["ext_keywords"] = ext_keywords
+
+ORACLE["ext_keywords"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.tok, t.tf, df.df,
+               t.tf * LN(n.n * 1.0 / df.df) AS score
+        FROM tf t JOIN df USING (tok), n
+    )
+    SELECT doc_id, tok,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           ROUND(score, 6) AS tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    ORDER BY doc_id, rank
+"""
