@@ -10007,3 +10007,70 @@ ORACLE["ext_keywords"] = """
     QUALIFY rank <= 3
     ORDER BY doc_id, rank
 """
+
+
+def ext_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: higher-moment profile per event type — mean, stddev,
+    skewness, excess kurtosis from CENTERED power sums (two passes:
+    broadcast means, then Σ(x−μ)^k) with the population formulas
+    written out identically in both engines — Spark's and DuckDB's
+    built-in skewness/kurtosis use different sample corrections, so
+    the built-ins can never hash-match each other."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").alias("v")
+    )
+    mu = s.groupBy("event_type").agg(F.avg("v").alias("_mu"))
+    centered = s.join(F.broadcast(mu), "event_type").select(
+        "event_type", (F.col("v") - F.col("_mu")).alias("_c"), "_mu"
+    )
+    agg = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_mu").alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c")).alias("_s3"),
+        F.sum(
+            F.col("_c") * F.col("_c") * F.col("_c") * F.col("_c")
+        ).alias("_s4"),
+    )
+    m2 = F.col("_s2") / F.col("_n")
+    m3 = F.col("_s3") / F.col("_n")
+    m4 = F.col("_s4") / F.col("_n")
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n"),
+        F.round("_m", 4).alias("mean"),
+        F.round(F.sqrt(m2), 4).alias("stddev"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 4).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+QUERIES["ext_moments"] = ext_moments
+
+ORACLE["ext_moments"] = """
+    WITH s AS (
+        SELECT event_type, value AS v FROM events
+        WHERE value IS NOT NULL
+    ), mu AS (
+        SELECT event_type, AVG(v) AS m FROM s GROUP BY event_type
+    ), c AS (
+        SELECT s.event_type, (s.v - mu.m) AS c, mu.m
+        FROM s JOIN mu USING (event_type)
+    ), agg AS (
+        SELECT event_type, COUNT(*) AS n, MAX(m) AS m,
+               SUM(c * c) AS s2,
+               SUM(c * c * c) AS s3,
+               SUM(c * c * c * c) AS s4
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(m, 4) AS mean,
+           ROUND(SQRT(s2 / n), 4) AS stddev,
+           ROUND((s3 / n) / POWER(s2 / n, 1.5), 4) AS skewness,
+           ROUND((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0, 4)
+               AS excess_kurtosis
+    FROM agg
+    ORDER BY event_type
+"""
