@@ -10074,3 +10074,73 @@ ORACLE["ext_moments"] = """
     FROM agg
     ORDER BY event_type
 """
+
+
+def ext_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: forecast-accuracy metrics — score the seasonal-naive
+    baseline (predict day d with day d−7) per event type on daily
+    totals: MAE, MAPE, SMAPE. The evaluation harness any real
+    forecaster must beat; the lag join is a per-type window over the
+    bounded daily rollup."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("yhat", F.lag("y", 7).over(w))
+        .where(F.col("yhat").isNotNull() & (F.col("y") != 0))
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.avg(err / F.abs("y")), 6).alias("mape"),
+            F.round(
+                F.avg(
+                    F.lit(2.0)
+                    * err
+                    / (F.abs("y") + F.abs("yhat"))
+                ),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ext_forecast_eval"] = ext_forecast_eval
+
+ORACLE["ext_forecast_eval"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), scored AS (
+        SELECT event_type, y,
+               LAG(y, 7) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS yhat
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(y - yhat)), 4) AS mae,
+           ROUND(AVG(ABS(y - yhat) / ABS(y)), 6) AS mape,
+           ROUND(AVG(2.0 * ABS(y - yhat)
+                     / (ABS(y) + ABS(yhat))), 6) AS smape
+    FROM scored
+    WHERE yhat IS NOT NULL AND y <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+"""
