@@ -10144,3 +10144,78 @@ ORACLE["ext_forecast_eval"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: how seasonal is each event type — the R² of the
+    day-of-week-means model on daily totals (between-dow variance /
+    total variance, the ANOVA decomposition behind ext_seasonal_dow's
+    additive fit). Two tiny aggs over the daily rollup."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    dow_mu = daily.groupBy("event_type", "dow").agg(
+        F.avg("y").alias("_dm")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.avg("y").alias("_gm")
+    )
+    joined = daily.join(dow_mu, ["event_type", "dow"]).join(
+        F.broadcast(overall), "event_type"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum(
+                    (F.col("_dm") - F.col("_gm"))
+                    * (F.col("_dm") - F.col("_gm"))
+                )
+                / F.sum(
+                    (F.col("y") - F.col("_gm"))
+                    * (F.col("y") - F.col("_gm"))
+                ),
+                6,
+            ).alias("seasonality_r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ext_seasonality_strength"] = ext_seasonality_strength
+
+ORACLE["ext_seasonality_strength"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 6) AS y,
+               dayofweek(CAST(ts AS DATE)) AS dow
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE),
+                 dayofweek(CAST(ts AS DATE))
+    ), dm AS (
+        SELECT event_type, dow, AVG(y) AS dmu
+        FROM daily GROUP BY event_type, dow
+    ), gm AS (
+        SELECT event_type, AVG(y) AS gmu
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM((m.dmu - g.gmu) * (m.dmu - g.gmu))
+                 / SUM((d.y - g.gmu) * (d.y - g.gmu)), 6)
+               AS seasonality_r2
+    FROM daily d
+    JOIN dm m ON d.event_type = m.event_type AND d.dow = m.dow
+    JOIN gm g ON d.event_type = g.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+"""
