@@ -10219,3 +10219,98 @@ ORACLE["ext_seasonality_strength"] = """
     GROUP BY d.event_type
     ORDER BY d.event_type
 """
+
+
+def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Mann-Whitney U (Wilcoxon rank-sum) between click and
+    purchase values — the nonparametric companion to ext_welch_ttest
+    (rank-based, so outliers can't buy the verdict). Midranks come
+    from the strict prefix sum over distinct values (two-phase — no
+    global window); U, the tie-corrected variance, and the z score are
+    exact-integer/dyadic arithmetic until the final division."""
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("_a"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("_a").alias("_c1"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_c2"),
+    ).withColumn("_t", F.col("_c1") + F.col("_c2"))
+    pre = running_prefix(
+        per_v, "v", {"_s": ("_t", "sum")}, strict=True
+    ).select(
+        "_c1",
+        "_c2",
+        "_t",
+        (
+            F.coalesce("_s", F.lit(0.0))
+            + (F.col("_t") + 1) / 2.0
+        ).alias("_mid"),
+    )
+    agg = pre.agg(
+        F.sum("_c1").alias("n1"),
+        F.sum("_c2").alias("n2"),
+        F.sum(F.col("_c1") * F.col("_mid")).alias("_r1"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u = F.col("_r1") - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    var = (
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    )
+    return agg.select(
+        n1.cast("long").alias("n_click"),
+        n2.cast("long").alias("n_purchase"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 4).alias("z_score"),
+    )
+
+
+QUERIES["ext_mann_whitney"] = ext_mann_whitney
+
+ORACLE["ext_mann_whitney"] = """
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL
+    ), per_v AS (
+        SELECT v, SUM(a) AS c1, SUM(1 - a) AS c2,
+               SUM(a) + SUM(1 - a) AS t
+        FROM s GROUP BY v
+    ), mid AS (
+        SELECT c1, c2, t,
+               COALESCE(SUM(t) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + (t + 1) / 2.0 AS midrank
+        FROM per_v
+    ), agg AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+               SUM(c1 * midrank) AS r1,
+               SUM(t * t * t - t) AS ties
+        FROM mid
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - ties * 1.0
+                             / ((n1 + n2) * (n1 + n2 - 1)))), 4)
+               AS z_score
+    FROM agg
+"""

@@ -221,3 +221,21 @@ def test_coverage_depth_skips_invalid_intervals(spark):
     )
     rows = {r["pos"]: r["depth"] for r in coverage_depth(df, "s", "e").collect()}
     assert rows == {0: 1, 6: 0}  # only the valid [0,5] contributes
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark):
+    # hand-computed: a = [1,2,3], b = [4,5,6] -> U1 = 0, all b above a
+    from mitoscape_spark.queries.extensions import ext_mann_whitney  # noqa: F401 (query form tested via verify)
+    from mitoscape_spark.operators.orderstats import running_prefix
+    # direct check of the midrank construction on ties:
+    # values [1,1,2]: midranks 1.5, 1.5, 3
+    df = spark.createDataFrame(
+        [(1.0, 2, 0), (2.0, 1, 0)], "v double, t long, c long"
+    )
+    got = {
+        r["v"]: r["m"]
+        for r in running_prefix(df, "v", {"_s": ("t", "sum")}, strict=True)
+        .selectExpr("v", "coalesce(_s, 0.0) + (t + 1) / 2.0 AS m")
+        .collect()
+    }
+    assert got == {1.0: 1.5, 2.0: 3.0}
