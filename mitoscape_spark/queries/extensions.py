@@ -10314,3 +10314,139 @@ ORACLE["ext_mann_whitney"] = """
                AS z_score
     FROM agg
 """
+
+
+def ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Spearman rank correlation between lineitem quantity
+    and extended price — Pearson on MIDRANKS (ties averaged), each
+    variable's midranks from one per-distinct-value agg + the strict
+    two-phase prefix sum + a join back on the value. Rank-based, so a
+    monotone-but-curved relation scores what Pearson under-reports."""
+    from mitoscape_spark.operators.orderstats import running_prefix
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+
+    def midranks(col: str, out: str):
+        per_v = li.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_t")
+        )
+        return running_prefix(
+            per_v, "_v", {"_s": ("_t", "sum")}, strict=True
+        ).select(
+            F.col("_v").alias(col),
+            (
+                F.coalesce("_s", F.lit(0.0))
+                + (F.col("_t") + 1) / 2.0
+            ).alias(out),
+        )
+
+    ranked = li.select("l_quantity", "l_extendedprice").join(
+        F.broadcast(midranks("l_quantity", "_rq")), "l_quantity"
+    ).join(
+        midranks("l_extendedprice", "_rp"), "l_extendedprice"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("_rq", "_rp"), 6).alias("spearman_rho"),
+    )
+
+
+QUERIES["ext_spearman"] = ext_spearman
+
+ORACLE["ext_spearman"] = """
+    WITH li AS (
+        SELECT l_quantity AS q, l_extendedprice AS p
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ), rq AS (
+        SELECT _v AS q,
+               COALESCE(SUM(_t) OVER (
+                   ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + (_t + 1) / 2.0 AS mr
+        FROM (SELECT q AS _v, COUNT(*) AS _t FROM li GROUP BY q)
+    ), rp AS (
+        SELECT _v AS p,
+               COALESCE(SUM(_t) OVER (
+                   ORDER BY _v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + (_t + 1) / 2.0 AS mr
+        FROM (SELECT p AS _v, COUNT(*) AS _t FROM li GROUP BY p)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CORR(rq.mr, rp.mr), 6) AS spearman_rho
+    FROM li JOIN rq USING (q) JOIN rp USING (p)
+"""
+
+
+def ext_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: autocorrelation of daily totals per event type at
+    lags 1 and 7 — the is-there-weekly-structure readout companion to
+    ext_seasonality_strength. Per-type lag windows over the bounded
+    daily rollup; one corr agg per lag via a lag-tagged union."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    tagged = None
+    for lag in (1, 7):
+        part = (
+            daily.withColumn("_yl", F.lag("y", lag).over(w))
+            .where(F.col("_yl").isNotNull())
+            .select(
+                "event_type",
+                F.lit(lag).alias("lag"),
+                "y",
+                "_yl",
+            )
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (
+        tagged.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.corr("y", "_yl"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+QUERIES["ext_autocorrelation"] = ext_autocorrelation
+
+ORACLE["ext_autocorrelation"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), lagged AS (
+        SELECT event_type, 1 AS lag, y,
+               LAG(y, 1) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS yl
+        FROM daily
+        UNION ALL
+        SELECT event_type, 7 AS lag, y,
+               LAG(y, 7) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS yl
+        FROM daily
+    )
+    SELECT event_type, lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CORR(y, yl), 6) AS acf
+    FROM lagged
+    WHERE yl IS NOT NULL
+    GROUP BY event_type, lag
+    ORDER BY event_type, lag
+"""
