@@ -452,6 +452,22 @@ def cmd_sketch(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_eval(args, spark: SparkSession) -> int:
+    """Score retrieval runs against qrels (P@k / MRR / nDCG@k,
+    trec_eval contract) — runs parquet needs (qid, did, score), qrels
+    parquet needs (qid, did)."""
+    from mitoscape_spark.operators.retrieval_eval import retrieval_metrics
+
+    runs = spark.read.parquet(args.runs)
+    qrels = spark.read.parquet(args.qrels)
+    r = retrieval_metrics(runs, qrels, k=args.k).collect()[0]
+    print(
+        f"eval: n_queries={r.n_queries} p@{args.k}={r.p_at_k} "
+        f"mrr={r.mrr} ndcg@{args.k}={r.ndcg}"
+    )
+    return 0
+
+
 def cmd_expect(args, spark: SparkSession) -> int:
     """Run a JSON expectations file against a parquet table; print the
     report; exit 3 when any rule fails — the ingest gate between
@@ -636,6 +652,14 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--depth", type=int, default=4)
     sk.add_argument("--keys", help="comma-separated probe keys (cms)")
     sk.set_defaults(fn=cmd_sketch)
+
+    ev = sub.add_parser(
+        "eval", help="retrieval metrics: P@k / MRR / nDCG@k from runs+qrels"
+    )
+    ev.add_argument("--runs", required=True, help="(qid, did, score) parquet")
+    ev.add_argument("--qrels", required=True, help="(qid, did) parquet")
+    ev.add_argument("--k", type=int, default=10)
+    ev.set_defaults(fn=cmd_eval)
 
     ex = sub.add_parser(
         "expect", help="validate a parquet table against a JSON rule file"

@@ -558,3 +558,20 @@ def test_cli_sketch_cms_requires_keys(spark, tmp_path):
             ["sketch", "--input", p, "--column", "k", "--stat", "cms"],
             spark=spark,
         )
+
+
+def test_cli_eval_retrieval_metrics(spark, tmp_path, capsys):
+    runs_p, qrels_p = str(tmp_path / "runs"), str(tmp_path / "qrels")
+    spark.createDataFrame(
+        [("q", "hit", 0.9), ("q", "miss", 0.8)],
+        "qid string, did string, score double",
+    ).write.parquet(runs_p)
+    spark.createDataFrame(
+        [("q", "hit")], "qid string, did string"
+    ).write.parquet(qrels_p)
+    assert main(
+        ["eval", "--runs", runs_p, "--qrels", qrels_p, "--k", "2"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "n_queries=1" in out and "mrr=1.0" in out
