@@ -468,6 +468,50 @@ def cmd_eval(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_report(args, spark: SparkSession) -> int:
+    """One-command corpus report: size, language mix, quality-gate
+    pass rate, lexical diversity — the dataset-card numbers from the
+    same oracle-checked operators the query surface exposes."""
+    from mitoscape_spark.operators.textstats import (
+        gopher_rules,
+        lang_id,
+        token_entropy,
+    )
+
+    docs = spark.read.parquet(args.input)
+    n = docs.count()
+    print(f"report: {n} documents")
+    langs = (
+        lang_id(docs, args.text_col)
+        .groupBy("lang_pred")
+        .count()
+        .orderBy(F.col("count").desc())
+        .limit(5)
+        .collect()
+    )
+    for r in langs:
+        print(f"report: lang {r['lang_pred']} n={r['count']}")
+    passed = (
+        gopher_rules(docs, args.text_col)
+        .where(F.col("passes"))
+        .count()
+    )
+    print(
+        f"report: gopher-quality pass rate "
+        f"{passed}/{n} ({passed / max(n, 1):.1%})"
+    )
+    if args.group_col:
+        ent = token_entropy(
+            docs, args.text_col, args.group_col
+        ).orderBy(F.col("entropy").desc()).limit(5).collect()
+        for r in ent:
+            print(
+                f"report: {args.group_col}={r[args.group_col]} "
+                f"entropy={r['entropy']} ttr={r['type_token_ratio']}"
+            )
+    return 0
+
+
 def cmd_expect(args, spark: SparkSession) -> int:
     """Run a JSON expectations file against a parquet table; print the
     report; exit 3 when any rule fails — the ingest gate between
@@ -660,6 +704,15 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--qrels", required=True, help="(qid, did) parquet")
     ev.add_argument("--k", type=int, default=10)
     ev.set_defaults(fn=cmd_eval)
+
+    rp = sub.add_parser(
+        "report", help="one-command corpus report (dataset-card numbers)"
+    )
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--group-col", default=None,
+                    help="optional stratum column for per-group diversity")
+    rp.set_defaults(fn=cmd_report)
 
     ex = sub.add_parser(
         "expect", help="validate a parquet table against a JSON rule file"

@@ -575,3 +575,21 @@ def test_cli_eval_retrieval_metrics(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "n_queries=1" in out and "mrr=1.0" in out
+
+
+def test_cli_report(spark, tmp_path, capsys):
+    p = str(tmp_path / "docs")
+    rows = [
+        (i, "the and for with this that are was " * 5, f"s{i % 2}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(p)
+    assert main(
+        ["report", "--input", p, "--group-col", "source"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "report: 6 documents" in out
+    assert "gopher-quality pass rate" in out
+    assert "entropy=" in out
