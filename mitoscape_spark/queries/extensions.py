@@ -10450,3 +10450,115 @@ ORACLE["ext_autocorrelation"] = """
     GROUP BY event_type, lag
     ORDER BY event_type, lag
 """
+
+
+def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: ROC AUC as a first-class aggregate — how well the
+    heuristic quality score separates Gopher-passing from -failing
+    documents, via the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2) /
+    (n₊·n₋) on MIDRANKS (ties share credit — the exact AUC, not the
+    trapezoid approximation). Same strict-prefix midrank machinery as
+    Mann-Whitney; one additional hash agg."""
+    from mitoscape_spark.operators.orderstats import running_prefix
+    from mitoscape_spark.operators.textstats import (
+        gopher_rules,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(docs).select("doc_id", "quality")
+    labeled = gopher_rules(docs).select(
+        "doc_id", F.col("passes").cast("long").alias("_y")
+    )
+    j = scored.join(labeled, "doc_id")
+    per_v = j.groupBy(F.col("quality").alias("_v")).agg(
+        F.sum("_y").alias("_c1"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_c2"),
+    ).withColumn("_t", F.col("_c1") + F.col("_c2"))
+    mid = running_prefix(
+        per_v, "_v", {"_s": ("_t", "sum")}, strict=True
+    ).select(
+        "_c1",
+        "_c2",
+        (
+            F.coalesce("_s", F.lit(0.0))
+            + (F.col("_t") + 1) / 2.0
+        ).alias("_mid"),
+    )
+    agg = mid.agg(
+        F.sum("_c1").alias("n_pos"),
+        F.sum("_c2").alias("n_neg"),
+        F.sum(F.col("_c1") * F.col("_mid")).alias("_r1"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.col("_r1")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+QUERIES["ext_auc"] = ext_auc
+
+ORACLE["ext_auc"] = """
+    WITH toks AS (
+        SELECT doc_id, text,
+               string_split(lower(text), ' ') AS t
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               ROUND(
+                   LEAST(len(t) / 50.0, 1.0) * 0.4
+                   + (1 - LEAST(
+                       (LENGTH(text) - LENGTH(regexp_replace(
+                            text, '[^a-zA-Z0-9 ]', '', 'g')))
+                       * 1.0 / GREATEST(LENGTH(text), 1), 1.0)) * 0.3
+                   + LEAST(len(list_intersect(t,
+                       ['the','a','is','of','and','to','in','that',
+                        'it','for'])) / 5.0, 1.0) * 0.3,
+               4) AS quality,
+               len(t) AS n,
+               (LENGTH(text) - len(t) + 1) * 1.0 / len(t) AS mean_len,
+               LENGTH(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                   * 1.0 / GREATEST(LENGTH(text), 1) AS alpha_frac,
+               len(list_intersect(t,
+                   ['the','a','is','of','and','to','in','that',
+                    'it','for'])) AS stop_hits,
+               len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio
+        FROM toks
+    ), labeled AS (
+        SELECT quality,
+               CASE WHEN n >= 20 AND n <= 1000
+                         AND mean_len >= 2.0 AND mean_len <= 12.0
+                         AND alpha_frac >= 0.8
+                         AND stop_hits >= 2
+                         AND distinct_ratio >= 0.2
+                    THEN 1 ELSE 0 END AS y
+        FROM q
+    ), per_v AS (
+        SELECT quality AS v, SUM(y) AS c1, SUM(1 - y) AS c2,
+               COUNT(*) AS t
+        FROM labeled GROUP BY quality
+    ), mid AS (
+        SELECT c1, c2,
+               COALESCE(SUM(t) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + (t + 1) / 2.0 AS midrank
+        FROM per_v
+    ), agg AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+               SUM(c1 * midrank) AS r1
+        FROM mid
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS auc
+    FROM agg
+"""
