@@ -10562,3 +10562,70 @@ ORACLE["ext_auc"] = """
            ROUND((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS auc
     FROM agg
 """
+
+
+def ext_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-round5: Wilson 95% confidence interval for each event type's
+    share of all events — interval estimation next to the test family
+    (the Wilson interval stays inside [0,1] and behaves at small n,
+    unlike the naive Wald interval). One contingency agg + closed-form
+    scalar math."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    tot = counts.agg(F.sum("_k").alias("_n"))
+    z = F.lit(1.959963984540054)  # Phi^-1(0.975)
+    k, n = F.col("_k").cast("double"), F.col("_n").cast("double")
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        / denom
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1-row stats join
+        .select(
+            "event_type",
+            F.col("_k").cast("long").alias("n_events"),
+            F.round(p, 6).alias("share"),
+            F.round(center - half, 6).alias("ci_lo"),
+            F.round(center + half, 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ext_wilson_ci"] = ext_wilson_ci
+
+ORACLE["ext_wilson_ci"] = """
+    WITH counts AS (
+        SELECT event_type, COUNT(*) AS k FROM events
+        GROUP BY event_type
+    ), tot AS (SELECT SUM(k) AS n FROM counts)
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_events,
+           ROUND(k * 1.0 / n, 6) AS share,
+           ROUND(((k * 1.0 / n) + 1.959963984540054 * 1.959963984540054
+                      / (2 * (n * 1.0)))
+                 / (1 + 1.959963984540054 * 1.959963984540054 / (n * 1.0))
+                 - 1.959963984540054
+                   * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / (n * 1.0)
+                          + 1.959963984540054 * 1.959963984540054
+                            / (4 * (n * 1.0) * (n * 1.0)))
+                   / (1 + 1.959963984540054 * 1.959963984540054
+                          / (n * 1.0)), 6) AS ci_lo,
+           ROUND(((k * 1.0 / n) + 1.959963984540054 * 1.959963984540054
+                      / (2 * (n * 1.0)))
+                 / (1 + 1.959963984540054 * 1.959963984540054 / (n * 1.0))
+                 + 1.959963984540054
+                   * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / (n * 1.0)
+                          + 1.959963984540054 * 1.959963984540054
+                            / (4 * (n * 1.0) * (n * 1.0)))
+                   / (1 + 1.959963984540054 * 1.959963984540054
+                          / (n * 1.0)), 6) AS ci_hi
+    FROM counts, tot
+    ORDER BY event_type
+"""
