@@ -88,16 +88,26 @@ def _checked_in_prior_rounds() -> set[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    errored: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 report = json.load(fh)
-            seen.update(
-                name for name, res in report.items() if isinstance(res, dict)
-            )
         except Exception:  # malformed report — ignore, order is best-effort
             continue
-    return seen
+        for name, res in report.items():
+            if not isinstance(res, dict):
+                continue
+            seen.add(name)
+            # a hard ERROR (err set and not the documented rows-only
+            # marker) is not a verdict — re-queue so the fixed query
+            # gets a real driver check (round-5: ext_bpe_tokens)
+            err = res.get("err")
+            if err and err != "no_oracle":
+                errored.add(name)
+            else:
+                errored.discard(name)  # later round superseded the error
+    return seen - errored
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2982,11 +2982,27 @@ def ext_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE-style pre-tokenization (GPT-2 split regex, lookaround-
-    free subset) — token array + total/distinct counts, all JVM-side."""
+    free subset) — tokens + total/distinct counts, all JVM-side.
+
+    The library operator (``operators.textstats.bpe_tokens``) returns
+    the raw ``array<string>`` column; the *declared* query joins it
+    into one \\x01-separated string (tokens may themselves contain
+    spaces) because the driver's pandas canonicalizer cannot sort
+    array cells (round-5 verdict item 1 — ``TypeError: unhashable
+    type: 'numpy.ndarray'``)."""
     from mitoscape_spark.operators.textstats import bpe_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_tokens(docs).orderBy("doc_id")
+    return (
+        bpe_tokens(docs)
+        .select(
+            "doc_id",
+            F.concat_ws("", F.col("bpe_tokens")).alias("bpe_tokens_str"),
+            "n_bpe_tokens",
+            "n_bpe_distinct",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # TPC-H Q12 shape: conditional CASE aggregation over a fact-fact join.
@@ -4188,7 +4204,8 @@ from mitoscape_spark.operators.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 _BPE_TOKENS_ORACLE = (
     "SELECT doc_id,\n"
-    "       regexp_extract_all(text, '" + _BPE_PAT_SQL + "') AS bpe_tokens,\n"
+    "       array_to_string(regexp_extract_all(text, '" + _BPE_PAT_SQL
+    + "'), chr(1)) AS bpe_tokens_str,\n"
     "       len(regexp_extract_all(text, '" + _BPE_PAT_SQL + "'))\n"
     "           AS n_bpe_tokens,\n"
     "       len(list_distinct(regexp_extract_all(text, '" + _BPE_PAT_SQL

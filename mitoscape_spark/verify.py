@@ -75,10 +75,28 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _driver_canon_gate(columns: list[str], rows: list[tuple]) -> None:
+    """Reproduce the driver harness's pandas canonicalization step.
+
+    The driver sorts results via ``pandas.DataFrame.sort_values`` over
+    every column, which raises ``TypeError: unhashable type`` on
+    array-typed cells.  Round 5's ``ext_bpe_tokens`` passed this
+    module's tuple-based hash while erroring in the driver — running
+    the same pandas path here makes that divergence impossible to
+    mask (round-5 verdict item 1)."""
+    import pandas as pd
+
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=columns)
+    pdf.sort_values(by=sorted(columns), kind="mergesort")
+
+
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
+    _driver_canon_gate(s_cols, s_rows)
 
     cur = con.execute(sql)
     o_cols = [d[0] for d in cur.description]
