@@ -464,10 +464,23 @@ def stratified_exact_split(
     expr: Column = F.lit(None).cast("string")
     for name, tc in zip(reversed(names), reversed(t_cols)):
         expr = F.when(F.col("_h") <= F.col(tc), name).otherwise(expr)
+    # null-safe threshold join: NULL strata are real groups — the band
+    # predicates above already use eqNullSafe, so quotas and thresholds
+    # exist for them; a plain `on=strata` equi-join would leave every
+    # NULL-stratum row with split=NULL even when fractions sum to 1.0
+    # (same contract as temperature_mix's budget join)
+    s_cols = [f"_s_{i}" for i in range(len(strata))]
+    t_side = t_df
+    for c, sc in zip(strata, s_cols):
+        t_side = t_side.withColumnRenamed(c, sc)
+    cond: Column | None = None
+    for c, sc in zip(strata, s_cols):
+        eq = F.col(c).eqNullSafe(F.col(sc))
+        cond = eq if cond is None else (cond & eq)
     return (
-        hashed.join(F.broadcast(t_df), on=strata, how="left")
+        hashed.join(F.broadcast(t_side), cond, how="left")
         .withColumn(out_col, expr)
-        .drop("_h", "_hd", *t_cols)
+        .drop("_h", "_hd", *t_cols, *s_cols)
     )
 
 

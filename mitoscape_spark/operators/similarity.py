@@ -1159,8 +1159,11 @@ def embedding_distance_histogram(
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 ma = np.array([np.asarray(x) for x in row.vecs_a])
                 mb = np.array([np.asarray(x) for x in row.vecs_b])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
+                # floor norms as knn_classify does: a zero-norm vector
+                # would yield NaN cosines, and floor(NaN)→int64 is
+                # undefined (INT64_MIN), silently polluting bin 0
+                na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
                 cos = (ma @ mb.T) / np.outer(na, nb)
                 if row.block_a == row.block_b:
                     mask = ids_a[:, None] < ids_b[None, :]

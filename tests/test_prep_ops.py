@@ -362,6 +362,41 @@ def test_stratified_exact_split_exact_quotas_and_holdout(spark):
         assert per.get(None, 0) == n - ka - kb, (key, per)
 
 
+def test_stratified_exact_split_null_stratum_assigned(spark):
+    """A NULL stratum is a real group: quotas/thresholds are computed
+    for it (band predicates are eqNullSafe), so the final threshold
+    join must be null-safe too — a plain equi-join left every
+    NULL-stratum row with split=NULL even at fractions summing to 1.0
+    (round-5 advice, medium)."""
+    import math
+
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    docs = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 6 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    n_null = docs.where(F.col("lang").isNull()).count()
+    assert n_null >= 10  # the regression needs a populated NULL group
+    out = stratified_exact_split(
+        docs, "lang", "doc_id", {"train": 0.8, "test": 0.2}
+    )
+    per = {
+        r["split"]: r["count"]
+        for r in out.where(F.col("lang").isNull())
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    k_train = int(math.floor(n_null * 0.8 + 0.5))
+    assert per.get("train", 0) == k_train
+    assert per.get("test", 0) == n_null - k_train
+    assert None not in per  # fractions sum to 1.0 → no holdout
+
+
 def test_stratified_exact_split_validates_fractions(spark):
     from mitoscape_spark.operators.sampling import stratified_exact_split
 
