@@ -959,6 +959,34 @@ class IVFPQIndex:
         return self.pq.topk(pruned.select("id", "codes"), query, k=k)
 
 
+def literal_pq_codebooks(
+    m: int, k: int, d: int, seed: int
+) -> np.ndarray:
+    """Data-INdependent PQ codebooks — a pure function of the seed,
+    like SignRandomProjectionLSH's hyperplanes. Fitted (k-means)
+    codebooks are a function of the data, so an oracle re-deriving
+    them would have to embed numbers computed by the system under
+    test; these literal books instead let DuckDB re-derive the whole
+    encode → ADC-table → top-k machinery end-to-end. Verification-
+    grade, not recall-grade — production callers fit."""
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    # ~1/sqrt(d) scale puts centroids on the magnitude of unit-vector
+    # subspace coordinates, so codes spread across all k entries
+    return rng.standard_normal((m, k, d // m)) / np.sqrt(d)
+
+
+def literal_ivf_centroids(n: int, d: int, seed: int) -> np.ndarray:
+    """Data-INdependent unit-norm coarse centroids (see
+    literal_pq_codebooks): random directions partition the sphere into
+    Voronoi cells well enough to exercise assignment + probe pruning,
+    and DuckDB can re-derive both from the same literals."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n, d))
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
 # ---------------------------------------------------------- persistence
 #
 # Index state is the tiny fitted numpy arrays (centroids / codebooks —

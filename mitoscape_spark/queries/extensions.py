@@ -10646,3 +10646,242 @@ ORACLE["ext_wilson_ci"] = """
     FROM counts, tot
     ORDER BY event_type
 """
+
+
+# ------------------------------------------------- PQ/IVFPQ, oracle-pinned
+#
+# The fitted PQ/IVF queries (ext_ann_pq / ext_ann_ivfpq) stay rows-only:
+# k-means state is a function of the data, so a DuckDB oracle would have
+# to embed numbers computed by the system under test. These _literal
+# variants swap in seeded data-INdependent codebooks/centroids (the
+# ext_ann_lsh trick, round-5 verdict item 5) so DuckDB re-derives the
+# full encode -> ADC distance table -> top-k (and for IVFPQ the cell
+# assignment + probe pruning) from the same literals, end-to-end.
+
+_PQL_M, _PQL_K, _PQL_D, _PQL_SEED = 8, 16, 64, 1234
+_IVFL_N, _IVFL_PROBE, _IVFL_SEED = 8, 3, 4321
+
+
+def ext_ann_pq_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with literal (seeded, data-independent) codebooks —
+    the oracle-checkable twin of ext_ann_pq: same encode/ADC/topk code
+    path, quantizer state swapped for literals DuckDB also gets."""
+    from mitoscape_spark.operators.similarity import (
+        PQIndex,
+        literal_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    pq = PQIndex(m=_PQL_M, k=_PQL_K)
+    pq.codebooks = literal_pq_codebooks(_PQL_M, _PQL_K, _PQL_D, _PQL_SEED)
+    codes = pq.encode(emb.where(F.col("vec_id") != 0))
+    return pq.topk(codes, list(query), k=10)
+
+
+def ext_ann_ivfpq_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFxPQ with literal coarse centroids + codebooks: cell
+    assignment, n_probe pruning, and the ADC scan all re-derived by the
+    DuckDB oracle from the same seeded literals."""
+    from mitoscape_spark.operators.similarity import (
+        IVFPQIndex,
+        literal_ivf_centroids,
+        literal_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = IVFPQIndex(
+        n_centroids=_IVFL_N, n_probe=_IVFL_PROBE, m=_PQL_M, k=_PQL_K
+    )
+    idx.ivf.centroids = literal_ivf_centroids(_IVFL_N, _PQL_D, _IVFL_SEED)
+    idx.pq.codebooks = literal_pq_codebooks(
+        _PQL_M, _PQL_K, _PQL_D, _PQL_SEED
+    )
+    index = idx.encode(emb.where(F.col("vec_id") != 0))
+    return idx.topk(index, list(query), k=10)
+
+
+def _pq_literal_oracle_parts() -> tuple[str, int]:
+    """Shared pieces for the PQ-literal oracles: the books VALUES
+    literal and the subspace width d_sub."""
+    from mitoscape_spark.operators.similarity import literal_pq_codebooks
+
+    books = literal_pq_codebooks(_PQL_M, _PQL_K, _PQL_D, _PQL_SEED)
+    rows = ",\n            ".join(
+        f"({j}, {c}, CAST([{', '.join(repr(float(x)) for x in books[j, c])}]"
+        " AS DOUBLE[]))"
+        for j in range(_PQL_M)
+        for c in range(_PQL_K)
+    )
+    d_sub = _PQL_D // _PQL_M
+    return rows, d_sub
+
+
+def _ann_pq_literal_oracle_sql(with_ivf: bool) -> str:
+    """DuckDB restatement of the literal-codebook PQ (and IVFxPQ) path.
+
+    Encode: per (vector, subspace) argmin of ||u_j - cent||^2 over the
+    literal books, numpy's first-index tie-break mirrored by ROW_NUMBER
+    ordered (d2, c). ADC: score = sum_j <q_j, cent[j, code_j]>, rounded
+    to 6 (float caveat: a flip needs two distances within ~1e-13 — the
+    sign-LSH class of negligible, and it would fail the hash loudly).
+    IVFxPQ adds literal-centroid cell assignment (argmax dot, ties to
+    the lowest cell id exactly as numpy argmax) and n_probe pruning
+    BEFORE the ADC scan, so the oracle checks pruning is real."""
+    from mitoscape_spark.operators.similarity import literal_ivf_centroids
+
+    brow, d_sub = _pq_literal_oracle_parts()
+    sub = (
+        "list_slice({src}, books.j * %d + 1, books.j * %d + %d)"
+        % (d_sub, d_sub, d_sub)
+    )
+    e_sub = sub.format(src="scan.u")
+    q_sub = sub.format(src="qn.u")
+    if with_ivf:
+        cents = literal_ivf_centroids(_IVFL_N, _PQL_D, _IVFL_SEED)
+        crow = ",\n            ".join(
+            f"({cc}, CAST([{', '.join(repr(float(x)) for x in cents[cc])}]"
+            " AS DOUBLE[]))"
+            for cc in range(_IVFL_N)
+        )
+        ivf_ctes = f""",
+        cells(cc, cv) AS (VALUES
+            {crow}
+        ),
+        assign AS (
+            SELECT vec_id, cc FROM (
+                SELECT en.vec_id, cells.cc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY en.vec_id
+                           ORDER BY list_dot_product(en.u, cells.cv) DESC,
+                                    cells.cc) AS rn
+                FROM en, cells
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cc FROM (
+                SELECT cells.cc,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_dot_product(qn.u, cells.cv) DESC,
+                                    cells.cc) AS rn
+                FROM qn, cells
+            ) WHERE rn <= {_IVFL_PROBE}
+        ),
+        scan AS (
+            SELECT en.vec_id, en.u FROM en
+            JOIN assign ON en.vec_id = assign.vec_id
+            JOIN probe ON assign.cc = probe.cc
+        )"""
+    else:
+        ivf_ctes = ",\n        scan AS (SELECT vec_id, u FROM en)"
+    return f"""
+        WITH books(j, c, cent) AS (VALUES
+            {brow}
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = 0
+        ),
+        qn AS (
+            SELECT list_transform(v, x -> x /
+                GREATEST(sqrt(list_dot_product(v, v)), 1e-12)) AS u
+            FROM q
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id != 0
+        ),
+        en AS (
+            SELECT vec_id, list_transform(v, x -> x /
+                GREATEST(sqrt(list_dot_product(v, v)), 1e-12)) AS u
+            FROM e
+        ){ivf_ctes},
+        dist AS (
+            SELECT scan.vec_id, books.j, books.c,
+                   list_dot_product({e_sub}, {e_sub})
+                   - 2 * list_dot_product({e_sub}, books.cent)
+                   + list_dot_product(books.cent, books.cent) AS d2
+            FROM scan, books
+        ),
+        codes AS (
+            SELECT vec_id, j, c AS code FROM (
+                SELECT vec_id, j, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2, c) AS rn
+                FROM dist
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT books.j, books.c,
+                   list_dot_product({q_sub}, books.cent) AS dp
+            FROM qn, books
+        ),
+        scored AS (
+            SELECT codes.vec_id, SUM(qtab.dp) AS score
+            FROM codes JOIN qtab
+              ON codes.j = qtab.j AND codes.code = qtab.c
+            GROUP BY codes.vec_id
+        )
+        SELECT vec_id AS id, ROUND(score, 6) AS score
+        FROM scored ORDER BY score DESC, id LIMIT 10
+    """
+
+
+QUERIES["ext_ann_pq_literal"] = ext_ann_pq_literal
+QUERIES["ext_ann_ivfpq_literal"] = ext_ann_ivfpq_literal
+ORACLE["ext_ann_pq_literal"] = _ann_pq_literal_oracle_sql(with_ivf=False)
+ORACLE["ext_ann_ivfpq_literal"] = _ann_pq_literal_oracle_sql(with_ivf=True)
+
+
+def ext_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant-oracle companion to ext_multimodal_features (round-5
+    verdict item 7): same synthetic REAL-format corpus, same stdlib
+    decode path, but emitting integer invariants of each decoded array
+    — element count, byte checksum, unnormalized histogram bucket 0.
+    Every decoded byte of the synthetic corpus is a closed-form
+    function of doc_id (WAV samples ((i*(2d+1)) mod 65536)>>8, image
+    pixels (i*(d+7)) mod 256), so the DuckDB oracle re-derives all
+    three columns from scratch — the decode machinery is hash-checked
+    even though the float features can't be."""
+    from mitoscape_spark.sources.multimodal import (
+        decode_invariants,
+        synthetic_decodable_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_decodable_media(spark, docs)
+    return decode_invariants(media).orderBy("media_id")
+
+
+QUERIES["ext_multimodal_invariants"] = ext_multimodal_invariants
+# closed-form restatement of the decode: see sources/multimodal.py —
+# WAV decode is ((i*(2*doc_id+1)) % 65536) >> 8 over i=0..255; PPM/BMP
+# pixels are (i*(doc_id+7)) % 256 over i=0..191 (BMP's bottom-up BGR
+# round-trips to the same RGB sequence). bucket0 = bytes < 16.
+ORACLE["ext_multimodal_invariants"] = """
+    WITH wav AS (
+        SELECT d.doc_id AS media_id, 'audio' AS modality, 'wav' AS fmt,
+               CAST(COUNT(*) AS BIGINT) AS n_decoded,
+               CAST(SUM(((t.i * (2 * d.doc_id + 1)) % 65536) // 256)
+                    AS BIGINT) AS byte_sum,
+               CAST(SUM(CASE WHEN ((t.i * (2 * d.doc_id + 1)) % 65536)
+                                  // 256 < 16
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lt16
+        FROM documents d, range(256) t(i)
+        WHERE d.doc_id % 3 = 0
+        GROUP BY d.doc_id
+    ), img AS (
+        SELECT d.doc_id AS media_id, 'image' AS modality,
+               CASE WHEN d.doc_id % 3 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+               CAST(COUNT(*) AS BIGINT) AS n_decoded,
+               CAST(SUM((t.i * (d.doc_id + 7)) % 256) AS BIGINT)
+                   AS byte_sum,
+               CAST(SUM(CASE WHEN (t.i * (d.doc_id + 7)) % 256 < 16
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lt16
+        FROM documents d, range(192) t(i)
+        WHERE d.doc_id % 3 != 0
+        GROUP BY d.doc_id
+    )
+    SELECT * FROM wav UNION ALL SELECT * FROM img ORDER BY media_id
+"""
