@@ -3,6 +3,7 @@ text stats, sessionization, multimodal plumbing."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -1693,3 +1694,94 @@ def test_boilerplate_fractions_planted_template(spark):
         assert 0 < got[d]["boilerplate_frac"] < 1
     assert got[4]["n_common"] == 0
     assert got[4]["boilerplate_frac"] == 0.0
+
+
+def test_literal_pq_pruning_and_determinism(spark, emb):
+    """The literal (data-independent) quantizer state used by the
+    ext_ann_*_literal oracle queries: deterministic per seed, and the
+    IVF probe pruning is REAL — the pruned ADC scan must score a
+    strict subset of the corpus while the un-pruned PQ scan scores
+    everything."""
+    from mitoscape_spark.operators.similarity import (
+        IVFPQIndex,
+        PQIndex,
+        literal_ivf_centroids,
+        literal_pq_codebooks,
+    )
+
+    books = literal_pq_codebooks(8, 16, 64, seed=1234)
+    assert books.shape == (8, 16, 8)
+    assert (books == literal_pq_codebooks(8, 16, 64, seed=1234)).all()
+    assert (books != literal_pq_codebooks(8, 16, 64, seed=1235)).any()
+    cents = literal_ivf_centroids(8, 64, seed=4321)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    with pytest.raises(ValueError, match="not divisible"):
+        literal_pq_codebooks(7, 16, 64, seed=1)
+
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    pq = PQIndex(m=8, k=16)
+    pq.codebooks = books
+    flat = pq.topk(pq.encode(corpus), query, k=10).collect()
+
+    idx = IVFPQIndex(n_centroids=8, n_probe=3, m=8, k=16)
+    idx.ivf.centroids = cents
+    idx.pq.codebooks = books
+    index = idx.encode(corpus)
+    pruned = idx.topk(index, query, k=10).collect()
+
+    n_corpus = corpus.count()
+    n_scanned = index.where(
+        F.col("centroid").isin(
+            [int(c) for c in np.argsort(-(cents @ _unitq(query)))[:3]]
+        )
+    ).count()
+    assert 0 < n_scanned < n_corpus  # pruning really excludes cells
+    # identical ADC math: any id appearing in both rankings has the
+    # same score; the pruned ranking may differ (that IS the tradeoff)
+    flat_scores = {r.id: r.score for r in flat}
+    for r in pruned:
+        if r.id in flat_scores:
+            assert r.score == flat_scores[r.id]
+
+
+def _unitq(query):
+    q = np.asarray(query, dtype=np.float64)
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
+def test_decode_invariants_matches_decode_and_nulls(spark, docs):
+    """decode_invariants runs the same stdlib codec as decode_media:
+    counts/checksums agree with a driver-side re-decode, and
+    undecodable or NULL payloads yield NULL stats instead of errors."""
+    from mitoscape_spark.sources.multimodal import (
+        decode_invariants,
+        stdlib_codec,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, docs.limit(9))
+    got = {r.media_id: r for r in decode_invariants(media).collect()}
+    for r in media.collect():
+        arr = stdlib_codec(bytes(r.payload), r.modality).astype(np.int64)
+        g = got[r.media_id]
+        assert g.n_decoded == len(arr)
+        assert g.byte_sum == int(arr.sum())
+        assert g.n_lt16 == int((arr < 16).sum())
+        assert g.fmt == r.meta["format"]
+
+    bad = spark.createDataFrame(
+        [
+            (100, "image", bytearray(b"\x89PNG not stdlib"), None),
+            (101, "image", None, None),
+        ],
+        "media_id long, modality string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,"
+        "n_frames:int,format:string>",
+    )
+    rows = {r.media_id: r for r in decode_invariants(bad).collect()}
+    assert len(rows) == 2
+    for mid in (100, 101):
+        assert rows[mid].n_decoded is None
+        assert rows[mid].byte_sum is None
