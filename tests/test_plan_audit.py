@@ -70,6 +70,22 @@ def test_declared_query_plan_has_no_antipatterns(spark, name):
     if name in MATERIALIZED:
         pytest.skip("driver-materialized lifecycle query")
     df = QUERIES[name](spark, SF)
+    # driver-harness contract: the correctness driver canonicalizes
+    # results through pandas sort_values, which throws on array/map/
+    # struct cells (round-5's ext_bpe_tokens was the red cell) —
+    # declared queries must emit scalar columns only; operators keep
+    # returning rich types for library callers
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nested, (
+        f"{name}: nested-typed output columns {nested} break the "
+        "driver's pandas canonicalizer — emit a joined string/JSON "
+        "in the declared query instead (keep the rich type in the "
+        "operator)"
+    )
     plan = _plan(df)
     assert ROW_PYTHON not in plan, (
         f"{name}: row-at-a-time Python UDF in the plan\n{plan}"
