@@ -565,8 +565,13 @@ def embedding_near_duplicates(
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 ma = np.array([np.asarray(x) for x in row.vecs_a])
                 mb = np.array([np.asarray(x) for x in row.vecs_b])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
+                # floor norms (knn_classify convention): a zero-norm
+                # vector otherwise yields NaN cosines — with a positive
+                # threshold NaN >= cut is False so pairs were silently
+                # excluded (right answer, wrong mechanism: numpy
+                # invalid-divide warnings, and cut <= 0 would misbehave)
+                na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
                 cos = (ma @ mb.T) / np.outer(na, nb)
                 ia, ib = np.nonzero(cos >= cut)
                 lhs, rhs = ids_a[ia], ids_b[ib]
