@@ -397,6 +397,41 @@ def test_stratified_exact_split_null_stratum_assigned(spark):
     assert None not in per  # fractions sum to 1.0 → no holdout
 
 
+def test_stratified_exact_split_null_in_multi_column_strata(spark):
+    """NULL in ONE of several strata columns: the renamed null-safe
+    join condition must key each column independently (a (NULL, 'web')
+    stratum is distinct from ('en', 'web') and from (NULL, NULL))."""
+    import math
+
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    docs = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    out = stratified_exact_split(
+        docs, ["lang", "source"], "doc_id", {"a": 0.5, "b": 0.5}
+    )
+    cells: dict = {}
+    for r in (
+        out.groupBy("lang", "source", "split").count().collect()
+    ):
+        cells.setdefault((r["lang"], r["source"]), {})[r["split"]] = r[
+            "count"
+        ]
+    null_keys = [k for k in cells if k[0] is None]
+    assert null_keys  # planted NULL strata exist
+    for key, per in cells.items():
+        n = sum(per.values())
+        ka = int(math.floor(n * 0.5 + 0.5))
+        assert per.get("a", 0) == ka, (key, per)
+        assert per.get("b", 0) == n - ka, (key, per)
+        assert None not in per, (key, per)
+
+
 def test_stratified_exact_split_validates_fractions(spark):
     from mitoscape_spark.operators.sampling import stratified_exact_split
 
