@@ -51,10 +51,11 @@ def global_rank(
     )
     # dedupe boundaries (heavy ties collapse buckets — harmless)
     bounds = sorted({float(b) for b in bounds if b is not None})
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(score_col) >= F.lit(b)).cast("int")
-    bucketed = df.withColumn("_bk", bucket)
+    # one HOF expression, not a chained-add ladder — codegen size must
+    # stay independent of n_buckets (see orderstats.bucket_expr)
+    from mitoscape_spark.operators.orderstats import bucket_expr
+
+    bucketed = df.withColumn("_bk", bucket_expr(score_col, bounds))
     counts = {
         r["_bk"]: r["_n"]
         for r in bucketed.groupBy("_bk")
