@@ -324,6 +324,13 @@ def stratified_exact_split(
     NULL-split holdout). Cumulative boundaries are rounded to 12
     decimals so an engine restating them as plain literals (0.8, 0.9)
     computes bit-identical cuts.
+
+    Cardinality bound: strata are DRIVER-SIZED state here (per-stratum
+    counts collect, and the base-rank agg builds |strata|·|splits|
+    conditional sums — expression count, not data, scales with strata).
+    Languages × sources × quality tiers is hundreds — fine; for a
+    high-cardinality stratum (user_id-grade), pre-bucket it or use
+    ``assign_splits`` (hash bands, approximate quotas, O(1) state).
     """
     import math
 
