@@ -60,10 +60,13 @@ def running_prefix(
 
     Contract: ``df`` has ONE row per distinct ``order_col`` value
     (pre-aggregate first) — within-key order would otherwise be
-    ambiguous. ``strict=True`` aggregates strictly-preceding keys only
-    (current row excluded); a strict prefix with no preceding rows is
-    NULL for both kinds (sum of nothing stays NULL here on purpose —
-    callers distinguish "empty prefix" from "prefix sums to 0").
+    ambiguous, and keys must be NON-NULL (a NULL has no place in a
+    global order: Spark windows sort it first, DuckDB last — filter or
+    coalesce upstream, as every in-repo caller does). ``strict=True``
+    aggregates strictly-preceding keys only (current row excluded); a
+    strict prefix with no preceding rows is NULL for both kinds (sum of
+    nothing stays NULL here on purpose — callers distinguish "empty
+    prefix" from "prefix sums to 0").
     """
     for out, (_, kind) in specs.items():
         if kind not in _KINDS:
