@@ -155,13 +155,18 @@ def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this corpus, whose 92-word vocabulary makes blocks huge — finer
     keys like operators.fuzzy.token_prefix_block cut cost further but
     this corpus has no dist≤3 pairs sharing two tokens, which would
-    make the check vacuous)."""
+    make the check vacuous).
+
+    No final orderBy: the output is 1.5M pairs at sf0.1 and a global
+    sort of it cost 7.7 s — MORE than the whole linkage (5.5 s) — while
+    both the verifier's hash and the driver's canonicalizer are
+    order-insensitive. Sorting a pair dump before the sink is exactly
+    the kind of work a 100 TB plan must not do unless the sink needs
+    it."""
     from mitoscape_spark.operators.fuzzy import fuzzy_pairs
 
     part = load_table(spark, sf_dir, "part")
-    return fuzzy_pairs(part, "p_partkey", "p_name").orderBy(
-        "id_a", "id_b"
-    )
+    return fuzzy_pairs(part, "p_partkey", "p_name")
 
 
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
