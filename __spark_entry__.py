@@ -71,63 +71,112 @@ def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _checked_in_prior_rounds() -> set[str]:
-    """Names with ANY recorded verdict in a CORRECTNESS_r*.json.
+def _verdict_history(here: str | None = None) -> dict[str, tuple[int, dict]]:
+    """name -> (latest driver round, result dict) from CORRECTNESS_r*.json.
 
-    The driver checks a capped prefix of queries(); ordering
-    never-driver-checked entries first guarantees every query gets a
-    driver-recorded verdict across rounds instead of re-checking the
-    same 50.  A recorded rows-only verdict (``err == "no_oracle"`` with
-    rows observed) counts as checked — only names the driver has never
-    touched at all go to the front (round-3 verdict defect #1: counting
-    only ``rows_match=true`` recycled the 9 rows-only names every round).
+    Rounds are ordered by the PARSED round number, not the filename —
+    lexicographic sort only works while round files stay zero-padded
+    (r01..r09); an unpadded r10 would misorder and could resurrect a
+    stale verdict (round-6 advice item 4).
     """
     import glob
     import json
     import os
+    import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    errored: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, dict]] = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if m is None:
+            continue
         try:
             with open(path) as fh:
                 report = json.load(fh)
         except Exception:  # malformed report — ignore, order is best-effort
             continue
+        if isinstance(report, dict):
+            rounds.append((int(m.group(1)), report))
+    latest: dict[str, tuple[int, dict]] = {}
+    for rnd, report in sorted(rounds, key=lambda t: t[0]):
         for name, res in report.items():
-            if not isinstance(res, dict):
-                continue
-            seen.add(name)
-            # a hard ERROR (err set and not the documented rows-only
-            # marker) is not a verdict — re-queue so the fixed query
-            # gets a real driver check (round-5: ext_bpe_tokens)
-            err = res.get("err")
-            if err and err != "no_oracle":
-                errored.add(name)
-            else:
-                errored.discard(name)  # later round superseded the error
-    return seen - errored
+            if isinstance(res, dict):
+                latest[name] = (rnd, res)  # later round supersedes
+    return latest
+
+
+# Rotation slice for the current round: declared names whose operator
+# code paths changed AFTER their latest driver verdict, so the recorded
+# green predates the code now running.  Update per round as the engine
+# evolves (round-6 verdict item 2).  Round 7: consumers of the r6
+# bucket_expr/global_rank HOF rewrite + r7 NULL-key guard whose latest
+# verdict is <= r5 (orderstats/ranking fan-out), the fuzzy-match path
+# (r6 sort removal), the GEMM norm-floor sites (dedup/similarity), the
+# stratified-split eqNullSafe fix, and ext_bpe_tokens (r7 NULL-text
+# coalesce).
+_ROTATION_PINS = frozenset(
+    {
+        # orderstats.bucket_expr / running_prefix / ranking.global_rank
+        "ext_quantile_norm",
+        "ext_rfm_segments",
+        "ext_zipf_slope",
+        "ext_negative_sampling",
+        "ext_heaps_curve",
+        "ext_skyline",
+        "ext_drift_ks",
+        "ext_drift_wasserstein",
+        # fuzzy path (presentation-sort removal, r6)
+        "ext_fuzzy_match",
+        "ext_entity_resolution",
+        # GEMM norm floors (dedup.py / similarity.py, r6)
+        "ext_dedup_embedding",
+        "ext_embedding_neardup",
+        "ext_knn_join",
+        "ext_knn_classify",
+        "ext_hard_negatives",
+        "ext_retrieval_eval",
+        # sampling eqNullSafe threshold-join fix (r6) + temp-prefix fix (r7)
+        "ext_stratified_split",
+        # NULL-text coalesce (r7 advice item 1)
+        "ext_bpe_tokens",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from mitoscape_spark.queries import QUERIES
+    """Declared queries, ordered so the driver's capped prefix lands on
+    the names that most need a fresh driver-recorded verdict.
 
-    prior = _checked_in_prior_rounds()
-    # never-driver-checked first; within those, the MitoScape-parity
-    # pipeline (mito_*) leads — 67 unchecked > the driver's 50-cap, so
-    # the parity queries must not land in the spill tail
-    ordered = sorted(
-        QUERIES,
-        key=lambda name: (
-            name in prior,
-            not name.startswith("mito_"),
-            # within unchecked, plain TPC-H SQL shapes are lowest-risk
-            # (pure declarative, locally hash-green) — let them take the
-            # >50-cap spill slots over novel operators
-            name.startswith("ext_sql_"),
-        ),
-    )
+    Tiers (round-6 verdict items 1-2):
+      0. never driver-checked;
+      1. latest verdict is a hard ERROR — the fix needs a real re-check
+         (round-5: ext_bpe_tokens);
+      2. latest verdict is rows-only (``no_oracle``) but the name NOW
+         declares a DuckDB oracle — the conversion postdates the stale
+         record, so re-record it as oracle-green;
+      3. rotation pins — code paths changed since the latest green;
+      4. everything else, oldest driver verdict first, so the record
+         rotates instead of going stale as the engine evolves.
+    """
+    from mitoscape_spark.queries import ORACLE, QUERIES
+
+    latest = _verdict_history()
+
+    def order_key(name: str) -> tuple[int, int, str]:
+        if name not in latest:
+            return (0, 0, name)
+        rnd, res = latest[name]
+        err = res.get("err")
+        if err and err != "no_oracle":
+            return (1, rnd, name)
+        if err == "no_oracle" and name in ORACLE:
+            return (2, rnd, name)
+        if name in _ROTATION_PINS:
+            return (3, rnd, name)
+        return (4, rnd, name)
+
+    ordered = sorted(QUERIES, key=order_key)
     return {name: _wrap(QUERIES[name]) for name in ordered}
 
 

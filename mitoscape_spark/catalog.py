@@ -75,6 +75,36 @@ def layout_override(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     )
 
 
+def register_local_override(
+    spark: SparkSession, sf_dir: str, name: str, max_rows: int = 10_000
+) -> int:
+    """Serve ``name`` as a driver-local relation (LocalTableScan).
+
+    A broadcast-hash join over a parquet-backed dimension launches a
+    separate one-stage JOB per query just to materialize the broadcast
+    side (~26 ms fixed launch cost at any data size, PERF.md §10). Over
+    a LocalTableScan, BroadcastExchange collects driver-resident rows
+    directly — no job. Collecting a TINY dimension once and re-serving
+    it locally is the engine analog of pinning dimension tables as
+    broadcast variables at session start; at 100 TB the nation/region
+    class of dims is still KB-sized, so the pattern holds unchanged.
+
+    Refuses tables above ``max_rows`` — this is a dimension cache, not
+    a result cache. Returns the row count. Layout overrides
+    (``register_layout_override``) take precedence if both are set.
+    """
+    df = load_table(spark, sf_dir, name)
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"register_local_override: {name!r} exceeds max_rows="
+            f"{max_rows} — not a dimension table"
+        )
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    _TABLE_CACHE[key] = spark.createDataFrame(rows, df.schema)
+    return len(rows)
+
+
 def invalidate_cache(path: str | None = None) -> None:
     """Drop memoized table metadata (all entries, or one sf_dir/path).
 

@@ -78,12 +78,22 @@ def running_prefix(
     # distinct key, so the materialization is key-cardinality-sized
     df = df.localCheckpoint(eager=False)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = (
-        df.agg(
-            F.percentile_approx(order_col, fracs, 10_000).alias("_b")
-        ).first()["_b"]
-        or []
-    )
+    # NULL-key guard rides the quantile probe's existing action (no
+    # extra job): bucket_expr would silently map NULL to bucket 0 and
+    # rank NULL keys first — enforce the docstring contract loudly
+    # instead (round-6 advice item 3)
+    probe = df.agg(
+        F.percentile_approx(order_col, fracs, 10_000).alias("_b"),
+        F.sum(F.col(order_col).isNull().cast("long")).alias("_nulls"),
+    ).first()
+    if probe["_nulls"]:
+        raise ValueError(
+            f"running_prefix: {probe['_nulls']} NULL value(s) in order "
+            f"key {order_col!r} — a NULL has no place in a global order "
+            "(Spark windows sort it first, DuckDB last); filter or "
+            "coalesce upstream"
+        )
+    bounds = probe["_b"] or []
     bounds = sorted({float(b) for b in bounds if b is not None})
     bucketed = df.withColumn("_bk", bucket_expr(order_col, bounds))
 

@@ -43,12 +43,20 @@ def global_rank(
     from pyspark.sql import Window
 
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = (
-        df.agg(
-            F.percentile_approx(score_col, fracs, 10_000).alias("_b")
-        ).first()["_b"]
-        or []
-    )
+    # NULL-score guard on the quantile probe's existing action (no
+    # extra job) — bucket_expr maps NULL to bucket 0, which would
+    # silently rank NULL scores first (round-6 advice item 3)
+    probe = df.agg(
+        F.percentile_approx(score_col, fracs, 10_000).alias("_b"),
+        F.sum(F.col(score_col).isNull().cast("long")).alias("_nulls"),
+    ).first()
+    if probe["_nulls"]:
+        raise ValueError(
+            f"global_rank: {probe['_nulls']} NULL value(s) in score "
+            f"column {score_col!r} — rank over a NULL score is "
+            "undefined; filter or coalesce upstream"
+        )
+    bounds = probe["_b"] or []
     # dedupe boundaries (heavy ties collapse buckets — harmless)
     bounds = sorted({float(b) for b in bounds if b is not None})
     # one HOF expression, not a chained-add ladder — codegen size must

@@ -455,7 +455,19 @@ def stratified_exact_split(
             )
 
     spark = df.sparkSession
-    t_cols = [f"_t_{j}" for j in range(len(cums))]
+    # temp threshold/key names must not collide with caller columns — a
+    # caller column literally named `_t_0`/`_s_0` would make F.col(...)
+    # ambiguous after the join (and drop() by name eats ALL matches);
+    # deepen the underscore prefix until clear (round-6 advice item 2)
+    tmp = "_"
+    taken = set(hashed.columns)
+    while any(
+        f"{tmp}{tag}{i}" in taken
+        for tag in ("t_", "s_")
+        for i in range(max(len(cums), len(strata)))
+    ):
+        tmp += "_"
+    t_cols = [f"{tmp}t_{j}" for j in range(len(cums))]
     t_rows = [
         tuple(list(skey) + ts) for skey, ts in thresholds.items()
     ]
@@ -476,7 +488,7 @@ def stratified_exact_split(
     # exist for them; a plain `on=strata` equi-join would leave every
     # NULL-stratum row with split=NULL even when fractions sum to 1.0
     # (same contract as temperature_mix's budget join)
-    s_cols = [f"_s_{i}" for i in range(len(strata))]
+    s_cols = [f"{tmp}s_{i}" for i in range(len(strata))]
     t_side = t_df
     for c, sc in zip(strata, s_cols):
         t_side = t_side.withColumnRenamed(c, sc)

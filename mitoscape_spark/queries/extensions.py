@@ -2998,6 +2998,11 @@ def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.textstats import bpe_tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text: Spark's concat_ws over a NULL array yields '' while the
+    # oracle's array_to_string yields NULL (and size(NULL) is -1 vs len
+    # NULL) — coalesce to '' on BOTH sides so a future fixture with NULL
+    # text can't hash-mismatch (round-6 advice item 1)
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     return (
         bpe_tokens(docs)
         .select(
@@ -4208,6 +4213,10 @@ from mitoscape_spark.operators.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
 
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 _BPE_TOKENS_ORACLE = (
+    # COALESCE(text,'') mirrors the declared query's NULL-text coalesce
+    # (Spark concat_ws('')/size() vs DuckDB array_to_string/len diverge
+    # on NULL input — round-6 advice item 1)
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)\n"
     "SELECT doc_id,\n"
     "       array_to_string(regexp_extract_all(text, '" + _BPE_PAT_SQL
     + "'), chr(1)) AS bpe_tokens_str,\n"
@@ -4215,7 +4224,7 @@ _BPE_TOKENS_ORACLE = (
     "           AS n_bpe_tokens,\n"
     "       len(list_distinct(regexp_extract_all(text, '" + _BPE_PAT_SQL
     + "'))) AS n_bpe_distinct\n"
-    "FROM documents ORDER BY doc_id"
+    "FROM d ORDER BY doc_id"
 )
 
 _BM25_ORACLE = """

@@ -239,3 +239,13 @@ def test_mann_whitney_matches_scipy_free_reference(spark):
         .collect()
     }
     assert got == {1.0: 1.5, 2.0: 3.0}
+
+
+def test_running_prefix_rejects_null_order_key(spark):
+    """NULL order keys must fail loudly: bucket_expr would map NULL to
+    bucket 0 and silently order it first (round-6 advice item 3)."""
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (None, 2.0), (3.0, 3.0)], "k double, v double"
+    )
+    with pytest.raises(ValueError, match="NULL value"):
+        running_prefix(df, "k", {"s": ("v", "sum")}).collect()

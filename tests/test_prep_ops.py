@@ -496,3 +496,24 @@ def test_weighted_sample_grouped_and_excludes_nonpositive(spark):
     assert all(i % 5 != 0 for i in by_g["a"])
     with pytest.raises(ValueError, match="k >= 1"):
         weighted_sample_without_replacement(df, "w", k=0, id_col="id")
+
+
+def test_stratified_exact_split_caller_temp_name_collision(spark):
+    """A caller column literally named `_s_0` or `_t_0` must not make
+    the null-safe threshold join ambiguous or get eaten by the temp-
+    column drop (round-6 advice item 2)."""
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .limit(60)
+        .withColumn("_s_0", F.lit("keep-s"))
+        .withColumn("_t_0", F.lit("keep-t"))
+    )
+    out = stratified_exact_split(
+        docs, "lang", "doc_id", {"train": 0.5, "test": 0.5}
+    )
+    assert "_s_0" in out.columns and "_t_0" in out.columns
+    rows = out.select("_s_0", "_t_0", "split").collect()
+    assert all(r["_s_0"] == "keep-s" and r["_t_0"] == "keep-t" for r in rows)
+    assert all(r["split"] in ("train", "test") for r in rows)

@@ -47,3 +47,15 @@ def test_quantile_normalize_maps_groups_onto_pooled(spark):
     expect = [pooled[k - 1] for k in (1, 3, 5, 7, 10)]
     assert [out[i] for i in range(5)] == expect  # group a
     assert [out[10 + i] for i in range(5)] == expect  # group b: SAME map
+
+
+def test_global_rank_rejects_null_score(spark):
+    """NULL scores must fail loudly instead of silently ranking first
+    via bucket 0 (round-6 advice item 3)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 0.9)], "id long, score double"
+    )
+    with pytest.raises(ValueError, match="NULL value"):
+        global_rank(df, "score", "id").collect()

@@ -42,3 +42,21 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["n_name", "n_orders", "revenue"]
+
+
+def test_verdict_history_sorts_rounds_numerically(tmp_path):
+    """An unpadded CORRECTNESS_r10.json must supersede r2, not sort
+    before it lexicographically (round-6 advice item 4)."""
+    import json
+
+    import __spark_entry__ as e
+
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({"q": {"err": "boom", "rows_match": False}})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"q": {"err": None, "hash_match": True}})
+    )
+    latest = e._verdict_history(here=str(tmp_path))
+    assert latest["q"][0] == 10
+    assert latest["q"][1]["hash_match"] is True
