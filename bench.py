@@ -82,11 +82,26 @@ def main() -> int:
     mpb = os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "2m" if sf <= 0.5 else "128m"
     )
+    # serial-floor shave attempt (round-6 verdict item 4) — measured,
+    # kept OFF. The 2-job queries' extra ~26 ms broadcast-job launch is
+    # irreducible in this Spark build: even a driver-local dim relation
+    # still broadcast-materializes through a parallelize+collect job
+    # (LocalTableScanExec does not override executeCollectIterator —
+    # tools/local_dim_probe.py, PERF.md §19). Disabling implicit
+    # broadcasts (threshold -1) merges q03/q04 into one job and wins in
+    # ISOLATED single-query runs (q03 0.252→0.200, q04 0.160→0.120)
+    # but loses in the full bench mix in BOTH A/B orders (q03
+    # 0.31→0.49 concurrent; serial 3.08→4.05): the extra shuffle
+    # stage's barrier costs the mix more than the small overlappable
+    # broadcast job. Knob stays for re-measurement on other hardware.
+    auto_bcast = os.environ.get("SPARK_GRAFT_AUTO_BROADCAST", "10485760")
     spark = get_spark(
         "bench",
         extra_conf={
             "spark.sql.adaptive.enabled": aqe,
             "spark.sql.files.maxPartitionBytes": mpb,
+            "spark.sql.autoBroadcastJoinThreshold": auto_bcast,
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
             # independent queries share the cluster fairly; pools are
             # created on demand per query thread
             "spark.scheduler.mode": "FAIR",

@@ -309,3 +309,43 @@ def test_join_explosion_report_math(spark):
     # exact: matches the real join's output size
     real = left.join(right, "k").count()
     assert rows[-1].out_rows == real
+
+
+def test_local_dim_override_plans_local_table_scan(spark):
+    """register_local_override must serve a Catalyst LocalRelation
+    (LocalTableScan in the physical plan), NOT an RDD-backed
+    createDataFrame relation — the broadcast build side then needs no
+    Python ser/de and the rows match the parquet table exactly."""
+    from mitoscape_spark.catalog import (
+        _TABLE_CACHE,
+        load_table,
+        register_local_override,
+    )
+
+    parquet_rows = sorted(
+        (r.n_nationkey, r.n_name)
+        for r in load_table(spark, SF, "nation").collect()
+    )
+    try:
+        n = register_local_override(spark, SF, "nation")
+        local = load_table(spark, SF, "nation")
+        plan = plan_of(local)
+        assert "LocalTableScan" in plan, plan
+        assert "Scan parquet" not in plan, plan
+        local_rows = sorted(
+            (r.n_nationkey, r.n_name) for r in local.collect()
+        )
+        assert n == len(parquet_rows)
+        assert local_rows == parquet_rows
+    finally:
+        key = (spark.sparkContext.applicationId, SF, "nation")
+        _TABLE_CACHE.pop(key, None)
+
+
+def test_local_dim_override_refuses_fact_tables(spark):
+    import pytest
+
+    from mitoscape_spark.catalog import register_local_override
+
+    with pytest.raises(ValueError, match="max_rows"):
+        register_local_override(spark, SF, "lineitem", max_rows=5)
