@@ -140,6 +140,10 @@ _ROTATION_PINS = frozenset(
         "ext_stratified_split",
         # NULL-text coalesce (r7 advice item 1)
         "ext_bpe_tokens",
+        # r7 doc_id self-join eliminations (quality/gopher keep=)
+        "ext_auc",
+        "ext_quality_filter",
+        "ext_prep_pipeline",
     }
 )
 

@@ -114,7 +114,12 @@ def register_local_override(
         if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
             return f"CAST({int(v)} AS {dt.simpleString()})"
         if isinstance(dt, (T.DoubleType, T.FloatType)):
-            return f"CAST({float(v)!r} AS {dt.simpleString()})"
+            f = float(v)
+            if f != f or f in (float("inf"), float("-inf")):
+                # repr(nan)/repr(inf) are not SQL literals; the string
+                # cast form is ('NaN'/'Infinity' per ANSI float casts)
+                return f"CAST('{f}' AS {dt.simpleString()})"
+            return f"CAST({f!r} AS {dt.simpleString()})"
         if isinstance(dt, T.BooleanType):
             return "true" if v else "false"
         if isinstance(dt, T.DateType):

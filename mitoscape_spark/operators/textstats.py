@@ -57,9 +57,17 @@ def bpe_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
-    composite score in [0,1] (rounded for cross-engine comparison)."""
+    composite score in [0,1] (rounded for cross-engine comparison).
+
+    ``keep`` passes extra input columns through the projection, so a
+    caller that also needs another per-doc expression over the SAME
+    text (e.g. ext_auc's gopher label) can chain projections instead
+    of self-joining two scans — Catalyst collapses chained Projects
+    and codegen's subexpression elimination shares the tokenization."""
     t = F.col(text_col)
     toks = F.split(F.lower(t), " ")
     n_toks = F.size(toks)
@@ -80,6 +88,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_toks.alias("n_tokens"),
         F.round(avg_wlen, 4).alias("avg_word_len"),
         punct_chars.alias("n_punct"),
@@ -321,7 +330,9 @@ def chunk_documents(
     )
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-style quality rule gate (Rae et al. 2021, §A1.1 subset):
     per-document boolean per rule + the conjunction, as pure column
     expressions (cross-engine reproducible, zero Python).
@@ -353,6 +364,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(toks)) / n
     out = docs.select(
         "doc_id",
+        *keep,
         ((n >= 20) & (n <= 1000)).alias("r_wordcount"),
         ((mean_len >= 2.0) & (mean_len <= 12.0)).alias("r_meanlen"),
         (alpha_frac >= 0.8).alias("r_alpha"),

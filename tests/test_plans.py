@@ -349,3 +349,27 @@ def test_local_dim_override_refuses_fact_tables(spark):
 
     with pytest.raises(ValueError, match="max_rows"):
         register_local_override(spark, SF, "lineitem", max_rows=5)
+
+
+def test_quality_gopher_compositions_have_no_self_join(spark):
+    """ext_auc / ext_quality_filter / ext_prep_pipeline attach quality
+    and gopher columns through chained projections over ONE documents
+    scan (quality_scores/gopher_rules `keep=`); a doc_id self-join of
+    two scans must not reappear (round-7 join elimination)."""
+    # a self-join would scan documents.parquet twice; one scan proves
+    # the chained-projection shape
+    for name in ("ext_quality_filter", "ext_prep_pipeline"):
+        plan = plan_of(EXT[name](spark, SF))
+        n_scans = plan.count("documents.parquet")
+        assert n_scans == 1, (name, n_scans, plan)
+        assert "Join" not in plan, (name, plan)
+    # ext_auc's running_prefix checkpoints its input (the parquet scan
+    # lives in earlier actions), so count join NODES instead: exactly
+    # one — the prefix machinery's tiny offset-table broadcast; the
+    # old doc_id self-join made it two
+    plan = plan_of(EXT["ext_auc"](spark, SF))
+    n_joins = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Join" in line
+    )
+    assert n_joins == 1, (n_joins, plan)
