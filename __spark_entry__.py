@@ -144,6 +144,8 @@ _ROTATION_PINS = frozenset(
         "ext_auc",
         "ext_quality_filter",
         "ext_prep_pipeline",
+        # r7 groupBy-min+join-back -> window-min (one orders exchange)
+        "ext_cohort_ltv",
     }
 )
 

@@ -8794,18 +8794,16 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    first = orders.groupBy("o_custkey").agg(
-        F.min(F.trunc("o_orderdate", "month")).alias("_cohort")
-    )
-    j = orders.join(first, "o_custkey").select(
-        F.col("_cohort").alias("cohort_month"),
-        (
-            F.months_between(
-                F.trunc("o_orderdate", "month"), F.col("_cohort")
-            )
-        )
-        .cast("int")
-        .alias("month_offset"),
+    # first-order month attaches via a window MIN over the customer
+    # partition — ONE exchange of orders instead of the groupBy-min +
+    # join-back shape's two (the join re-shuffled the full fact table
+    # a second time; round-7 plan cleanup). Partitions stay bounded
+    # (per-customer), no global sort.
+    om = F.trunc("o_orderdate", "month")
+    cohort = F.min(om).over(Window.partitionBy("o_custkey"))
+    j = orders.select(
+        cohort.alias("cohort_month"),
+        F.months_between(om, cohort).cast("int").alias("month_offset"),
         cents.alias("_rev"),
     )
     per_cell = j.groupBy("cohort_month", "month_offset").agg(
