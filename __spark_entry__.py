@@ -146,6 +146,12 @@ _ROTATION_PINS = frozenset(
         "ext_prep_pipeline",
         # r7 groupBy-min+join-back -> window-min (one orders exchange)
         "ext_cohort_ltv",
+        # r7 connected_components input-edge checkpoint (dedup.py) +
+        # pair-set pin in the leakage query
+        "ext_dedup_near",
+        "ext_leakage_safe_split",
+        "ext_multimodal_dedup",
+        "ext_semantic_dedup",
     }
 )
 

@@ -794,6 +794,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # pin the INPUT edge set too: round 1's plan embeds `edges`
+        # several times (sym union + the star joins), so an expensive
+        # upstream pair lineage (MinHash banding ~3 s at sf0.1) would
+        # otherwise re-execute per occurrence; the materialization is
+        # edge-set-sized, the same bound the per-round checkpoint
+        # already accepts (round-7, measured on ext_leakage_safe_split)
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple | None = None
     for _ in range(max_iterations):

@@ -1067,7 +1067,12 @@ def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.sampling import leakage_safe_splits
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    # pin: the pair set feeds BOTH the component labeling and the
+    # straddle audit below — without it the MinHash banding lineage
+    # (~3 s at sf0.1) executes twice (round-7)
+    pairs = minhash_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
+        eager=False
+    )
     assigned = leakage_safe_splits(
         docs, pairs, {"train": 0.8, "test": 0.2}
     ).select("doc_id", "split")
