@@ -152,6 +152,8 @@ _ROTATION_PINS = frozenset(
         "ext_leakage_safe_split",
         "ext_multimodal_dedup",
         "ext_semantic_dedup",
+        # r7 triangle_counts canonical-edge pin (graph.py)
+        "ext_triangle_count",
     }
 )
 

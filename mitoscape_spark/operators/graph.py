@@ -147,6 +147,11 @@ def triangle_counts(
         .where(F.col("s") != F.col("d"))
         .select(a.alias("u"), b.alias("v"))
         .distinct()
+        # pin: `e` feeds the degree union (twice) and the rank join —
+        # an expensive caller edge derivation (ext_triangle_count's
+        # co-purchase self-join) must not re-execute per occurrence
+        # (round-7; same discipline as connected_components)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("id"))
