@@ -42,6 +42,13 @@ def global_rank(
     """
     from pyspark.sql import Window
 
+    # NOTE deliberately NOT checkpointed, unlike running_prefix (§20):
+    # three actions do touch `df`, but global_rank's contract is RAW
+    # rows (no one-row-per-key reduction), so pinning materializes the
+    # full projected input — measured a wash at sf0.1 (gini -0.4 s,
+    # quantile_norm +0.2 s) and at 100 TB the materialization can cost
+    # more than the re-executed pruned scans. Callers with an EXPENSIVE
+    # derived lineage should pin before calling.
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     # NULL-score guard on the quantile probe's existing action (no
     # extra job) — bucket_expr maps NULL to bucket 0, which would
