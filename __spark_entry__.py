@@ -106,76 +106,72 @@ def _verdict_history(here: str | None = None) -> dict[str, tuple[int, dict]]:
     return latest
 
 
-# Rotation slice for the current round: declared names whose operator
-# code paths changed AFTER their latest driver verdict, so the recorded
-# green predates the code now running.  Update per round as the engine
-# evolves (round-6 verdict item 2).  Round 7: consumers of the r6
-# bucket_expr/global_rank HOF rewrite + r7 NULL-key guard whose latest
-# verdict is <= r5 (orderstats/ranking fan-out), the fuzzy-match path
-# (r6 sort removal), the GEMM norm-floor sites (dedup/similarity), the
-# stratified-split eqNullSafe fix, and ext_bpe_tokens (r7 NULL-text
-# coalesce).
-_ROTATION_PINS = frozenset(
-    {
-        # orderstats.bucket_expr / running_prefix / ranking.global_rank
-        "ext_quantile_norm",
-        "ext_rfm_segments",
-        "ext_zipf_slope",
-        "ext_negative_sampling",
-        "ext_heaps_curve",
-        "ext_skyline",
-        "ext_drift_ks",
-        "ext_drift_wasserstein",
-        # fuzzy path (presentation-sort removal, r6)
-        "ext_fuzzy_match",
-        "ext_entity_resolution",
-        # GEMM norm floors (dedup.py / similarity.py, r6)
-        "ext_dedup_embedding",
-        "ext_embedding_neardup",
-        "ext_knn_join",
-        "ext_knn_classify",
-        "ext_hard_negatives",
-        "ext_retrieval_eval",
-        # sampling eqNullSafe threshold-join fix (r6) + temp-prefix fix (r7)
-        "ext_stratified_split",
-        # NULL-text coalesce (r7 advice item 1)
-        "ext_bpe_tokens",
-        # r7 doc_id self-join eliminations (quality/gopher keep=)
-        "ext_auc",
-        "ext_quality_filter",
-        "ext_prep_pipeline",
-        # r7 groupBy-min+join-back -> window-min (one orders exchange)
-        "ext_cohort_ltv",
-        # r7 connected_components input-edge checkpoint (dedup.py) +
-        # pair-set pin in the leakage query
-        "ext_dedup_near",
-        "ext_leakage_safe_split",
-        "ext_multimodal_dedup",
-        "ext_semantic_dedup",
-        # r7 triangle_counts canonical-edge pin (graph.py)
-        "ext_triangle_count",
-    }
-)
+# Hand-override rotation pins (round-7 verdict item 4 demoted this from
+# THE list to an override): names to re-verify that the mechanical
+# derivation in mitoscape_spark/rotation.py cannot see — e.g. a
+# semantic change routed through config or an external artifact rather
+# than package code. The derived set is the primary source: a name is
+# pinned iff its statically-derived code path (function + intra-file
+# helpers + oracle SQL + transitively imported operator modules, minus
+# ubiquitous infra) changed after its OWN latest driver verdict's
+# round-boundary commit. Every name here must exist in QUERIES —
+# queries() asserts it loudly (round-7 advice item 4).
+_ROTATION_PINS: frozenset[str] = frozenset()
+
+
+def _rotation_pins() -> frozenset[str]:
+    """Union of hand overrides and the mechanically derived stale set;
+    falls back to the hand list alone if derivation fails (no git,
+    shallow clone, parse error — rotation degrades, never breaks)."""
+    from mitoscape_spark.queries import QUERIES
+
+    dangling = _ROTATION_PINS - set(QUERIES)
+    assert not dangling, (
+        f"_ROTATION_PINS names not in QUERIES (typo/rename?): "
+        f"{sorted(dangling)}"
+    )
+    try:
+        from mitoscape_spark.rotation import derive_pins
+
+        latest_round = {n: rnd for n, (rnd, _res) in _verdict_history().items()}
+        derived = derive_pins(latest_round, QUERIES)
+    except Exception:  # noqa: BLE001 — fail-open to the hand list
+        derived = None
+    if derived is None:
+        return _ROTATION_PINS
+    return _ROTATION_PINS | derived
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ordered so the driver's capped prefix lands on
     the names that most need a fresh driver-recorded verdict.
 
-    Tiers (round-6 verdict items 1-2):
+    Tiers (round-6 verdict items 1-2; pin derivation automated in
+    round 8 — verdict item 4):
       0. never driver-checked;
       1. latest verdict is a hard ERROR — the fix needs a real re-check
          (round-5: ext_bpe_tokens);
       2. latest verdict is rows-only (``no_oracle``) but the name NOW
          declares a DuckDB oracle — the conversion postdates the stale
          record, so re-record it as oracle-green;
-      3. rotation pins — code paths changed since the latest green;
-      4. everything else, oldest driver verdict first, so the record
-         rotates instead of going stale as the engine evolves.
+      3. rotation pins — mechanically derived (mitoscape_spark/
+         rotation.py): the name's static code path changed after the
+         round-boundary commit of its OWN latest verdict, so the
+         recorded green predates the code now running. Ordered oldest
+         verdict first, and the per-name boundary makes pins CARRY
+         OVER: a pinned name the cap misses this round is still pinned
+         next round, until a fresh record lands — the stale backlog
+         burns down monotonically at cap-rate.
+      4. everything else, oldest driver verdict first. With per-name
+         change detection this tier is provably NON-stale (its code
+         path is unchanged since its green); it remains as the safety
+         net for what static analysis can't see (driver harness
+         changes, testdata regeneration, dynamic dispatch).
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 
     latest = _verdict_history()
+    pins = _rotation_pins()
 
     def order_key(name: str) -> tuple[int, int, str]:
         if name not in latest:
@@ -186,7 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (1, rnd, name)
         if err == "no_oracle" and name in ORACLE:
             return (2, rnd, name)
-        if name in _ROTATION_PINS:
+        if name in pins:
             return (3, rnd, name)
         return (4, rnd, name)
 

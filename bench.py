@@ -101,7 +101,13 @@ def main() -> int:
             "spark.sql.adaptive.enabled": aqe,
             "spark.sql.files.maxPartitionBytes": mpb,
             "spark.sql.autoBroadcastJoinThreshold": auto_bcast,
-            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+            # the adaptive threshold must track the static one: with AQE
+            # on, a runtime re-plan converts sort-merge joins back to
+            # broadcast using THIS knob, so a hardcoded value would
+            # silently defeat SPARK_GRAFT_AUTO_BROADCAST=-1 in exactly
+            # the re-measurement scenario the knob exists for (round-7
+            # advice item 2)
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": auto_bcast,
             # independent queries share the cluster fairly; pools are
             # created on demand per query thread
             "spark.scheduler.mode": "FAIR",
@@ -212,6 +218,21 @@ def main() -> int:
         wall = run_concurrent({}, inflight=1)
         serial_value = min(serial_value, wall)
 
+    # self-adjudicating load context (round-7 verdict item 5): a shared
+    # box swings the serial numbers by 2-3x between quiet and loaded
+    # windows; stamping loadavg + the observed per-round spread into the
+    # record lets a reader judge the figure without forensic re-runs.
+    try:
+        load1, load5, load15 = os.getloadavg()
+        loadavg = [round(load1, 2), round(load5, 2), round(load15, 2)]
+    except OSError:  # platform without getloadavg
+        loadavg = None
+
+    def _spread(ws: list[float]) -> float | None:
+        if len(ws) < 2:
+            return None
+        return round((max(ws) - min(ws)) / max(min(ws), 1e-9), 4)
+
     print(
         json.dumps(
             {
@@ -222,6 +243,11 @@ def main() -> int:
                 "sf": sf,
                 "mode": "concurrent-fair-pools",
                 "serial_value": round(serial_value, 4),
+                "loadavg": loadavg,
+                "rounds": [round(w, 4) for w in walls],
+                "spread": _spread(walls),
+                "serial_rounds": [round(w, 4) for w in serial_walls],
+                "serial_spread": _spread(serial_walls),
                 "note": (
                     "value = wall-clock of the 15 queries submitted "
                     "through a bounded concurrent pool (FAIR pools, "

@@ -100,11 +100,26 @@ def register_local_override(
             f"register_local_override: {name!r} exceeds max_rows="
             f"{max_rows} — not a dimension table"
         )
+    if not rows:
+        # 'VALUES ' with zero tuples is a SQL parse error, not an empty
+        # LocalRelation — fail with a real message (round-7 advice item
+        # 3). An empty dim is a caller bug here: the override exists to
+        # shave the broadcast-build job off HOT dims, and an empty hot
+        # dim means the sf_dir is wrong or the table was never loaded.
+        raise ValueError(
+            f"register_local_override: {name!r} is empty under "
+            f"{sf_dir!r} — refusing to cache an empty dimension "
+            "(check sf_dir / ingest)"
+        )
     # NOT createDataFrame(rows): that builds an RDD-backed LogicalRDD,
     # which still scans through a job (and through Python ser/de — the
     # probe measured it SLOWER than the parquet scan). A SQL VALUES
     # literal analyzes to a Catalyst LocalRelation → LocalTableScanExec,
     # whose broadcast collects driver-side with no job at all.
+    # NOTE: string escaping below assumes the session default
+    # spark.sql.parser.escapedStringLiterals=false (backslash escapes
+    # active); a session flipping that legacy conf would mis-read
+    # embedded quotes/backslashes in dim strings.
     def lit(v, dt) -> str:
         if v is None:
             return f"CAST(NULL AS {dt.simpleString()})"

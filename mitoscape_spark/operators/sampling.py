@@ -352,11 +352,26 @@ def stratified_exact_split(
         names.append(name)
         cums.append(1.0 if abs(cum - 1.0) < 1e-9 else cum)
 
+    # temp hash/threshold/key names must not collide with caller columns
+    # — a caller column literally named `_h` (or `_t_0`/`_s_0`) would be
+    # silently clobbered by withColumn and then eaten by the final
+    # drop(); deepen the underscore prefix until ALL reserved tags are
+    # clear of the input schema (round-6 advice item 2 for t_/s_;
+    # round-7 advice item 1 extends the scan to h/hd)
+    tmp = "_"
+    taken = set(df.columns)
+    n_idx = max(len(fractions), len(strata))
+    while any(f"{tmp}{tag}" in taken for tag in ("h", "hd")) or any(
+        f"{tmp}{tag}{i}" in taken for tag in ("t_", "s_") for i in range(n_idx)
+    ):
+        tmp += "_"
+    h_col, hd_col = f"{tmp}h", f"{tmp}hd"
+
     key = F.coalesce(F.col(id_col).cast("string"), F.lit("__null_key__"))
     if salt:
         key = F.concat(F.lit(salt), key)
-    hashed = df.withColumn("_h", F.md5(key)).withColumn(
-        "_hd", F.conv(F.substring("_h", 1, 13), 16, 10).cast("double")
+    hashed = df.withColumn(h_col, F.md5(key)).withColumn(
+        hd_col, F.conv(F.substring(h_col, 1, 13), 16, 10).cast("double")
     )
 
     _M = float(16**13)  # hd range; md5 prefixes are uniform on [0, _M)
@@ -399,19 +414,19 @@ def stratified_exact_split(
                 conds.append((skey, j, match, los[j], his[j]))
         base_aggs = [
             F.sum(
-                (match & (F.col("_hd") < F.lit(lo))).cast("long")
+                (match & (F.col(hd_col) < F.lit(lo))).cast("long")
             ).alias(f"_b_{i}")
             for i, (_s, _j, match, lo, hi) in enumerate(conds)
         ]
         base_row = hashed.agg(*base_aggs).first()
         band_pred = None
         for _s, _j, match, lo, hi in conds:
-            p = match & (F.col("_hd") >= F.lit(lo)) & (
-                F.col("_hd") <= F.lit(hi)
+            p = match & (F.col(hd_col) >= F.lit(lo)) & (
+                F.col(hd_col) <= F.lit(hi)
             )
             band_pred = p if band_pred is None else (band_pred | p)
         band_rows = (
-            hashed.where(band_pred).select(*strata, "_h", "_hd").collect()
+            hashed.where(band_pred).select(*strata, h_col, hd_col).collect()
         )
         bands: dict[tuple, list] = {}
         for r in band_rows:
@@ -430,9 +445,9 @@ def stratified_exact_split(
                     continue
                 base = base_row[f"_b_{cond_index[(skey, j)]}"]
                 band = sorted(
-                    r["_h"]
+                    r[h_col]
                     for r in rows
-                    if los[j] <= r["_hd"] <= his[j]
+                    if los[j] <= r[hd_col] <= his[j]
                 )
                 idx = k - base - 1
                 if 0 <= idx < len(band):
@@ -455,18 +470,6 @@ def stratified_exact_split(
             )
 
     spark = df.sparkSession
-    # temp threshold/key names must not collide with caller columns — a
-    # caller column literally named `_t_0`/`_s_0` would make F.col(...)
-    # ambiguous after the join (and drop() by name eats ALL matches);
-    # deepen the underscore prefix until clear (round-6 advice item 2)
-    tmp = "_"
-    taken = set(hashed.columns)
-    while any(
-        f"{tmp}{tag}{i}" in taken
-        for tag in ("t_", "s_")
-        for i in range(max(len(cums), len(strata)))
-    ):
-        tmp += "_"
     t_cols = [f"{tmp}t_{j}" for j in range(len(cums))]
     t_rows = [
         tuple(list(skey) + ts) for skey, ts in thresholds.items()
@@ -482,7 +485,7 @@ def stratified_exact_split(
     ) if t_rows else spark.createDataFrame([], schema=t_schema)
     expr: Column = F.lit(None).cast("string")
     for name, tc in zip(reversed(names), reversed(t_cols)):
-        expr = F.when(F.col("_h") <= F.col(tc), name).otherwise(expr)
+        expr = F.when(F.col(h_col) <= F.col(tc), name).otherwise(expr)
     # null-safe threshold join: NULL strata are real groups — the band
     # predicates above already use eqNullSafe, so quotas and thresholds
     # exist for them; a plain `on=strata` equi-join would leave every
@@ -499,7 +502,7 @@ def stratified_exact_split(
     return (
         hashed.join(F.broadcast(t_side), cond, how="left")
         .withColumn(out_col, expr)
-        .drop("_h", "_hd", *t_cols, *s_cols)
+        .drop(h_col, hd_col, *t_cols, *s_cols)
     )
 
 

@@ -351,6 +351,21 @@ def test_local_dim_override_refuses_fact_tables(spark):
         register_local_override(spark, SF, "lineitem", max_rows=5)
 
 
+def test_local_dim_override_refuses_empty_tables(spark, tmp_path):
+    """An empty dim must raise a clear ValueError, not hand Spark the
+    unparsable 'SELECT * FROM (VALUES )' (round-7 advice item 3)."""
+    import pytest
+
+    from mitoscape_spark.catalog import load_table, register_local_override
+
+    sf_dir = str(tmp_path)
+    load_table(spark, SF, "region").limit(0).write.parquet(
+        f"{sf_dir}/region.parquet"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        register_local_override(spark, sf_dir, "region")
+
+
 def test_quality_gopher_compositions_have_no_self_join(spark):
     """ext_auc / ext_quality_filter / ext_prep_pipeline attach quality
     and gopher columns through chained projections over ONE documents

@@ -517,3 +517,28 @@ def test_stratified_exact_split_caller_temp_name_collision(spark):
     rows = out.select("_s_0", "_t_0", "split").collect()
     assert all(r["_s_0"] == "keep-s" and r["_t_0"] == "keep-t" for r in rows)
     assert all(r["split"] in ("train", "test") for r in rows)
+
+
+def test_stratified_exact_split_caller_hash_name_collision(spark):
+    """A caller column literally named `_h` or `_hd` must survive: the
+    internal md5-hash temp columns deepen their prefix past the caller's
+    schema instead of clobbering-then-dropping them (round-7 advice
+    item 1 — the same defect class as the `_t_0`/`_s_0` fix)."""
+    from mitoscape_spark.operators.sampling import stratified_exact_split
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .limit(60)
+        .withColumn("_h", F.lit("keep-h"))
+        .withColumn("_hd", F.lit(7).cast("double"))
+    )
+    out = stratified_exact_split(
+        docs, "lang", "doc_id", {"train": 0.5, "test": 0.5}
+    )
+    assert "_h" in out.columns and "_hd" in out.columns
+    rows = out.select("_h", "_hd", "split").collect()
+    assert all(r["_h"] == "keep-h" and r["_hd"] == 7.0 for r in rows)
+    assert all(r["split"] in ("train", "test") for r in rows)
+    # quotas still exact with the deepened temp names
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert abs(n_train - len(rows) / 2) <= len(rows)  # sanity: no NULLs

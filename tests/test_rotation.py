@@ -1,0 +1,173 @@
+"""Mechanical rotation-pin derivation (mitoscape_spark/rotation.py).
+
+No SparkSession needed — the derivation is pure git + ast analysis.
+Round-7 verdict item 4 (derive pins from the diff) and advice item 4
+(dangling hand pins must fail loudly).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from mitoscape_spark import rotation as R
+
+
+def _entry_module():
+    return importlib.import_module("__spark_entry__")
+
+
+# ---------------------------------------------------------------------
+# pure parsing layer
+# ---------------------------------------------------------------------
+
+_SRC = '''
+from mitoscape_spark.catalog import load_table
+
+_K = 5
+
+def _helper(df):
+    from mitoscape_spark.operators.sampling import cap_per_key
+    return cap_per_key(df, "k", _K)
+
+def ext_fake(spark, sf_dir):
+    from mitoscape_spark.operators.dedup import exact_dedup
+    df = load_table(spark, sf_dir, "documents")
+    return _helper(exact_dedup(df, ["doc_id"]))
+
+QUERIES = {"ext_fake": ext_fake}
+ORACLE = {"ext_fake": "SELECT 1 AS one"}
+ORACLE["ext_other"] = "SELECT 2 AS two"
+'''
+
+
+def _known():
+    idx = R._module_index(R._repo_root())
+    assert idx is not None
+    return idx[0]
+
+
+def test_parse_entries_keys_and_refs():
+    entries, import_names = R._parse_entries(_SRC, _known())
+    assert {"_K", "_helper", "ext_fake", "queries::ext_fake",
+            "oracle::ext_fake", "oracle::ext_other"} <= set(entries)
+    # module-level import binding recorded for ref attribution
+    assert import_names["load_table"] == "mitoscape_spark.catalog"
+    # body imports resolve to package modules
+    assert "mitoscape_spark.operators.dedup" in entries["ext_fake"].mods
+    assert "mitoscape_spark.operators.sampling" in entries["_helper"].mods
+    # intra-file reachability: query -> helper -> constant, + oracle
+    reach = R._reach(
+        {"ext_fake", "oracle::ext_fake", "queries::ext_fake"}, entries
+    )
+    assert {"ext_fake", "_helper", "_K", "oracle::ext_fake"} <= reach
+    assert "oracle::ext_other" not in reach
+
+
+def test_formatting_only_change_keeps_dump_stable():
+    reformatted = _SRC.replace(
+        'return cap_per_key(df, "k", _K)',
+        'return cap_per_key(\n        df, "k", _K\n    )  # comment',
+    )
+    a, _ = R._parse_entries(_SRC, _known())
+    b, _ = R._parse_entries(reformatted, _known())
+    assert a["_helper"].dump == b["_helper"].dump
+    # ...while a real content change does alter the dump
+    changed = _SRC.replace('cap_per_key(df, "k", _K)', 'cap_per_key(df, "k", 9)')
+    c, _ = R._parse_entries(changed, _known())
+    assert a["_helper"].dump != c["_helper"].dump
+
+
+def test_oracle_edit_changes_its_entry_only():
+    changed = _SRC.replace("SELECT 1 AS one", "SELECT 10 AS one")
+    a, _ = R._parse_entries(_SRC, _known())
+    b, _ = R._parse_entries(changed, _known())
+    assert a["oracle::ext_fake"].dump != b["oracle::ext_fake"].dump
+    assert a["ext_fake"].dump == b["ext_fake"].dump
+
+
+# ---------------------------------------------------------------------
+# module graph
+# ---------------------------------------------------------------------
+
+def test_module_closure_is_transitive():
+    idx = R._module_index(R._repo_root())
+    assert idx is not None
+    paths, imports = idx
+    clo = R._mod_closure(imports)
+    # dedup imports graph (connected components); closure must carry it
+    dd = "mitoscape_spark.operators.dedup"
+    assert dd in clo and dd in clo[dd]  # reflexive
+    for m in clo[dd]:
+        assert clo[m] <= clo[dd]  # transitive
+
+
+# ---------------------------------------------------------------------
+# end-to-end derivation against the real repo
+# ---------------------------------------------------------------------
+
+def test_derive_pins_returns_valid_subset():
+    e = _entry_module()
+    from mitoscape_spark.queries import QUERIES
+
+    latest = {n: rnd for n, (rnd, _r) in e._verdict_history().items()}
+    pins = R.derive_pins(latest, QUERIES)
+    assert pins is not None, "derivation must succeed inside the repo"
+    assert pins <= set(QUERIES)
+    # names never driver-checked are tier 0 upstream, never pinned
+    assert pins <= set(latest)
+
+
+def test_catalog_is_ubiquitous_not_discriminating():
+    """catalog.load_table sits on (nearly) every query's path; the
+    ubiquity filter must drop it so an infra touch cannot flood the
+    driver's 50-name cap."""
+    e = _entry_module()
+    from mitoscape_spark.queries import QUERIES
+
+    root = R._repo_root()
+    idx = R._module_index(root)
+    paths, imports = idx
+    clo = R._mod_closure(imports)
+    n_with_catalog = 0
+    for name, fn in QUERIES.items():
+        parsed = R._worktree_entries(root, paths[fn.__module__])
+        entries, import_names = parsed
+        reach = R._reach(
+            {fn.__name__, f"oracle::{name}", f"queries::{name}"}, entries
+        )
+        mods: set[str] = set()
+        for k in reach:
+            mods |= entries[k].mods
+            mods |= {import_names[r] for r in entries[k].refs if r in import_names}
+        exp: set[str] = set()
+        for m in mods:
+            exp |= clo.get(m, frozenset({m}))
+        if "mitoscape_spark.catalog" in exp:
+            n_with_catalog += 1
+    assert n_with_catalog > 0.5 * len(QUERIES)
+
+
+def test_queries_ordering_survives_with_pins():
+    """queries() must build (assert passes, derivation wired in) and
+    keep tier structure: tier-3 pins precede tier-4 by verdict age."""
+    e = _entry_module()
+    ordered = list(e.queries())
+    from mitoscape_spark.queries import QUERIES
+
+    assert set(ordered) == set(QUERIES)
+
+
+def test_dangling_hand_pin_fails_loudly():
+    e = _entry_module()
+    saved = e._ROTATION_PINS
+    e._ROTATION_PINS = frozenset({"ext_definitely_not_a_query"})
+    try:
+        with pytest.raises(AssertionError, match="not in QUERIES"):
+            e.queries()
+    finally:
+        e._ROTATION_PINS = saved
