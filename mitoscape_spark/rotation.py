@@ -309,13 +309,15 @@ def derive_pins(
     latest_round: dict[str, int],
     declared: dict[str, object],
     root: str | None = None,
+    explain: dict[str, str] | None = None,
 ) -> frozenset[str] | None:
     """Names whose statically-derived code path changed after their
     latest driver verdict. ``latest_round`` maps name -> round of its
     newest CORRECTNESS record (names absent are never-checked: tier 0
     upstream, no pin needed). ``declared`` is the QUERIES registry
     (name -> function). Returns None on any failure (fall back to the
-    hand list)."""
+    hand list). ``explain``, when given, is filled with a short
+    pin-reason per pinned name (tools/rotation_report.py)."""
     if root is None:
         root = _repo_root()
     bounds = _boundaries(root)
@@ -373,24 +375,34 @@ def derive_pins(
                 sha = b_sha
         if sha is None:
             pins.add(name)  # verdict predates recorded history — re-check
+            if explain is not None:
+                explain[name] = f"no boundary commit at or before r{rnd:02d}"
             continue
         diff = _diff_since(root, sha)
         if diff is None:
             return None
         if not diff:
             continue
-        mod_hit = any(
-            mod_paths.get(m) in diff
+        mod_hits = sorted(
+            mod_paths[m]
             for m in mods - ubiquitous
-            if mod_paths.get(m) not in _QUERY_FILES
+            if mod_paths.get(m) in diff
+            and mod_paths.get(m) not in _QUERY_FILES
         )
-        if mod_hit:
+        if mod_hits:
             pins.add(name)
+            if explain is not None:
+                explain[name] = (
+                    f"module(s) changed since r{rnd:02d}: "
+                    + ", ".join(mod_hits)
+                )
             continue
         if relpath in diff:
             old = _entries_at(root, relpath, sha, None)
             if old is None:
                 pins.add(name)  # file new/unparsable at boundary
+                if explain is not None:
+                    explain[name] = f"{relpath} unreadable at r{rnd:02d}"
                 continue
             old_entries = old[0]
             new_entries = _worktree_entries(root, relpath)[0]
@@ -398,6 +410,11 @@ def derive_pins(
                 o = old_entries.get(key)
                 if o is None or o.dump != new_entries[key].dump:
                     pins.add(name)
+                    if explain is not None:
+                        what = "added" if o is None else "changed"
+                        explain[name] = (
+                            f"{relpath}::{key} {what} since r{rnd:02d}"
+                        )
                     break
     return frozenset(pins & set(declared))
 

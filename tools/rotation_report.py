@@ -1,0 +1,72 @@
+"""Print the driver-rotation slice the way the grading driver will see
+it: tier composition, the mechanically derived pins with their reasons
+(mitoscape_spark/rotation.py), and the first <cap> names in order.
+
+Usage: python tools/rotation_report.py [--cap 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=50)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from mitoscape_spark.queries import ORACLE, QUERIES
+    from mitoscape_spark.rotation import derive_pins
+
+    latest = {n: rnd for n, (rnd, _r) in entry._verdict_history().items()}
+    explain: dict[str, str] = {}
+    derived = derive_pins(latest, QUERIES, explain=explain)
+    if derived is None:
+        print("derivation FAILED — rotation falls back to hand pins:")
+        print(sorted(entry._ROTATION_PINS))
+        return 1
+
+    ordered = list(entry.queries())
+    full = entry._verdict_history()
+
+    def tier(name: str) -> int:
+        if name not in full:
+            return 0
+        rnd, res = full[name]
+        err = res.get("err")
+        if err and err != "no_oracle":
+            return 1
+        if err == "no_oracle" and name in ORACLE:
+            return 2
+        if name in derived or name in entry._ROTATION_PINS:
+            return 3
+        return 4
+
+    tiers = Counter(tier(n) for n in ordered)
+    print(f"declared: {len(ordered)}  oracle: {len(ORACLE)}")
+    print(f"tiers: {dict(sorted(tiers.items()))}")
+    print(f"derived pins: {len(derived)} (hand overrides: "
+          f"{len(entry._ROTATION_PINS)})")
+    byround = Counter(latest.get(n) for n in derived)
+    print(f"pins by latest-verdict round: {dict(sorted(byround.items()))}\n")
+    print(f"--- driver slice (first {args.cap}) ---")
+    for name in ordered[: args.cap]:
+        rnd = latest.get(name)
+        why = explain.get(name, "")
+        tag = f"t{tier(name)} r{rnd:02d}" if rnd else "t0 ----"
+        print(f"{tag}  {name}" + (f"  [{why}]" if why else ""))
+    print("\n--- pinned but OUTSIDE the cap (carry over to next round) ---")
+    for name in ordered[args.cap :]:
+        if name in derived:
+            print(f"r{latest.get(name):02d}  {name}  [{explain.get(name, '')}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
