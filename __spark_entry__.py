@@ -138,6 +138,13 @@ def _rotation_pins() -> frozenset[str]:
     except Exception:  # noqa: BLE001 — fail-open to the hand list
         derived = None
     if derived is None:
+        import sys
+
+        print(
+            "rotation: pin derivation unavailable (no git history / parse "
+            "error) — ordering falls back to hand pins + oldest-first",
+            file=sys.stderr,
+        )
         return _ROTATION_PINS
     return _ROTATION_PINS | derived
 

@@ -115,11 +115,15 @@ def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE) -> DataFrame:
     Built with JVM higher-order functions: transform over an index
     sequence — a generate + project, no shuffle.
     """
+    from mitoscape_spark.plans import ensure_min_parallelism
+
     idx_expr = " ".join(
         f"toks[i+{j}]," for j in range(n)
     ).rstrip(",")
+    # single-row-group inputs plan the explode+md5 map work as ONE task
+    # (PERF.md §23); spreading the rows first is a no-op on real layouts
     return (
-        tokenize(docs)
+        tokenize(ensure_min_parallelism(docs))
         .where(F.size("toks") >= n)
         .select(
             "doc_id",
@@ -817,10 +821,17 @@ def connected_components(
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
+            # no distinct here: the reorientation right below dedups —
+            # two adjacent hash-aggregate exchanges carried the same
+            # rows twice (round 8; one fewer Exchange + AQE stage per
+            # round, and each star round is scheduling-floor-bound on
+            # moderate graphs)
         )
         # ---- small-star: orient (big, small); everything in the
-        # group links to the minimum
+        # group links to the minimum. This distinct is the ROUND's
+        # dedup point: in a k-clique every member receives the same
+        # (v, min) from ~k neighbors — partial aggregation compacts the
+        # k× duplication map-side before the wire.
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()

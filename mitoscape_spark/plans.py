@@ -1,0 +1,45 @@
+"""Plan-shaping helpers.
+
+``ensure_min_parallelism`` — round-8 finding (PERF.md §23): the local
+test corpora are single-file, SINGLE-ROW-GROUP parquet, and a parquet
+row group is Spark's indivisible split unit — so every scan-rooted map
+stage (shingle explosion + md5, Python mapInPandas decode) ran on ONE
+task regardless of ``spark.sql.files.maxPartitionBytes``, leaving 31
+of 32 cores idle until the first exchange. Operators whose map-side
+work dominates (media synthesis/decode, shingling) opt in to an
+explicit repartition-UP when — and only when — the incoming plan's
+parallelism is below the cluster's core count.
+
+100-TB posture: on any real layout (thousands of files / row groups)
+``have >= want`` and this is a NO-OP — zero added exchanges, the
+bucketed zero-Exchange plans keep their shape. It exists to rescue the
+degenerate small-file case, which also appears in production as "one
+ingest file landed hot" — there, shuffling the few rows that exist is
+strictly better than serializing the expensive map work on one core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Repartition ``df`` UP to ``min_partitions`` (default: the
+    cluster's ``defaultParallelism``) when its current plan has fewer
+    partitions; pass through untouched otherwise.
+
+    Observation only — ``df.rdd.getNumPartitions()`` finalizes the
+    physical plan but launches no job. Streaming / un-plannable frames
+    pass through unchanged.
+    """
+    spark = df.sparkSession
+    want = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # streaming frame or exotic plan — leave it alone
+        return df
+    if have >= want:
+        return df
+    return df.repartition(want)

@@ -120,7 +120,12 @@ def synthetic_decodable_media(spark: SparkSession, docs: DataFrame) -> DataFrame
                 out["format"].append(fmt)
             yield pd.DataFrame(out)
 
-    flat = docs.select("doc_id").mapInPandas(
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    # the corpora are single-row-group parquet → the scan is ONE task;
+    # spreading the doc_id keys (KBs) unlocks every core for the
+    # payload synthesis below (PERF.md §23)
+    flat = ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         gen,
         "media_id long, modality string, payload binary, width int, "
         "height int, sample_rate int, n_frames int, format string",
@@ -632,7 +637,9 @@ def synthetic_video_corpus(spark: SparkSession, docs: DataFrame,
                 {"media_id": ids, "payload": payloads, "n_frames": metas}
             )
 
-    flat = docs.select("doc_id").mapInPandas(
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    flat = ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         gen, "media_id long, payload binary, n_frames int"
     )
     return flat.select(
@@ -696,7 +703,9 @@ def synthetic_audio_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
                     ids.append(int(doc_id))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    flat = docs.select("doc_id").mapInPandas(
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    flat = ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         gen, "media_id long, payload binary"
     )
     return flat.select(
