@@ -45,12 +45,19 @@ def gram_occurrences(
     Guard: Spark's ``sequence(1, k)`` DESCENDS when k < 1, so short
     documents must map to an empty start list, not [1, 0].
     """
+    from mitoscape_spark.plans import ensure_min_parallelism
+
     toks = F.split(F.lower(F.col(text_col)), " ")
     starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return docs.select(
-        F.col(id_col).alias("id"), toks.alias("t"), F.explode(starts).alias("i")
+    # the span explode is the map-heavy stage; single-row-group inputs
+    # plan it as ONE task (PERF.md §23) — spread rows first (no-op on
+    # real layouts)
+    return ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    ).select(
+        "id", "t", F.explode(starts).alias("i")
     ).select(
         "id", "i", F.array_join(F.slice("t", F.col("i"), n), " ").alias("g")
     )

@@ -218,8 +218,14 @@ def winnow_fingerprints(
         f"transform(sequence(0, size(h) - {window}),"
         f" i -> array_min(slice(h, i + 1, {window})))"
     )
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    # the per-row k-gram md5 fan-out is the cost here; single-row-group
+    # inputs plan it as ONE task (PERF.md §23) — spread rows first
+    # (no-op on real layouts)
     return (
-        docs.select("doc_id", toks.alias("toks"))
+        ensure_min_parallelism(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= k)
         .select("doc_id", grams_h.alias("h"))
         .where(F.size("h") >= window)

@@ -50,3 +50,38 @@ def test_merged_window_skips_incomplete_jobs():
 
 def test_merged_window_empty():
     assert _merged_window_sec([]) == 0.0
+
+
+def test_spill_probe_corpus_derivation(tmp_path):
+    """tools/spill_probe.py build_corpus: FACTOR perturbed copies with
+    shifted ids, per-copy text suffix (copy 0 byte-identical), and a
+    first-dim embedding offset — the planted-clique construction the
+    §22 memory-pressure numbers depend on."""
+    import pyarrow.parquet as pq
+    from spill_probe import build_corpus
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "derived")
+    build_corpus(src, out, factor=3)
+
+    docs0 = pq.read_table(f"{src}/documents.parquet").to_pydict()
+    docs = pq.read_table(f"{out}/documents.parquet").to_pydict()
+    n = len(docs0["doc_id"])
+    assert len(docs["doc_id"]) == 3 * n
+    # copy 0 byte-identical; copy k id-shifted with suffixed text
+    assert docs["doc_id"][:n] == docs0["doc_id"]
+    assert docs["text"][:n] == docs0["text"]
+    assert docs["doc_id"][n : 2 * n] == [i + 10_000_000 for i in docs0["doc_id"]]
+    assert all(
+        t is None or t.endswith(" rev1") for t in docs["text"][n : 2 * n]
+    )
+
+    emb0 = pq.read_table(f"{src}/embeddings.parquet").to_pydict()
+    emb = pq.read_table(f"{out}/embeddings.parquet").to_pydict()
+    m = len(emb0["vec_id"])
+    assert len(emb["vec_id"]) == 3 * m
+    v0, v2 = emb0["embedding"][0], emb["embedding"][2 * m]
+    # embeddings are float32 on disk — compare at float32 resolution
+    assert abs(v2[0] - (v0[0] + 2e-3)) < 1e-6 and list(v2[1:]) == list(v0[1:])
+    # relational tables linked through so query preambles resolve
+    assert os.path.exists(f"{out}/lineitem.parquet")
