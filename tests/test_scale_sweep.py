@@ -28,6 +28,12 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_completes_within_budget_at_sf01(spark, name):
+    if os.environ.get("SPARK_GRAFT_SWEEP_WARM"):
+        # steady-state mode: one untimed pass first, so the timed number
+        # measures the plan, not whichever query first touches a cold
+        # JIT/codegen path (single-shot sweeps showed ±5 s first-touch
+        # spikes wandering between queries run-to-run; round 8)
+        QUERIES[name](spark, SF).write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     QUERIES[name](spark, SF).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
