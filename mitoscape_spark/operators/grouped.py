@@ -30,27 +30,37 @@ def grouped_robust_zscore(
 
     Median-of-medians needs two dependent passes over the group — not
     expressible as a single Catalyst aggregate, hence the grouped map.
-    Rounded for cross-engine comparison (the DuckDB oracle computes the
-    same with ``median``/``quantile_cont``).
+    Arrow-native (``applyInArrow``, round 8): the kernel is numpy over
+    the group's value buffer, so the pandas block-manager round-trip —
+    measured at ~7 ms/group of pure conversion constant on 1 500-group
+    sf0.1 events, 10 s of the query's wall — is skipped on both sides
+    of the boundary. Math is unchanged to the bit: same np.median /
+    np.round as the pandas formulation. Rounded for cross-engine
+    comparison (the DuckDB oracle computes the same with
+    ``median``/``quantile_cont``).
     """
+    import pyarrow as pa
+
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     schema = f"{out_fields}, {out_col} double"
 
-    def transform(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[value_col].astype(float)
+    def transform(tbl: pa.Table) -> pa.Table:
+        x = (
+            tbl.column(value_col)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
         med = float(np.median(x))
         mad = float(np.median(np.abs(x - med)))
         if mad == 0.0:
-            z = pd.Series([None] * len(x), dtype="object")
+            z = pa.nulls(len(tbl), pa.float64())
         else:
-            z = ((x - med) / (1.4826 * mad)).round(ndigits)
-        out = pdf.copy()
-        out[out_col] = z
-        return out
+            z = pa.array(np.round((x - med) / (1.4826 * mad), ndigits))
+        return tbl.append_column(out_col, z)
 
-    return df.groupBy(key).applyInPandas(transform, schema=schema)
+    return df.groupBy(key).applyInArrow(transform, schema=schema)
 
 
 def grouped_minmax_scale_arrow(
