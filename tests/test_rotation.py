@@ -8,6 +8,7 @@ Round-7 verdict item 4 (derive pins from the diff) and advice item 4
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
 import pytest
@@ -171,3 +172,131 @@ def test_dangling_hand_pin_fails_loudly():
             e.queries()
     finally:
         e._ROTATION_PINS = saved
+
+
+# ---------------------------------------------------------------------
+# end-to-end against a SYNTHETIC git repo: boundary commits, diffs,
+# per-name staleness, carry-over
+# ---------------------------------------------------------------------
+
+_MINI_OPS = """\
+from pyspark.sql import functions as F
+
+def cap(df):
+    return df.limit(5)
+"""
+
+_MINI_QUERIES = """\
+from mitoscape_spark.catalog import load_table
+
+K = 3
+
+def ext_alpha(spark, sf_dir):
+    from mitoscape_spark.operators.sampling import cap_per_key
+    return cap_per_key(load_table(spark, sf_dir, "documents"), "k", K)
+
+def ext_beta(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(2)
+
+QUERIES = {"ext_alpha": ext_alpha, "ext_beta": ext_beta}
+ORACLE = {"ext_alpha": "SELECT 1 AS one", "ext_beta": "SELECT 2 AS two"}
+"""
+
+
+def _mini_repo(tmp_path):
+    """A throwaway package mirroring the real layout, with round-1 and
+    round-2 boundary commits."""
+    import subprocess
+
+    root = tmp_path / "repo"
+    pkg = root / "mitoscape_spark"
+    (pkg / "operators").mkdir(parents=True)
+    (pkg / "queries").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "operators" / "__init__.py").write_text("")
+    (pkg / "queries" / "__init__.py").write_text("")
+    (pkg / "catalog.py").write_text("def load_table(s, d, n):\n    return None\n")
+    (pkg / "operators" / "sampling.py").write_text(
+        "def cap_per_key(df, k, n):\n    return df\n"
+    )
+    (pkg / "operators" / "other.py").write_text(_MINI_OPS)
+    (pkg / "queries" / "extensions.py").write_text(_MINI_QUERIES)
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(root), *args],
+            check=True,
+            capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "PATH": os.environ["PATH"], "HOME": os.environ.get("HOME", "/tmp")},
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "round 1: verdict/advice/correctness/bench")
+    # round 2: touch sampling.py (ext_alpha's operator), then boundary
+    (pkg / "operators" / "sampling.py").write_text(
+        "def cap_per_key(df, k, n):\n    return df.limit(n)\n"
+    )
+    git("add", "-A")
+    git("commit", "-qm", "change sampling op")
+    git("commit", "-q", "--allow-empty", "-m",
+        "round 2: verdict/advice/correctness/bench")
+    return root
+
+
+class _FakeFn:
+    def __init__(self, module, name):
+        self.__module__ = module
+        self.__name__ = name
+
+
+def test_mini_repo_pin_semantics(tmp_path):
+    root = str(_mini_repo(tmp_path))
+    declared = {
+        "ext_alpha": _FakeFn("mitoscape_spark.queries.extensions", "ext_alpha"),
+        "ext_beta": _FakeFn("mitoscape_spark.queries.extensions", "ext_beta"),
+    }
+    R.clear_caches()
+    try:
+        # both last verified in round 1; sampling.py changed after ->
+        # alpha pinned, beta (path untouched) not
+        explain = {}
+        pins = R.derive_pins(
+            {"ext_alpha": 1, "ext_beta": 1}, declared, root=root,
+            explain=explain,
+        )
+        assert pins == {"ext_alpha"}, explain
+        assert "sampling.py" in explain["ext_alpha"]
+        # verified in round 2 (after the change) -> fresh, no pins:
+        # this is the carry-over-until-re-recorded property inverted
+        assert R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2}, declared, root=root
+        ) == frozenset()
+        # an ORACLE edit in the worktree pins its query only
+        qfile = os.path.join(root, "mitoscape_spark/queries/extensions.py")
+        src = open(qfile).read()
+        open(qfile, "w").write(
+            src.replace("SELECT 2 AS two", "SELECT 20 AS two")
+        )
+        R.clear_caches()
+        pins = R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2}, declared, root=root
+        )
+        assert pins == {"ext_beta"}
+        # a formatting-only edit does NOT pin (AST-dump comparison)
+        open(qfile, "w").write(
+            src.replace(
+                "    return load_table(spark, sf_dir, \"documents\").limit(2)",
+                "    return (load_table(spark, sf_dir,\n"
+                "        \"documents\")).limit(2)  # comment",
+            )
+        )
+        R.clear_caches()
+        pins = R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2}, declared, root=root
+        )
+        assert pins == frozenset()
+    finally:
+        R.clear_caches()  # drop mini-repo state from the shared caches
