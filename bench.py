@@ -216,6 +216,10 @@ def main() -> int:
         min(serial_walls), 1e-9
     ) > 0.30:
         wall = run_concurrent({}, inflight=1)
+        # record the rescue round too — otherwise serial_value could
+        # name a figure that appears in no serial_rounds entry and the
+        # stamped spread would still flag the quiet round as noisy
+        serial_walls.append(wall)
         serial_value = min(serial_value, wall)
 
     # self-adjudicating load context (round-7 verdict item 5): a shared

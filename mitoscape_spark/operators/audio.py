@@ -45,7 +45,12 @@ def _fingerprint64(
     bits are the industry fingerprint derivation precisely because a
     single band sitting at a threshold boundary perturbs ONE bit, not
     a bit per window (an absolute median threshold on stationary audio
-    flips the same borderline band in every window at once)."""
+    flips the same borderline band in every window at once).
+
+    Deliberately INDEPENDENT of ``_fingerprint64_batch`` (do not
+    delegate): this scalar form is the semantic reference that
+    ``test_batch_matches_scalar`` compares the vectorized path against
+    — delegating would make that bit-identity pin vacuous."""
     x = samples.astype(np.float64)
     if len(x) < n_windows * 2:
         x = np.pad(x, (0, n_windows * 2 - len(x)))

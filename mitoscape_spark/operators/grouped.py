@@ -57,7 +57,12 @@ def grouped_robust_zscore(
         if mad == 0.0:
             z = pa.nulls(len(tbl), pa.float64())
         else:
-            z = pa.array(np.round((x - med) / (1.4826 * mad), ndigits))
+            vals = np.round((x - med) / (1.4826 * mad), ndigits)
+            # NaN -> NULL, matching the pandas formulation (Series→Arrow
+            # converts NaN to null; pa.array from a numpy float array
+            # would keep a literal NaN — a silent oracle divergence on
+            # inputs with NULL values)
+            z = pa.array(vals, mask=np.isnan(vals))
         return tbl.append_column(out_col, z)
 
     return df.groupBy(key).applyInArrow(transform, schema=schema)

@@ -30,13 +30,22 @@ def ensure_min_parallelism(
     cluster's ``defaultParallelism``) when its current plan has fewer
     partitions; pass through untouched otherwise.
 
-    Observation only — ``df.rdd.getNumPartitions()`` finalizes the
-    physical plan but launches no job. Streaming / un-plannable frames
-    pass through unchanged.
+    Probe cost: with AQE enabled, ``df.rdd`` on a plan containing
+    exchanges EXECUTES the upstream shuffle stages (AdaptiveSparkPlan
+    finalization submits real jobs, and that work is then re-executed
+    by the real action). So the probe runs only on EXCHANGE-FREE plans
+    — checked from the physical plan string, a driver-side py4j call
+    that launches nothing. A plan that already contains an exchange has
+    ``spark.sql.shuffle.partitions``-grade parallelism downstream, so
+    passing it through untouched is also the correct answer. Streaming
+    / un-plannable frames pass through unchanged.
     """
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            return df
         have = df.rdd.getNumPartitions()
     except Exception:  # streaming frame or exotic plan — leave it alone
         return df

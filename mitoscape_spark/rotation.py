@@ -256,6 +256,16 @@ def _parse_entries(
                 m = _known_mod(f"{node.module}.{a.name}", known)
                 if m:
                     import_names[a.asname or a.name] = m
+        elif isinstance(node, ast.Import):
+            # plain `import mitoscape_spark.x.y as z`: bind z -> module
+            # so body refs through the alias still attribute the module
+            # (without an alias the body references the bare package
+            # root — too coarse to discriminate, skip)
+            for a in node.names:
+                if a.asname and a.name.split(".")[0] == _PKG:
+                    m = _known_mod(a.name, known)
+                    if m:
+                        import_names[a.asname] = m
     return entries, import_names
 
 

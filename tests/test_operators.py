@@ -521,6 +521,41 @@ def test_grouped_robust_zscore(spark):
     assert all(r.robust_z is None for r in by_k[2])
 
 
+def test_grouped_robust_zscore_null_values_stay_null(spark):
+    """A NULL in value_col must surface as SQL NULL z-scores, never a
+    double NaN — the Arrow grouped map converts NaN back to null with a
+    mask (round-8 review: pa.array(np.array([nan])) keeps a literal NaN
+    where the old pandas Series→Arrow path produced null, a silent
+    oracle divergence)."""
+    from mitoscape_spark.operators.grouped import grouped_robust_zscore
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, None), (1, 9.0)], ["k", "v"]
+    )
+    out = grouped_robust_zscore(df, "k", "v")
+    # NaN median poisons the whole group -> every z must be NULL
+    rows = out.collect()
+    assert all(r.robust_z is None for r in rows)
+    # and they must be SQL NULLs, not NaNs: isnan() on a NaN would be true
+    assert out.where(F.isnan("robust_z")).count() == 0
+
+
+def test_ensure_min_parallelism_pass_through_and_spread(spark):
+    """Exchange-free narrow plans below the core count repartition UP;
+    plans that already contain an exchange pass through untouched (the
+    probe would otherwise execute upstream shuffle stages twice under
+    AQE — round-8 review)."""
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    narrow = spark.range(0, 100, 1, 2).selectExpr("id", "id * 2 AS y")
+    spread = ensure_min_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 4
+    )
+    wide = spark.range(0, 100, 1, 2).groupBy((F.col("id") % 10)).count()
+    assert ensure_min_parallelism(wide) is wide  # identical object: no-op
+
+
 def test_samtext_python_datasource(spark, tmp_path):
     from mitoscape_spark.sources.sam import register_sam_source
 

@@ -539,6 +539,8 @@ def test_stratified_exact_split_caller_hash_name_collision(spark):
     rows = out.select("_h", "_hd", "split").collect()
     assert all(r["_h"] == "keep-h" and r["_hd"] == 7.0 for r in rows)
     assert all(r["split"] in ("train", "test") for r in rows)
-    # quotas still exact with the deepened temp names
+    # quotas still exact with the deepened temp names: per-stratum
+    # k = floor(n_s/2 + 0.5), so the train total can exceed half by at
+    # most one row per stratum (documents.lang has a handful of values)
     n_train = sum(1 for r in rows if r["split"] == "train")
-    assert abs(n_train - len(rows) / 2) <= len(rows)  # sanity: no NULLs
+    assert abs(n_train - len(rows) / 2) <= 6
