@@ -300,3 +300,23 @@ def test_mini_repo_pin_semantics(tmp_path):
         assert pins == frozenset()
     finally:
         R.clear_caches()  # drop mini-repo state from the shared caches
+
+
+def test_derivation_fails_open_without_git(tmp_path):
+    """No git history (tarball checkout, shallow copy) must yield None
+    — the caller then falls back to hand pins + oldest-first, never a
+    crash or a silently-empty pin set presented as authoritative."""
+    root = tmp_path / "nogit"
+    pkg = root / "mitoscape_spark" / "queries"
+    pkg.mkdir(parents=True)
+    (root / "mitoscape_spark" / "__init__.py").write_text("")
+    (pkg / "__init__.py").write_text("")
+    (pkg / "extensions.py").write_text(_MINI_QUERIES)
+    declared = {
+        "ext_beta": _FakeFn("mitoscape_spark.queries.extensions", "ext_beta"),
+    }
+    R.clear_caches()
+    try:
+        assert R.derive_pins({"ext_beta": 1}, declared, root=str(root)) is None
+    finally:
+        R.clear_caches()
