@@ -320,3 +320,33 @@ def test_derivation_fails_open_without_git(tmp_path):
         assert R.derive_pins({"ext_beta": 1}, declared, root=str(root)) is None
     finally:
         R.clear_caches()
+
+
+def test_mod_closure_matches_bfs_reachability():
+    """_mod_closure's fixpoint must equal BFS reachability (reflexive)
+    on arbitrary digraphs, including cycles — property-tested with
+    seeded random graphs (pure Python, no Spark)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n = rng.randint(1, 12)
+        nodes = [f"m{i}" for i in range(n)]
+        imports = {
+            u: frozenset(
+                v for v in nodes if v != u and rng.random() < 0.25
+            )
+            for u in nodes
+        }
+        clo = R._mod_closure(imports)
+        for u in nodes:
+            # BFS reference
+            seen = {u}
+            frontier = [u]
+            while frontier:
+                x = frontier.pop()
+                for y in imports[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        frontier.append(y)
+            assert clo[u] == frozenset(seen), (trial, u, imports)
