@@ -126,10 +126,14 @@ def _rotation_pins() -> frozenset[str]:
     from mitoscape_spark.queries import QUERIES
 
     dangling = _ROTATION_PINS - set(QUERIES)
-    assert not dangling, (
-        f"_ROTATION_PINS names not in QUERIES (typo/rename?): "
-        f"{sorted(dangling)}"
-    )
+    if dangling:
+        # ValueError, not assert: the fail-loudly-on-typo contract
+        # (round-7 advice item 4) must survive `python -O`, which
+        # strips asserts (round-8 advice item 3)
+        raise ValueError(
+            f"_ROTATION_PINS names not in QUERIES (typo/rename?): "
+            f"{sorted(dangling)}"
+        )
     try:
         from mitoscape_spark.rotation import derive_pins
 
@@ -170,10 +174,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          next round, until a fresh record lands — the stale backlog
          burns down monotonically at cap-rate.
       4. everything else, oldest driver verdict first. With per-name
-         change detection this tier is provably NON-stale (its code
-         path is unchanged since its green); it remains as the safety
-         net for what static analysis can't see (driver harness
-         changes, testdata regeneration, dynamic dispatch).
+         change detection this tier's STATIC code path is unchanged
+         since its green — but that is not an absolute freshness
+         proof: changes to UBIQUITOUS modules (>50% of query paths)
+         are deliberately excluded from pin derivation (they would
+         flood the cap while discriminating nothing), so a semantic
+         change there reaches tier-4 names only at cap-rate.
+         derive_pins surfaces any such dropped module on stderr /
+         explain["__ubiquitous_dropped__"] so it can be hand-pinned
+         consciously (round-8 advice item 1). Tier 4 also remains the
+         safety net for what static analysis can't see (driver
+         harness changes, testdata regeneration, dynamic dispatch).
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 

@@ -20,7 +20,16 @@ strictly better than serializing the expensive map work on one core.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# a SHUFFLE exchange ("Exchange hashpartitioning(...)", "Exchange
+# rangepartitioning", "Exchange SinglePartition", ...) — deliberately
+# NOT "BroadcastExchange": a broadcast-join plan's STREAM side can
+# still be a single-row-group scan running as one task, exactly the
+# degenerate case this helper exists to rescue (round-8 advice item 4)
+_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)Exchange\b")
 
 
 def ensure_min_parallelism(
@@ -31,20 +40,24 @@ def ensure_min_parallelism(
     partitions; pass through untouched otherwise.
 
     Probe cost: with AQE enabled, ``df.rdd`` on a plan containing
-    exchanges EXECUTES the upstream shuffle stages (AdaptiveSparkPlan
-    finalization submits real jobs, and that work is then re-executed
-    by the real action). So the probe runs only on EXCHANGE-FREE plans
-    — checked from the physical plan string, a driver-side py4j call
-    that launches nothing. A plan that already contains an exchange has
-    ``spark.sql.shuffle.partitions``-grade parallelism downstream, so
-    passing it through untouched is also the correct answer. Streaming
-    / un-plannable frames pass through unchanged.
+    shuffle exchanges EXECUTES the upstream shuffle stages
+    (AdaptiveSparkPlan finalization submits real jobs, and that work is
+    then re-executed by the real action). So the probe runs only on
+    SHUFFLE-FREE plans — checked from the physical plan string, a
+    driver-side py4j call that launches nothing. A plan that already
+    contains a shuffle exchange has ``spark.sql.shuffle.partitions``-
+    grade parallelism downstream, so passing it through untouched is
+    also the correct answer. A BroadcastExchange does NOT short-circuit
+    the probe: the broadcast build side is tiny by definition, while
+    the stream side may still be a one-task scan worth repartitioning
+    (round-8 advice item 4). Streaming / un-plannable frames pass
+    through unchanged.
     """
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan:
+        if _SHUFFLE_EXCHANGE.search(plan):
             return df
         have = df.rdd.getNumPartitions()
     except Exception:  # streaming frame or exotic plan — leave it alone

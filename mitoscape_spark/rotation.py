@@ -28,11 +28,31 @@ is a static over-approximation of the query's code path:
   change there staleness-marks every name equally, which is what the
   tier-4 oldest-verdict-first rotation already covers; pinning all 251
   would re-sort tier 4 into itself while crowding the handful of
-  genuinely-touched names out of the driver's 50-name cap.
+  genuinely-touched names out of the driver's 50-name cap. The COST of
+  that trade (round-8 advice item 1): a *semantic* change to a
+  ubiquitous module pins nothing — its dependents are only re-checked
+  at tier-4 cap-rate. ``derive_pins`` therefore SURFACES every changed
+  module it dropped as ubiquitous (stderr + the ``explain`` dict's
+  ``__ubiquitous_dropped__`` key) so a round can consciously hand-pin
+  a broad re-check instead of silently relying on tier 4.
+
+Boundary-commit convention (a CONTRACT with the driver): round closes
+are recognized by commit subjects matching ``round N: verdict...``.
+If the driver's commit style ever changes, ``_boundaries`` finds
+nothing and the whole derivation fails open to the hand list —
+``tests/test_rotation.py::test_real_history_has_boundaries`` pins the
+convention against the live repo history so the degradation is caught
+in CI, not discovered as a silent staleness regression.
 
 Fail-open contract: ANY git or parse failure returns ``None`` and the
 caller falls back to the hand list — the derived set AUGMENTS the hand
 overrides (union), it never silently replaces a working pin.
+
+Cache validity (round-8 advice item 5): the memoized git/parse state
+is keyed on a cheap worktree fingerprint (max mtime + file count over
+package ``.py`` files, plus HEAD for history queries), so derivations
+stay correct in a long-lived process that edits files between calls —
+not just at process start.
 """
 
 from __future__ import annotations
@@ -76,11 +96,41 @@ def _git(root: str, *args: str) -> str | None:
     return out.stdout if out.returncode == 0 else None
 
 
-@lru_cache(maxsize=4)
+def _worktree_fingerprint(root: str) -> tuple[int, float]:
+    """(file count, max mtime) over the package's .py files — a cheap
+    stat-only key that changes whenever any package file is edited,
+    added, or removed. Cache-busts the worktree-dependent memoizations
+    below in long-lived processes (round-8 advice item 5)."""
+    n, newest = 0, 0.0
+    for dirpath, _dirs, files in os.walk(os.path.join(root, _PKG)):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                n += 1
+                try:
+                    mt = os.stat(os.path.join(dirpath, fn)).st_mtime
+                except OSError:
+                    continue
+                newest = max(newest, mt)
+    return n, newest
+
+
 def _boundaries(root: str) -> tuple[tuple[int, str], ...] | None:
+    head = _git(root, "rev-parse", "HEAD")
+    return _boundaries_at(root, head.strip() if head else None)
+
+
+@lru_cache(maxsize=8)
+def _boundaries_at(
+    root: str, head: str | None
+) -> tuple[tuple[int, str], ...] | None:
     """(round, sha) pairs for the driver's round-close commits, oldest
     first. The verdict recorded as round N postdates every commit up to
-    and including the ``round N: verdict/...`` commit."""
+    and including the ``round N: verdict/...`` commit. Keyed on HEAD so
+    commits made after the first call are seen (advice item 5)."""
+    if head is None:
+        return None
     out = _git(root, "log", "--format=%H %s")
     if out is None:
         return None
@@ -92,10 +142,18 @@ def _boundaries(root: str) -> tuple[tuple[int, str], ...] | None:
     return tuple(sorted(found.items()))
 
 
-@lru_cache(maxsize=64)
 def _diff_since(root: str, sha: str) -> frozenset[str] | None:
+    return _diff_since_keyed(root, sha, _worktree_fingerprint(root))
+
+
+@lru_cache(maxsize=64)
+def _diff_since_keyed(
+    root: str, sha: str, wt_key: tuple[int, float]
+) -> frozenset[str] | None:
     """Package .py files changed between ``sha`` and the WORKING TREE
-    (committed + uncommitted), plus untracked new modules."""
+    (committed + uncommitted), plus untracked new modules. ``wt_key``
+    (the worktree fingerprint) only busts the cache — the memo would
+    otherwise serve stale diffs after in-process edits."""
     out = _git(root, "diff", "--name-only", sha)
     if out is None:
         return None
@@ -139,12 +197,19 @@ def _imported_mods(node: ast.AST, known: dict[str, str]) -> frozenset[str]:
     return frozenset(mods)
 
 
-@lru_cache(maxsize=4)
 def _module_index(
     root: str,
 ) -> tuple[dict[str, str], dict[str, frozenset[str]]] | None:
+    return _module_index_keyed(root, _worktree_fingerprint(root))
+
+
+@lru_cache(maxsize=8)
+def _module_index_keyed(
+    root: str, wt_key: tuple[int, float]
+) -> tuple[dict[str, str], dict[str, frozenset[str]]] | None:
     """modname -> relpath, and the module-level import graph (ALL
-    package-internal import edges anywhere in each file)."""
+    package-internal import edges anywhere in each file). ``wt_key``
+    busts the cache on worktree edits (advice item 5)."""
     paths: dict[str, str] = {}
     pkg_dir = os.path.join(root, _PKG)
     for dirpath, _dirs, files in os.walk(pkg_dir):
@@ -373,6 +438,7 @@ def derive_pins(
 
     # ---- per-name staleness vs its own verdict boundary ---------------
     pins: set[str] = set()
+    ubiquitous_dropped: set[str] = set()
     for name, rnd in latest_round.items():
         info = per_name.get(name)
         if info is None:
@@ -393,6 +459,16 @@ def derive_pins(
             return None
         if not diff:
             continue
+        # surface (don't pin on) changed-but-ubiquitous modules: the
+        # stated tier-4 freshness guarantee does NOT cover these, and a
+        # silent drop would let a semantic infra change hide behind it
+        # (round-8 advice item 1)
+        ubiquitous_dropped |= {
+            mod_paths[m]
+            for m in mods & ubiquitous
+            if mod_paths.get(m) in diff
+            and mod_paths.get(m) not in _QUERY_FILES
+        }
         mod_hits = sorted(
             mod_paths[m]
             for m in mods - ubiquitous
@@ -426,12 +502,26 @@ def derive_pins(
                             f"{relpath}::{key} {what} since r{rnd:02d}"
                         )
                     break
+    if ubiquitous_dropped:
+        import sys
+
+        names = ", ".join(sorted(ubiquitous_dropped))
+        print(
+            f"rotation: changed module(s) excluded from pin derivation "
+            f"as ubiquitous (>{_UBIQUITY:.0%} of query paths): {names} "
+            f"— dependents are re-checked only at tier-4 cap-rate; "
+            f"hand-pin (_ROTATION_PINS) a broad re-check if the change "
+            f"was semantic",
+            file=sys.stderr,
+        )
+        if explain is not None:
+            explain["__ubiquitous_dropped__"] = names
     return frozenset(pins & set(declared))
 
 
 def clear_caches() -> None:
     """Reset memoized git/parse state (tests mutate the worktree)."""
-    _boundaries.cache_clear()
-    _diff_since.cache_clear()
-    _module_index.cache_clear()
+    _boundaries_at.cache_clear()
+    _diff_since_keyed.cache_clear()
+    _module_index_keyed.cache_clear()
     _entries_at.cache_clear()

@@ -556,6 +556,25 @@ def test_ensure_min_parallelism_pass_through_and_spread(spark):
     assert ensure_min_parallelism(wide) is wide  # identical object: no-op
 
 
+def test_ensure_min_parallelism_probes_through_broadcast(spark):
+    """A BroadcastExchange must NOT short-circuit the probe: the
+    stream side of a broadcast join can still be a one-task scan —
+    exactly the degenerate case the helper exists to rescue (round-8
+    advice item 4). Only SHUFFLE exchanges pass through."""
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    dim = spark.range(0, 10).select(F.col("id").alias("k"))
+    stream = spark.range(0, 1000, 1, 1).withColumn("k", F.col("id") % 10)
+    joined = stream.join(F.broadcast(dim), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    out = ensure_min_parallelism(joined)
+    assert out is not joined, "broadcast-only plan was wrongly passed through"
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 4
+    )
+
+
 def test_samtext_python_datasource(spark, tmp_path):
     from mitoscape_spark.sources.sam import register_sam_source
 

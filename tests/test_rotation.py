@@ -168,7 +168,9 @@ def test_dangling_hand_pin_fails_loudly():
     saved = e._ROTATION_PINS
     e._ROTATION_PINS = frozenset({"ext_definitely_not_a_query"})
     try:
-        with pytest.raises(AssertionError, match="not in QUERIES"):
+        # ValueError, not AssertionError: must fail loudly under -O too
+        # (round-8 advice item 3)
+        with pytest.raises(ValueError, match="not in QUERIES"):
             e.queries()
     finally:
         e._ROTATION_PINS = saved
@@ -318,6 +320,112 @@ def test_derivation_fails_open_without_git(tmp_path):
     R.clear_caches()
     try:
         assert R.derive_pins({"ext_beta": 1}, declared, root=str(root)) is None
+    finally:
+        R.clear_caches()
+
+
+def test_real_history_has_boundaries():
+    """The boundary-commit convention (`round N: verdict...` subjects)
+    is a CONTRACT with the driver: if its commit style changes, the
+    whole derivation silently degrades to fail-open. Pin it against the
+    live repo history — 8 rounds have closed, so >=7 boundaries must
+    parse (round-8 verdict item 5)."""
+    bounds = R._boundaries(R._repo_root())
+    assert bounds is not None, "boundary scan must work inside the repo"
+    assert len(bounds) >= 7, (
+        f"only {len(bounds)} round-boundary commits recognized — the "
+        "driver's round-close commit subject convention changed? "
+        "rotation.py::_boundaries must be updated to match"
+    )
+    rounds = [r for r, _sha in bounds]
+    assert rounds == sorted(rounds)
+
+
+def test_query_files_never_import_each_other():
+    """Round-8 advice item 2: a helper defined in one _QUERY_FILES file
+    but imported by a query in another would be invisible to the
+    entry-level staleness comparison (mod_hits excludes _QUERY_FILES,
+    and AST comparison runs only on the query's own defining file).
+    Assert the precondition that makes that blind spot vacuous."""
+    import ast as _ast
+
+    root = R._repo_root()
+    qmods = {
+        rel[: -len(".py")].replace("/", ".") for rel in R._QUERY_FILES
+    }
+    for rel in R._QUERY_FILES:
+        with open(os.path.join(root, rel)) as fh:
+            tree = _ast.parse(fh.read())
+        for node in _ast.walk(tree):
+            targets: list[str] = []
+            if isinstance(node, _ast.Import):
+                targets = [a.name for a in node.names]
+            elif isinstance(node, _ast.ImportFrom) and node.module:
+                targets = [node.module] + [
+                    f"{node.module}.{a.name}" for a in node.names
+                ]
+            for t in targets:
+                assert t not in qmods, (
+                    f"{rel} imports query file {t}: cross-query-file "
+                    "helpers are invisible to rotation staleness "
+                    "detection — move the helper into an operators/ "
+                    "module instead"
+                )
+
+
+def test_ubiquitous_change_is_surfaced_not_silently_dropped(tmp_path):
+    """Round-8 advice item 1: a changed module excluded as ubiquitous
+    must be reported via explain['__ubiquitous_dropped__'] (and
+    stderr), never silently ignored. In the mini repo catalog.py sits
+    on 2/2 query paths -> ubiquitous."""
+    root = _mini_repo(tmp_path)
+    declared = {
+        "ext_alpha": _FakeFn("mitoscape_spark.queries.extensions", "ext_alpha"),
+        "ext_beta": _FakeFn("mitoscape_spark.queries.extensions", "ext_beta"),
+    }
+    (root / "mitoscape_spark" / "catalog.py").write_text(
+        "def load_table(s, d, n):\n    return 'CHANGED'\n"
+    )
+    R.clear_caches()
+    try:
+        explain: dict[str, str] = {}
+        pins = R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2},
+            declared,
+            root=str(root),
+            explain=explain,
+        )
+        assert pins == frozenset()  # ubiquitous: deliberately not pinned
+        assert "catalog.py" in explain.get("__ubiquitous_dropped__", "")
+    finally:
+        R.clear_caches()
+
+
+def test_worktree_edit_busts_caches_without_clear(tmp_path):
+    """Round-8 advice item 5: a long-lived process that edits files
+    between derive_pins calls must see fresh pins — the memoized diff/
+    index state is keyed on a worktree fingerprint, so NO clear_caches
+    call happens between the two derivations here."""
+    import time
+
+    root = _mini_repo(tmp_path)
+    declared = {
+        "ext_alpha": _FakeFn("mitoscape_spark.queries.extensions", "ext_alpha"),
+        "ext_beta": _FakeFn("mitoscape_spark.queries.extensions", "ext_beta"),
+    }
+    R.clear_caches()
+    try:
+        latest = {"ext_alpha": 2, "ext_beta": 2}
+        assert R.derive_pins(latest, declared, root=str(root)) == frozenset()
+        # edit beta's oracle in the worktree; mtime resolution can be
+        # coarse, so nudge the clock past it
+        qfile = root / "mitoscape_spark" / "queries" / "extensions.py"
+        src = qfile.read_text()
+        time.sleep(0.02)
+        qfile.write_text(src.replace("SELECT 2 AS two", "SELECT 99 AS two"))
+        os.utime(qfile, (time.time() + 2, time.time() + 2))
+        pins = R.derive_pins(latest, declared, root=str(root))
+        assert pins == {"ext_beta"}, "stale cache served after worktree edit"
     finally:
         R.clear_caches()
 
