@@ -116,7 +116,30 @@ def _verdict_history(here: str | None = None) -> dict[str, tuple[int, dict]]:
 # ubiquitous infra) changed after its OWN latest driver verdict's
 # round-boundary commit. Every name here must exist in QUERIES —
 # queries() asserts it loudly (round-7 advice item 4).
-_ROTATION_PINS: frozenset[str] = frozenset()
+_ROTATION_PINS: frozenset[str] = frozenset({
+    # Round-9 verdict item 1: the 37 names whose latest DRIVER verdict
+    # is still r01/r03. Their static code paths are proven unchanged
+    # (rotation.py AST audit) and they re-verified hash-green locally
+    # (r8, commit e96aafb) — but the contract's preferred evidence is
+    # driver-recorded. Hand-pinning puts them at tier 3 with the oldest
+    # verdict rounds, ahead of any round-9 derived pins, so one 50-slot
+    # round retires the staleness backlog permanently. Remove after
+    # CORRECTNESS_r09 lands.
+    "ext_copurchase_pairs", "ext_datetime_funcs", "ext_delete_vectors",
+    "ext_expectations", "ext_grouped_mode", "ext_incremental_agg",
+    "ext_null_semantics", "ext_pack_ffd", "ext_pattern_match",
+    "ext_revenue_concentration", "ext_row_ids", "ext_scd2",
+    "ext_sliding_distinct", "ext_sliding_sum", "ext_snapshot_format",
+    "ext_sql_disjunctive_filter", "ext_sql_grouping_sets",
+    "ext_sql_lateral_topn", "ext_sql_local_supplier_volume",
+    "ext_sql_order_priority", "ext_sql_pipe_syntax",
+    "ext_sql_pricing_summary", "ext_sql_recursive_cte",
+    "ext_sql_returned_items", "ext_sql_shipping_priority",
+    "ext_sql_volume_shipping", "ext_string_funcs", "ext_table_changes",
+    "ext_term_freq", "ext_theta_overlap", "ext_time_travel",
+    "ext_user_trend", "ext_window_rank", "ext_zorder",
+    "q07", "q14", "q15",
+})
 
 
 def _rotation_pins() -> frozenset[str]:

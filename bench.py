@@ -53,6 +53,38 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # ---- quiet-window gate (round-9 verdict item 3): the r7/r8 load
+    # stamps showed a shared box swings the figures 2-3x between quiet
+    # and loaded windows. Act on the stamp instead of just recording
+    # it: if the 1-min loadavg at start exceeds the threshold, wait
+    # once for the window to clear; if it still hasn't, proceed but
+    # SELF-FLAG the record as contended so a reader never mistakes a
+    # loaded round for a regression.
+    quiet_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4")
+    )
+    contended = False
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+        if load_start > quiet_threshold:
+            wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "60"))
+            print(
+                f"bench: loadavg {load_start} > {quiet_threshold} at start "
+                f"— sleeping {wait_s}s for a quiet window",
+                file=sys.stderr,
+            )
+            time.sleep(wait_s)
+            load_start = round(os.getloadavg()[0], 2)
+            if load_start > quiet_threshold:
+                contended = True
+                print(
+                    f"bench: still loaded ({load_start}) after the wait — "
+                    "proceeding, record flagged contended=true",
+                    file=sys.stderr,
+                )
+    except OSError:  # platform without getloadavg
+        load_start = None
+
     # bench gate = the oracle-checked headline set (BASELINE.md measures
     # DuckDB on Q01–Q15); domain/extension ops are correctness-gated via
     # the driver's queries() run instead.
@@ -248,6 +280,8 @@ def main() -> int:
                 "mode": "concurrent-fair-pools",
                 "serial_value": round(serial_value, 4),
                 "loadavg": loadavg,
+                "loadavg_start": load_start,
+                "contended": contended,
                 "rounds": [round(w, 4) for w in walls],
                 "spread": _spread(walls),
                 "serial_rounds": [round(w, 4) for w in serial_walls],

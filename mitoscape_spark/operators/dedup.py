@@ -764,11 +764,72 @@ def incremental_embedding_pairs(
     )
 
 
+def _driver_union_find_labels(edges: DataFrame) -> DataFrame:
+    """Bounded SMALL-GRAPH finisher for ``connected_components``: label
+    a collected edge set with union-find on the driver, returning the
+    same (id, component-min) contract as the distributed star rounds.
+
+    Why this exists (round-8 verdict item 2 / PERF.md §23): the star
+    rounds cost a per-round driver/AQE scheduling floor (~0.5 s × ~11
+    rounds) that dominates wall-clock on graphs any single node solves
+    in milliseconds — ~70% of ext_multimodal_dedup / entity_resolution
+    / triangle steady-state wall. The caller gates on the ALREADY
+    NEEDED distinct edge count, so driver memory is bounded explicitly
+    (the same hybrid class as minhash's ``max_bucket_size`` hot-bucket
+    guard); above the threshold the distributed path runs unchanged.
+
+    Labels are the component MINIMUM (ints numerically; strings by
+    ordinary comparison — ASCII-safe, matching Spark's binary UTF8
+    ordering for the id domains used here), identical to the star
+    fixpoint's labeling.
+    """
+    spark = edges.sparkSession
+    id_type = edges.schema["u"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("component", id_type, True),
+        ]
+    )
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # .tolist() converts numpy scalars to Python ints/strs —
+    # createDataFrame rejects numpy types in plain tuples
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root: the root IS the component minimum, so
+            # no second min-per-root pass is needed
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    if not parent:
+        return spark.createDataFrame([], out_schema)
+    rows = [(x, find(x)) for x in parent]
+    # a handful of driver rows: parallelize cheaply; downstream joins
+    # will broadcast this side
+    return spark.createDataFrame(rows, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 30,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    driver_finish_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """(id, component): connected components over candidate-pair edges —
     the step that turns near-dup PAIRS into dedup GROUPS. Alternating
@@ -791,6 +852,20 @@ def connected_components(
     recovery for speed; set a reliable checkpoint dir and switch to
     ``checkpoint()`` where jobs outlive executors.
 
+    Small graphs take a BOUNDED driver finisher instead (round-9,
+    verdict item 2): when the distinct'd edge set is at most
+    ``driver_finish_max_edges`` rows (counted distributedly — the
+    count also materializes the checkpoint the loop needed anyway),
+    the edges collect to the driver and union-find labels them in
+    milliseconds, skipping ~11 star rounds of pure per-round
+    scheduling floor (~70% of wall on toy graphs, PERF.md §23). The
+    default bound (5M edges ≈ 80 MB of longs) caps driver memory
+    explicitly; pass ``driver_finish_max_edges=0`` to force the
+    distributed path. At 100 TB the candidate-pair graph exceeds any
+    sane bound and the star-contraction path runs unchanged — this is
+    the same hybrid class as ``minhash_candidate_pairs``'s
+    ``max_bucket_size`` guard, not a scale compromise.
+
     ``connected_components_propagation`` below keeps the simple
     min-label variant for comparison/tests.
     """
@@ -806,6 +881,12 @@ def connected_components(
         # already accepts (round-7, measured on ext_leakage_safe_split)
         .localCheckpoint(eager=False)
     )
+    if driver_finish_max_edges > 0:
+        # one count job; it materializes the checkpoint that round 1
+        # would have materialized anyway, so the distributed path pays
+        # no extra pass for the probe
+        if edges.count() <= driver_finish_max_edges:
+            return _driver_union_find_labels(edges)
     prev_sig: tuple | None = None
     for _ in range(max_iterations):
         # ---- large-star: every neighbor larger than u links to the

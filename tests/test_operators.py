@@ -834,11 +834,21 @@ def test_connected_components_matches_union_find(spark):
             union(a, b)
         expected = {x: find(x) for x in parent}
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
-        got = {
+        # both routes must agree with the reference: the default route
+        # (small graph -> bounded driver union-find finisher) and the
+        # forced distributed star rounds
+        got_driver = {
             r.id: r.component
             for r in connected_components(pairs).collect()
         }
-        assert got == expected, f"n_edges={n_edges}"
+        got_dist = {
+            r.id: r.component
+            for r in connected_components(
+                pairs, driver_finish_max_edges=0
+            ).collect()
+        }
+        assert got_driver == expected, f"driver path, n_edges={n_edges}"
+        assert got_dist == expected, f"star path, n_edges={n_edges}"
 
 
 def test_lsh_neardup_pairs_subset_with_recall(spark, emb):
@@ -1113,8 +1123,13 @@ def test_connected_components_star_matches_propagation(spark):
         (rng.randrange(200), rng.randrange(200)) for _ in range(400)
     ]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    # force the distributed star path: this test compares the two
+    # DISTRIBUTED variants (the driver finisher has its own tests)
     star = {
-        (r.id, r.component) for r in connected_components(df).collect()
+        (r.id, r.component)
+        for r in connected_components(
+            df, driver_finish_max_edges=0
+        ).collect()
     }
     prop = {
         (r.id, r.component)
@@ -1133,9 +1148,63 @@ def test_connected_components_long_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
-    labels = connected_components(chain, max_iterations=30).collect()
+    # driver_finish_max_edges=0 forces the distributed star rounds —
+    # this test exists to exercise exactly that path
+    labels = connected_components(
+        chain, max_iterations=30, driver_finish_max_edges=0
+    ).collect()
     assert len(labels) == n + 1
     assert {r.component for r in labels} == {0}
+
+
+def test_connected_components_threshold_routes_paths(spark, monkeypatch):
+    """Above-threshold edge sets must take the distributed star path —
+    the driver finisher is a bounded small-graph shortcut, never the
+    scale path (round-9 verdict item 2)."""
+    from mitoscape_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+
+    def _boom(edges):
+        raise AssertionError("driver finisher ran above its threshold")
+
+    monkeypatch.setattr(D, "_driver_union_find_labels", _boom)
+    # 3 distinct edges > threshold 2 -> distributed path, finisher absent
+    comp = {
+        r.id: r.component
+        for r in D.connected_components(
+            pairs, driver_finish_max_edges=2
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1 and comp[4] == comp[5] == 4
+    # at/below threshold the finisher IS the route
+    called = {}
+
+    def _spy(edges):
+        called["yes"] = True
+        return D.__dict__["connected_components_propagation"](
+            edges, id_a="u", id_b="v"
+        ).select("id", "component")
+
+    monkeypatch.setattr(D, "_driver_union_find_labels", _spy)
+    D.connected_components(pairs, driver_finish_max_edges=3).collect()
+    assert called.get("yes")
+
+
+def test_connected_components_driver_finisher_string_ids(spark):
+    """The finisher must preserve non-integral id types and label with
+    the component minimum, exactly like the star fixpoint."""
+    from mitoscape_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = connected_components(pairs)
+    assert dict(out.dtypes) == {"id": "string", "component": "string"}
+    comp = {r.id: r.component for r in out.collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_cap_per_key_deterministic_cap(spark):
