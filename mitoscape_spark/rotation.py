@@ -18,23 +18,34 @@ is a static over-approximation of the query's code path:
   shifts never pin, only real content changes do;
 * its ORACLE sql entry (dict-literal key or ``ORACLE[...] =`` assign)
   — an oracle edit needs a re-check exactly like a plan edit;
-* every ``mitoscape_spark`` module imported inside those bodies (the
-  queries import operators function-locally by convention), expanded
-  through the package's module-level import graph to a transitive
-  closure — a change to ``operators/graph.py`` pins queries that only
-  import ``operators/dedup.py`` because dedup imports graph;
-* EXCEPT ubiquitous modules — ones on more than half of all declared
-  queries' paths (``catalog.py`` grade). They discriminate nothing: a
-  change there staleness-marks every name equally, which is what the
-  tier-4 oldest-verdict-first rotation already covers; pinning all 251
-  would re-sort tier 4 into itself while crowding the handful of
-  genuinely-touched names out of the driver's 50-name cap. The COST of
-  that trade (round-8 advice item 1): a *semantic* change to a
-  ubiquitous module pins nothing — its dependents are only re-checked
-  at tier-4 cap-rate. ``derive_pins`` therefore SURFACES every changed
-  module it dropped as ubiquitous (stderr + the ``explain`` dict's
-  ``__ubiquitous_dropped__`` key) so a round can consciously hand-pin
-  a broad re-check instead of silently relying on tier 4.
+* every ``mitoscape_spark`` DEFINITION imported inside those bodies
+  (the queries import operators function-locally by convention),
+  followed at ENTRY granularity across modules (round 9): the walk
+  recurses into exactly the imported functions/classes/constants and
+  THEIR intra-file reach + imports, so a change to
+  ``dedup.connected_components`` pins its consumers while a change to
+  an unrelated function in the same 1,400-line file pins nobody.
+  Whole-module imports (``import m`` / re-exports through package
+  ``__init__``) and unresolvable names degrade to FILE granularity
+  for that module plus its file-level import closure — a safe
+  over-approximation, never an under-approximation. Each touched
+  module also contributes a synthetic ``::toplevel`` entry
+  (module-level guards/registrations) and a binding-redirect check
+  (an import line re-pointing a name pins exactly the consumers whose
+  refs resolve through it);
+* EXCEPT ubiquitous ENTRIES — ones on more than half of all declared
+  queries' paths (``catalog.load_table`` grade). They discriminate
+  nothing: a change there staleness-marks every name equally, which is
+  what the tier-4 oldest-verdict-first rotation already covers;
+  pinning all 251 would re-sort tier 4 into itself while crowding the
+  handful of genuinely-touched names out of the driver's 50-name cap.
+  The COST of that trade (round-8 advice item 1): a *semantic* change
+  to a ubiquitous entry pins nothing — its dependents are only
+  re-checked at tier-4 cap-rate. ``derive_pins`` therefore SURFACES
+  every changed entry it dropped as ubiquitous (stderr + the
+  ``explain`` dict's ``__ubiquitous_dropped__`` key) so a round can
+  consciously hand-pin a broad re-check instead of silently relying
+  on tier 4.
 
 Boundary-commit convention (a CONTRACT with the driver): round closes
 are recognized by commit subjects matching ``round N: verdict...``.
@@ -197,6 +208,38 @@ def _imported_mods(node: ast.AST, known: dict[str, str]) -> frozenset[str]:
     return frozenset(mods)
 
 
+def _imported_targets(
+    node: ast.AST, known: dict[str, str]
+) -> frozenset[tuple[str, str | None]]:
+    """(module, name) pairs imported anywhere inside ``node``; name is
+    None for whole-module imports (``import m`` / ``from pkg import
+    m``) — the walker then falls back to file granularity for that
+    target (round-9: entry-granular staleness)."""
+    out: set[tuple[str, str | None]] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name.split(".")[0] == _PKG:
+                    m = _known_mod(a.name, known)
+                    if m:
+                        out.add((m, None))
+        elif isinstance(n, ast.ImportFrom) and n.module:
+            if n.module.split(".")[0] != _PKG:
+                continue
+            for a in n.names:
+                full = f"{n.module}.{a.name}"
+                if full in known:  # importing a MODULE object
+                    out.add((full, None))
+                    continue
+                m = _known_mod(n.module, known)
+                if m == n.module:
+                    out.add((m, a.name))
+                elif m:  # import through a package __init__ re-export:
+                    # name resolution is dynamic — whole-module fallback
+                    out.add((m, None))
+    return frozenset(out)
+
+
 def _module_index(
     root: str,
 ) -> tuple[dict[str, str], dict[str, frozenset[str]]] | None:
@@ -254,73 +297,147 @@ def _mod_closure(
 
 class _Entry:
     """One top-level definition: content hash + intra-file name refs +
-    package modules imported inside it."""
+    package imports inside it (entry-granular where resolvable)."""
 
-    __slots__ = ("dump", "refs", "mods")
+    __slots__ = ("dump", "refs", "imports")
 
     def __init__(self, node: ast.AST, known: dict[str, str]) -> None:
         self.dump = ast.dump(node)
         self.refs = frozenset(
             n.id for n in ast.walk(node) if isinstance(n, ast.Name)
         )
-        self.mods = _imported_mods(node, known)
+        self.imports = _imported_targets(node, known)
+
+    @property
+    def mods(self) -> frozenset[str]:
+        return frozenset(m for m, _n in self.imports)
+
+
+class _ToplevelEntry:
+    """Synthetic ``::toplevel`` pseudo-entry: everything at module
+    level that is NOT a named entry or an import — multi-target /
+    unpacking assigns, ``__main__`` guards, try-gates, registration
+    calls. A change here pins every consumer of the module:
+    module-level statements run at import time, so no per-entry
+    attribution is possible. (Import-line changes are handled
+    separately as binding redirects, per consumer.)"""
+
+    __slots__ = ("dump", "refs", "imports")
+
+    def __init__(self, nodes: list[ast.stmt], known: dict[str, str]) -> None:
+        mod = ast.Module(body=nodes, type_ignores=[])
+        self.dump = ast.dump(mod)
+        # refs ARE tracked: module-level code that calls a definition
+        # (registration patterns) puts that definition on every
+        # consumer's path via the reach closure
+        self.refs = frozenset(
+            n.id for n in ast.walk(mod) if isinstance(n, ast.Name)
+        )
+        self.imports = _imported_targets(mod, known)
+
+    @property
+    def mods(self) -> frozenset[str]:
+        return frozenset(m for m, _n in self.imports)
+
+
+_TOPLEVEL = "::toplevel"
 
 
 def _parse_entries(
     src: str, known: dict[str, str]
-) -> tuple[dict[str, _Entry], dict[str, str]] | None:
-    """Top-level entries of a query file.
+) -> tuple[dict[str, _Entry], dict[str, tuple[str, str | None]]] | None:
+    """Top-level entries of a package file.
 
-    Keys: function/constant names; ``oracle::<q>`` / ``queries::<q>``
-    for registry dict-literal items and subscript assigns. Second value
-    maps module-level import bindings (``load_table`` →
-    ``mitoscape_spark.catalog``) for ref-based module attribution.
+    Keys: function/class/constant names; ``oracle::<q>`` /
+    ``queries::<q>`` for registry dict-literal items and subscript
+    assigns; ``::toplevel`` for the synthetic residual (module-level
+    imports, guards, multi-target assigns — everything unnameable).
+    Second value maps module-level import bindings to their target:
+    ``load_table`` → ``("mitoscape_spark.catalog", "load_table")``;
+    the name is None for whole-module bindings.
     """
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return None
     entries: dict[str, _Entry] = {}
-    import_names: dict[str, str] = {}
+    import_names: dict[str, tuple[str, str | None]] = {}
+    residual: list[ast.stmt] = []
 
     def add_registry(reg: str, value: ast.AST) -> None:
         if isinstance(value, ast.Dict):
             for k, v in zip(value.keys, value.values):
                 if isinstance(k, ast.Constant) and isinstance(k.value, str):
                     entries[f"{reg.lower()}::{k.value}"] = _Entry(v, known)
+        # the registry name itself also resolves (``from queries import
+        # QUERIES``-style consumers see any item change)
+        entries[reg] = _Entry(value, known)
 
-    for node in tree.body:
+    for i, node in enumerate(tree.body):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            entries[node.name] = _Entry(node, known)
+        elif isinstance(node, ast.ClassDef):
             entries[node.name] = _Entry(node, known)
         elif isinstance(node, (ast.Assign, ast.AnnAssign)):
             targets = (
                 node.targets if isinstance(node, ast.Assign) else [node.target]
             )
             value = node.value
-            if value is None or len(targets) != 1:
-                continue
-            t = targets[0]
-            if isinstance(t, ast.Name):
-                if t.id in ("QUERIES", "ORACLE"):
-                    add_registry(t.id, value)
+            if value is None:
+                continue  # bare annotation: no runtime effect
+            # collect every Name the statement binds — including
+            # tuple-unpack (`A, B = 1, 2`) and chained (`a = b = e`)
+            # targets, each keyed to the WHOLE value node so a change
+            # pins all consumers of any bound name (round 9: these
+            # were previously invisible to staleness detection)
+            names: list[str] = []
+            resolvable = True
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+                elif isinstance(t, (ast.Tuple, ast.List)) and all(
+                    isinstance(el, ast.Name) for el in t.elts
+                ):
+                    names.extend(el.id for el in t.elts)
                 else:
-                    entries[t.id] = _Entry(value, known)
-            elif (
-                isinstance(t, ast.Subscript)
-                and isinstance(t.value, ast.Name)
-                and t.value.id in ("QUERIES", "ORACLE")
-                and isinstance(t.slice, ast.Constant)
-                and isinstance(t.slice.value, str)
+                    resolvable = False
+            t0 = targets[0]
+            if (
+                len(targets) == 1
+                and isinstance(t0, ast.Subscript)
+                and isinstance(t0.value, ast.Name)
+                and t0.value.id in ("QUERIES", "ORACLE")
+                and isinstance(t0.slice, ast.Constant)
+                and isinstance(t0.slice.value, str)
             ):
-                key = f"{t.value.id.lower()}::{t.slice.value}"
+                key = f"{t0.value.id.lower()}::{t0.slice.value}"
                 entries[key] = _Entry(value, known)
+            elif resolvable:
+                for nm in names:
+                    if nm in ("QUERIES", "ORACLE"):
+                        add_registry(nm, value)
+                    else:
+                        entries[nm] = _Entry(value, known)
+            else:
+                residual.append(node)  # attribute/starred target
         elif isinstance(node, ast.ImportFrom) and node.module:
+            # imports are NOT part of the toplevel residual: a binding
+            # redirect (same name, different source module) is detected
+            # precisely per consumer via the import_names comparison in
+            # derive_pins, so an import-line edit in a 10k-line query
+            # file pins only the queries whose refs actually use it
             if node.module.split(".")[0] != _PKG:
                 continue
             for a in node.names:
-                m = _known_mod(f"{node.module}.{a.name}", known)
-                if m:
-                    import_names[a.asname or a.name] = m
+                full = f"{node.module}.{a.name}"
+                if full in known:
+                    import_names[a.asname or a.name] = (full, None)
+                    continue
+                m = _known_mod(n_mod := node.module, known)
+                if m == n_mod:
+                    import_names[a.asname or a.name] = (m, a.name)
+                elif m:  # re-export through a package __init__
+                    import_names[a.asname or a.name] = (m, None)
         elif isinstance(node, ast.Import):
             # plain `import mitoscape_spark.x.y as z`: bind z -> module
             # so body refs through the alias still attribute the module
@@ -330,7 +447,16 @@ def _parse_entries(
                 if a.asname and a.name.split(".")[0] == _PKG:
                     m = _known_mod(a.name, known)
                     if m:
-                        import_names[a.asname] = m
+                        import_names[a.asname] = (m, None)
+        elif (
+            i == 0
+            and isinstance(node, ast.Expr)
+            and isinstance(node.value, ast.Constant)
+        ):
+            pass  # module docstring: doc-only edits never pin
+        else:
+            residual.append(node)
+    entries[_TOPLEVEL] = _ToplevelEntry(residual, known)
     return entries, import_names
 
 
@@ -380,6 +506,83 @@ def _reach(
     return frozenset(seen)
 
 
+def _entry_path(
+    root: str,
+    start_rel: str,
+    start_names: set[str],
+    mod_paths: dict[str, str],
+    closure: dict[str, frozenset[str]],
+) -> dict[str, frozenset[str] | None] | None:
+    """Function-granular static path: relpath -> entry keys reachable
+    from ``start_names`` (None = whole file, the coarse fallback for
+    whole-module imports and unresolvable names). Follows intra-file
+    name refs (``_reach``) and cross-module imports at ENTRY
+    granularity — a change to ``dedup.connected_components`` pins its
+    consumers, not every importer of dedup.py (round 9; the file-level
+    version re-pinned ~60 names per touched operator file).
+
+    Returns None on a parse failure (caller fails open)."""
+    path: dict[str, set[str] | None] = {}
+    queue: list[tuple[str, str | None]] = []
+    visited: set[tuple[str, str]] = set()
+
+    def whole_module(mod: str) -> None:
+        # coarse fallback: the module and its full file-level import
+        # closure join the path at file granularity
+        for dep in closure.get(mod, frozenset({mod})):
+            rel = mod_paths.get(dep)
+            if rel is not None:
+                path[rel] = None
+
+    def enter(rel: str, names: set[str]) -> bool:
+        if path.get(rel, ()) is None:
+            return True  # already whole-file — nothing finer to add
+        parsed = _worktree_entries(root, rel)
+        if parsed is None:
+            return False
+        entries, imap = parsed
+        bucket = path.setdefault(rel, set())
+        for key in _reach(set(names) | {_TOPLEVEL}, entries):
+            if (rel, key) in visited:
+                continue
+            visited.add((rel, key))
+            bucket.add(key)
+            e = entries[key]
+            for mod, nm in e.imports:
+                queue.append((mod, nm))
+            for ref in e.refs:
+                if ref in imap:
+                    queue.append(imap[ref])
+        return True
+
+    if not enter(start_rel, start_names):
+        return None
+    while queue:
+        mod, nm = queue.pop()
+        rel = mod_paths.get(mod)
+        if rel is None:
+            continue  # not a package file (stale index entry)
+        if path.get(rel, ()) is None:
+            continue
+        if nm is None:
+            whole_module(mod)
+            continue
+        parsed = _worktree_entries(root, rel)
+        if parsed is None:
+            return None
+        entries, _imap = parsed
+        if nm not in entries:
+            # re-export / dynamic attribute — can't attribute, go coarse
+            whole_module(mod)
+            continue
+        if not enter(rel, {nm}):
+            return None
+    return {
+        rel: (frozenset(keys) if keys is not None else None)
+        for rel, keys in path.items()
+    }
+
+
 def derive_pins(
     latest_round: dict[str, int],
     declared: dict[str, object],
@@ -402,48 +605,46 @@ def derive_pins(
     mod_paths, mod_imports = idx
     closure = _mod_closure(mod_imports)
 
-    # ---- per-query static path: entries reach + module closure -------
-    per_name: dict[str, tuple[str, frozenset[str], frozenset[str]]] = {}
+    # ---- per-query static path, ENTRY-granular (round 9) -------------
+    per_name: dict[str, dict[str, frozenset[str] | None]] = {}
     for name, fn in declared.items():
         modname = getattr(fn, "__module__", None)
         fname = getattr(fn, "__name__", None)
         relpath = mod_paths.get(modname or "")
         if relpath is None or fname is None:
             return None  # non-function registry value — bail to hand list
-        parsed = _worktree_entries(root, relpath)
-        if parsed is None:
-            return None
-        entries, import_names = parsed
-        reach = _reach(
-            {fname, f"oracle::{name}", f"queries::{name}"}, entries
+        fpath = _entry_path(
+            root,
+            relpath,
+            {fname, f"oracle::{name}", f"queries::{name}"},
+            mod_paths,
+            closure,
         )
-        mods: set[str] = set()
-        for key in reach:
-            mods |= entries[key].mods
-            for ref in entries[key].refs:
-                if ref in import_names:
-                    mods.add(import_names[ref])
-        expanded: set[str] = set()
-        for m in mods:
-            expanded |= closure.get(m, frozenset({m}))
-        per_name[name] = (relpath, reach, frozenset(expanded))
+        if fpath is None:
+            return None
+        per_name[name] = fpath
 
-    # ---- ubiquity filter: modules on >half the paths don't pin -------
-    freq: dict[str, int] = {}
-    for _rp, _reach_keys, mods in per_name.values():
-        for m in mods:
-            freq[m] = freq.get(m, 0) + 1
+    # ---- ubiquity filter, entry-granular: an ENTRY on >half of all
+    # paths (load_table grade) discriminates nothing and would flood
+    # the cap; whole-file path members count as all their current keys
+    freq: dict[tuple[str, str], int] = {}
+    for fpath in per_name.values():
+        for rel, keys in fpath.items():
+            if keys is None:
+                parsed = _worktree_entries(root, rel)
+                keys = frozenset(parsed[0]) if parsed else frozenset()
+            for key in keys:
+                freq[(rel, key)] = freq.get((rel, key), 0) + 1
     cutoff = _UBIQUITY * max(len(per_name), 1)
-    ubiquitous = {m for m, c in freq.items() if c > cutoff}
+    ubiquitous = {rk for rk, c in freq.items() if c > cutoff}
 
     # ---- per-name staleness vs its own verdict boundary ---------------
     pins: set[str] = set()
     ubiquitous_dropped: set[str] = set()
     for name, rnd in latest_round.items():
-        info = per_name.get(name)
-        if info is None:
+        fpath = per_name.get(name)
+        if fpath is None:
             continue
-        relpath, reach, mods = info
         # boundary = newest round-close commit at or before the verdict
         sha = None
         for b_rnd, b_sha in bounds:
@@ -459,59 +660,77 @@ def derive_pins(
             return None
         if not diff:
             continue
-        # surface (don't pin on) changed-but-ubiquitous modules: the
-        # stated tier-4 freshness guarantee does NOT cover these, and a
-        # silent drop would let a semantic infra change hide behind it
-        # (round-8 advice item 1)
-        ubiquitous_dropped |= {
-            mod_paths[m]
-            for m in mods & ubiquitous
-            if mod_paths.get(m) in diff
-            and mod_paths.get(m) not in _QUERY_FILES
-        }
-        mod_hits = sorted(
-            mod_paths[m]
-            for m in mods - ubiquitous
-            if mod_paths.get(m) in diff
-            and mod_paths.get(m) not in _QUERY_FILES
-        )
-        if mod_hits:
+        reason = None
+        for rel, keys in sorted(fpath.items()):
+            if rel not in diff:
+                continue
+            old = _entries_at(root, rel, sha, None)
+            if old is None:
+                reason = f"{rel} unreadable/new at r{rnd:02d}"
+                break
+            old_entries, old_imap = old
+            new_parsed = _worktree_entries(root, rel)
+            if new_parsed is None:
+                return None
+            new_entries, new_imap = new_parsed
+            if keys is None:  # whole-file member: any entry change pins
+                check = set(old_entries) | set(new_entries)
+                if old_imap != new_imap:
+                    reason = f"{rel} import bindings changed since r{rnd:02d}"
+                    break
+            else:
+                check = set(keys)
+            for key in sorted(check):
+                o = old_entries.get(key)
+                nn = new_entries.get(key)
+                changed = (
+                    (o is None) != (nn is None)
+                    or (o is not None and nn is not None and o.dump != nn.dump)
+                )
+                # binding redirect: same entry body, its module-level
+                # import now resolves somewhere else
+                redirect = False
+                if not changed and nn is not None:
+                    for ref in nn.refs:
+                        if (
+                            ref in old_imap or ref in new_imap
+                        ) and old_imap.get(ref) != new_imap.get(ref):
+                            changed = redirect = True
+                            break
+                if not changed:
+                    continue
+                if (rel, key) in ubiquitous:
+                    # surface (don't pin on) changed-but-ubiquitous
+                    # entries: tier-4's freshness guarantee does NOT
+                    # cover these (round-8 advice item 1)
+                    ubiquitous_dropped.add(f"{rel}::{key}")
+                    continue
+                if o is None:
+                    what = "added"
+                elif nn is None:
+                    what = "removed"
+                elif redirect:
+                    what = "import binding redirected"
+                else:
+                    what = "changed"
+                reason = f"{rel}::{key} {what} since r{rnd:02d}"
+                break
+            if reason:
+                break
+        if reason:
             pins.add(name)
             if explain is not None:
-                explain[name] = (
-                    f"module(s) changed since r{rnd:02d}: "
-                    + ", ".join(mod_hits)
-                )
-            continue
-        if relpath in diff:
-            old = _entries_at(root, relpath, sha, None)
-            if old is None:
-                pins.add(name)  # file new/unparsable at boundary
-                if explain is not None:
-                    explain[name] = f"{relpath} unreadable at r{rnd:02d}"
-                continue
-            old_entries = old[0]
-            new_entries = _worktree_entries(root, relpath)[0]
-            for key in reach:
-                o = old_entries.get(key)
-                if o is None or o.dump != new_entries[key].dump:
-                    pins.add(name)
-                    if explain is not None:
-                        what = "added" if o is None else "changed"
-                        explain[name] = (
-                            f"{relpath}::{key} {what} since r{rnd:02d}"
-                        )
-                    break
+                explain[name] = reason
     if ubiquitous_dropped:
         import sys
 
         names = ", ".join(sorted(ubiquitous_dropped))
         print(
-            f"rotation: changed module(s) excluded from pin derivation "
-            f"as ubiquitous (>{_UBIQUITY:.0%} of query paths): {names} "
-            f"— dependents are re-checked only at tier-4 cap-rate; "
-            f"hand-pin (_ROTATION_PINS) a broad re-check if the change "
-            f"was semantic",
+            f"rotation: changed path entr(ies) excluded from pin "
+            f"derivation as ubiquitous (>{_UBIQUITY:.0%} of query "
+            f"paths): {names} — dependents are re-checked only at "
+            f"tier-4 cap-rate; hand-pin (_ROTATION_PINS) a broad "
+            f"re-check if the change was semantic",
             file=sys.stderr,
         )
         if explain is not None:

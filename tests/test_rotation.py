@@ -55,12 +55,21 @@ def _known():
 def test_parse_entries_keys_and_refs():
     entries, import_names = R._parse_entries(_SRC, _known())
     assert {"_K", "_helper", "ext_fake", "queries::ext_fake",
-            "oracle::ext_fake", "oracle::ext_other"} <= set(entries)
-    # module-level import binding recorded for ref attribution
-    assert import_names["load_table"] == "mitoscape_spark.catalog"
-    # body imports resolve to package modules
+            "oracle::ext_fake", "oracle::ext_other",
+            R._TOPLEVEL} <= set(entries)
+    # module-level import binding recorded ENTRY-granular (round 9)
+    assert import_names["load_table"] == (
+        "mitoscape_spark.catalog", "load_table"
+    )
+    # body imports resolve to (module, name) targets
+    assert (
+        "mitoscape_spark.operators.dedup", "exact_dedup"
+    ) in entries["ext_fake"].imports
+    assert (
+        "mitoscape_spark.operators.sampling", "cap_per_key"
+    ) in entries["_helper"].imports
+    # coarse module view still derivable (mods property)
     assert "mitoscape_spark.operators.dedup" in entries["ext_fake"].mods
-    assert "mitoscape_spark.operators.sampling" in entries["_helper"].mods
     # intra-file reachability: query -> helper -> constant, + oracle
     reach = R._reach(
         {"ext_fake", "oracle::ext_fake", "queries::ext_fake"}, entries
@@ -123,34 +132,33 @@ def test_derive_pins_returns_valid_subset():
     assert pins <= set(latest)
 
 
-def test_catalog_is_ubiquitous_not_discriminating():
+def test_catalog_load_table_is_ubiquitous_not_discriminating():
     """catalog.load_table sits on (nearly) every query's path; the
-    ubiquity filter must drop it so an infra touch cannot flood the
-    driver's 50-name cap."""
-    e = _entry_module()
+    entry-granular ubiquity filter must drop it so an infra touch
+    cannot flood the driver's 50-name cap — while OTHER catalog
+    entries stay discriminating (round-9 entry granularity)."""
     from mitoscape_spark.queries import QUERIES
 
     root = R._repo_root()
     idx = R._module_index(root)
     paths, imports = idx
     clo = R._mod_closure(imports)
-    n_with_catalog = 0
+    n_with_load_table = 0
     for name, fn in QUERIES.items():
-        parsed = R._worktree_entries(root, paths[fn.__module__])
-        entries, import_names = parsed
-        reach = R._reach(
-            {fn.__name__, f"oracle::{name}", f"queries::{name}"}, entries
+        fpath = R._entry_path(
+            root,
+            paths[fn.__module__],
+            {fn.__name__, f"oracle::{name}", f"queries::{name}"},
+            paths,
+            clo,
         )
-        mods: set[str] = set()
-        for k in reach:
-            mods |= entries[k].mods
-            mods |= {import_names[r] for r in entries[k].refs if r in import_names}
-        exp: set[str] = set()
-        for m in mods:
-            exp |= clo.get(m, frozenset({m}))
-        if "mitoscape_spark.catalog" in exp:
-            n_with_catalog += 1
-    assert n_with_catalog > 0.5 * len(QUERIES)
+        assert fpath is not None
+        keys = fpath.get("mitoscape_spark/catalog.py")
+        if keys is None and "mitoscape_spark/catalog.py" in fpath:
+            n_with_load_table += 1  # whole-file: load_table included
+        elif keys and "load_table" in keys:
+            n_with_load_table += 1
+    assert n_with_load_table > 0.5 * len(QUERIES)
 
 
 def test_queries_ordering_survives_with_pins():
@@ -426,6 +434,179 @@ def test_worktree_edit_busts_caches_without_clear(tmp_path):
         os.utime(qfile, (time.time() + 2, time.time() + 2))
         pins = R.derive_pins(latest, declared, root=str(root))
         assert pins == {"ext_beta"}, "stale cache served after worktree edit"
+    finally:
+        R.clear_caches()
+
+
+_OPS2 = """\
+from mitoscape_spark.operators.sampling import cap_per_key
+
+K1, K2 = 3, 4
+
+def f_used(df):
+    return cap_per_key(df, "k", K1)
+
+def f_unused(df):
+    return df.limit(K2)
+"""
+
+_QUERIES2 = """\
+from mitoscape_spark.catalog import load_table
+
+def ext_alpha(spark, sf_dir):
+    from mitoscape_spark.operators.ops2 import f_used
+    return f_used(load_table(spark, sf_dir, "documents"))
+
+def ext_beta(spark, sf_dir):
+    import mitoscape_spark.operators.other as O
+    return O.cap(load_table(spark, sf_dir, "documents"))
+
+QUERIES = {"ext_alpha": ext_alpha, "ext_beta": ext_beta}
+ORACLE = {"ext_alpha": "SELECT 1 AS one", "ext_beta": "SELECT 2 AS two"}
+"""
+
+
+def _mini_repo2(tmp_path):
+    """Mini repo exercising ENTRY-granular attribution: ext_alpha
+    consumes ops2.f_used (fine-grained), ext_beta consumes
+    operators.other as a whole-module alias (coarse fallback)."""
+    import subprocess
+
+    root = tmp_path / "repo2"
+    pkg = root / "mitoscape_spark"
+    (pkg / "operators").mkdir(parents=True)
+    (pkg / "queries").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "operators" / "__init__.py").write_text("")
+    (pkg / "queries" / "__init__.py").write_text("")
+    (pkg / "catalog.py").write_text("def load_table(s, d, n):\n    return None\n")
+    (pkg / "operators" / "sampling.py").write_text(
+        "def cap_per_key(df, k, n):\n    return df\n"
+    )
+    (pkg / "operators" / "other.py").write_text(_MINI_OPS)
+    (pkg / "operators" / "ops2.py").write_text(_OPS2)
+    (pkg / "queries" / "extensions.py").write_text(_QUERIES2)
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(root), *args],
+            check=True,
+            capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "PATH": os.environ["PATH"], "HOME": os.environ.get("HOME", "/tmp")},
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "round 1: verdict/advice/correctness/bench")
+    return root
+
+
+def _derive2(root):
+    declared = {
+        "ext_alpha": _FakeFn("mitoscape_spark.queries.extensions", "ext_alpha"),
+        "ext_beta": _FakeFn("mitoscape_spark.queries.extensions", "ext_beta"),
+    }
+    R.clear_caches()
+    explain = {}
+    pins = R.derive_pins(
+        {"ext_alpha": 1, "ext_beta": 1}, declared, root=str(root),
+        explain=explain,
+    )
+    return pins, explain
+
+
+def test_entry_granular_function_change_pins_only_consumers(tmp_path):
+    """A change to ops2.f_unused pins NOBODY (no consumer); a change
+    to f_used pins only ext_alpha — not every importer of the file
+    (round-9 entry granularity: the file-level version re-pinned ~60
+    names per touched operator module)."""
+    root = _mini_repo2(tmp_path)
+    ops2 = root / "mitoscape_spark" / "operators" / "ops2.py"
+    try:
+        # untouched repo: no pins
+        pins, _ = _derive2(root)
+        assert pins == frozenset()
+        # change the UNUSED function only
+        ops2.write_text(_OPS2.replace("df.limit(K2)", "df.limit(99)"))
+        pins, explain = _derive2(root)
+        assert pins == frozenset(), explain
+        # change the USED function
+        ops2.write_text(_OPS2.replace('cap_per_key(df, "k", K1)',
+                                      'cap_per_key(df, "kk", K1)'))
+        pins, explain = _derive2(root)
+        assert pins == {"ext_alpha"}, explain
+        assert "f_used" in explain["ext_alpha"]
+    finally:
+        R.clear_caches()
+
+
+def test_entry_granular_unpacked_constant_pins_consumer(tmp_path):
+    """K1, K2 = 3, 4 binds TWO entries; changing the tuple pins
+    ext_alpha (f_used refs K1). Previously tuple-unpack assigns were
+    invisible to staleness detection."""
+    root = _mini_repo2(tmp_path)
+    ops2 = root / "mitoscape_spark" / "operators" / "ops2.py"
+    try:
+        ops2.write_text(_OPS2.replace("K1, K2 = 3, 4", "K1, K2 = 5, 4"))
+        pins, explain = _derive2(root)
+        assert pins == {"ext_alpha"}, explain
+        assert "K1" in explain["ext_alpha"] or "K2" in explain["ext_alpha"]
+    finally:
+        R.clear_caches()
+
+
+def test_entry_granular_toplevel_statement_pins_consumers(tmp_path):
+    """A module-level executable statement (registration call, guard)
+    changing pins every consumer of the module via ::toplevel."""
+    root = _mini_repo2(tmp_path)
+    ops2 = root / "mitoscape_spark" / "operators" / "ops2.py"
+    try:
+        ops2.write_text(_OPS2 + "\nif True:\n    _x = f_used\n")
+        pins, explain = _derive2(root)
+        assert pins == {"ext_alpha"}, explain
+        assert "toplevel" in explain["ext_alpha"]
+    finally:
+        R.clear_caches()
+
+
+def test_entry_granular_binding_redirect_pins_consumer(tmp_path):
+    """Same entry body, import line re-pointed to another module:
+    the binding-redirect check pins the consumer even though no AST
+    dump on its path changed."""
+    root = _mini_repo2(tmp_path)
+    ops2 = root / "mitoscape_spark" / "operators" / "ops2.py"
+    (root / "mitoscape_spark" / "operators" / "sampling2.py").write_text(
+        "def cap_per_key(df, k, n):\n    return df.limit(1)\n"
+    )
+    try:
+        ops2.write_text(
+            _OPS2.replace(
+                "from mitoscape_spark.operators.sampling import cap_per_key",
+                "from mitoscape_spark.operators.sampling2 import cap_per_key",
+            )
+        )
+        pins, explain = _derive2(root)
+        assert pins == {"ext_alpha"}, explain
+        assert "import bindings" in explain["ext_alpha"] or "binding" in str(
+            explain
+        )
+    finally:
+        R.clear_caches()
+
+
+def test_whole_module_alias_falls_back_to_file_granularity(tmp_path):
+    """ext_beta uses `import operators.other as O` — any content
+    change in other.py must pin it (coarse fallback is an
+    OVER-approximation, never an under-approximation)."""
+    root = _mini_repo2(tmp_path)
+    other = root / "mitoscape_spark" / "operators" / "other.py"
+    try:
+        other.write_text(_MINI_OPS.replace("df.limit(5)", "df.limit(6)"))
+        pins, explain = _derive2(root)
+        assert "ext_beta" in pins, explain
+        assert "ext_alpha" not in pins
     finally:
         R.clear_caches()
 
