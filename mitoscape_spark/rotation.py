@@ -76,17 +76,21 @@ from functools import lru_cache
 
 _PKG = "mitoscape_spark"
 
-# query-registry files get per-FUNCTION change detection (they hold 200+
-# independent queries each — file-level granularity would pin everything
-# on every round); all other modules are compared at file granularity
+# the query-registry files. Since round 9 EVERY package file gets
+# per-definition change detection (entry granularity), so these need no
+# special-casing in the derivation anymore; the constant remains as the
+# contract surface for tests/test_rotation.py's import-disjointness
+# check (cross-file query helpers stay banned for plain readability —
+# operators belong in operators/)
 _QUERY_FILES = (
     f"{_PKG}/queries/relational.py",
     f"{_PKG}/queries/extensions.py",
     f"{_PKG}/queries/domain.py",
 )
 
-# fraction of declared queries a module must sit under to be considered
-# ubiquitous (non-discriminating) and excluded from pin derivation
+# fraction of declared queries a path ENTRY must sit under to be
+# considered ubiquitous (non-discriminating) and excluded from pin
+# derivation
 _UBIQUITY = 0.5
 
 

@@ -350,11 +350,13 @@ def test_real_history_has_boundaries():
 
 
 def test_query_files_never_import_each_other():
-    """Round-8 advice item 2: a helper defined in one _QUERY_FILES file
-    but imported by a query in another would be invisible to the
-    entry-level staleness comparison (mod_hits excludes _QUERY_FILES,
-    and AST comparison runs only on the query's own defining file).
-    Assert the precondition that makes that blind spot vacuous."""
+    """Round-8 advice item 2 (historical): under file-granular
+    derivation a helper defined in one _QUERY_FILES file but imported
+    by a query in another was invisible to staleness detection. The
+    round-9 entry-granular walker follows cross-file imports into any
+    file, so the blind spot is gone — this test remains as a style
+    contract: query files stay import-disjoint; shared helpers belong
+    in operators/."""
     import ast as _ast
 
     root = R._repo_root()
