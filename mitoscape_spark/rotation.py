@@ -464,7 +464,8 @@ def _parse_entries(
     return entries, import_names
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=1024)  # working set = package files × boundary SHAs;
+# 64 thrashed (evictions forced ~80 re-parses per warm derivation)
 def _entries_at(
     root: str, relpath: str, sha: str | None, mtime_key: float | None
 ) -> tuple[dict[str, _Entry], dict[str, str]] | None:
@@ -603,7 +604,10 @@ def derive_pins(
     if root is None:
         root = _repo_root()
     bounds = _boundaries(root)
-    idx = _module_index(root)
+    # ONE worktree fingerprint per derivation: snapshot-consistent, and
+    # avoids 251 redundant os.walk passes (one per diff lookup)
+    wt_fp = _worktree_fingerprint(root)
+    idx = _module_index_keyed(root, wt_fp)
     if bounds is None or not bounds or idx is None:
         return None
     mod_paths, mod_imports = idx
@@ -659,7 +663,7 @@ def derive_pins(
             if explain is not None:
                 explain[name] = f"no boundary commit at or before r{rnd:02d}"
             continue
-        diff = _diff_since(root, sha)
+        diff = _diff_since_keyed(root, sha, wt_fp)
         if diff is None:
             return None
         if not diff:
