@@ -818,10 +818,18 @@ def _driver_union_find_labels(edges: DataFrame) -> DataFrame:
             parent[rv] = ru
     if not parent:
         return spark.createDataFrame([], out_schema)
-    rows = [(x, find(x)) for x in parent]
-    # a handful of driver rows: parallelize cheaply; downstream joins
-    # will broadcast this side
-    return spark.createDataFrame(rows, out_schema)
+    import pandas as pd
+
+    # pandas + Arrow ingestion: at the 5M-edge bound a plain
+    # list-of-tuples createDataFrame pays per-row Python serialization
+    # (tens of seconds); the Arrow path ships two columnar buffers
+    out_pdf = pd.DataFrame(
+        {
+            "id": list(parent.keys()),
+            "component": [find(x) for x in parent],
+        }
+    )
+    return spark.createDataFrame(out_pdf, schema=out_schema)
 
 
 def connected_components(
