@@ -613,6 +613,29 @@ def test_whole_module_alias_falls_back_to_file_granularity(tmp_path):
         R.clear_caches()
 
 
+def test_warm_derivation_is_fully_cached():
+    """A second derive_pins over an unchanged worktree must be served
+    entirely from the parse caches — cache thrash here cost 1.7 s per
+    driver queries() call until the lru was sized to the real working
+    set (package files x boundary SHAs)."""
+    e = _entry_module()
+    from mitoscape_spark.queries import QUERIES
+
+    latest = {n: rnd for n, (rnd, _r) in e._verdict_history().items()}
+    R.clear_caches()
+    try:
+        assert R.derive_pins(latest, QUERIES) is not None
+        before = R._entries_at.cache_info()
+        assert R.derive_pins(latest, QUERIES) is not None
+        after = R._entries_at.cache_info()
+        assert after.misses == before.misses, (
+            f"warm derivation re-parsed {after.misses - before.misses} "
+            "files — lru maxsize below the working set again?"
+        )
+    finally:
+        R.clear_caches()
+
+
 def test_mod_closure_matches_bfs_reachability():
     """_mod_closure's fixpoint must equal BFS reachability (reflexive)
     on arbitrary digraphs, including cycles — property-tested with
