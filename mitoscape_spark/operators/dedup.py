@@ -862,14 +862,17 @@ def connected_components(
 
     Small graphs take a BOUNDED driver finisher instead (round-9,
     verdict item 2): when the distinct'd edge set is at most
-    ``driver_finish_max_edges`` rows (counted distributedly — the
-    count also materializes the checkpoint the loop needed anyway),
-    the edges collect to the driver and union-find labels them in
-    milliseconds, skipping ~11 star rounds of pure per-round
-    scheduling floor (~70% of wall on toy graphs, PERF.md §23). The
-    default bound (5M edges ≈ 80 MB of longs) caps driver memory
-    explicitly; pass ``driver_finish_max_edges=0`` to force the
-    distributed path. At 100 TB the candidate-pair graph exceeds any
+    ``driver_finish_max_edges`` rows AND its estimated driver payload
+    (16 B/edge for integral ids; octet length × 4 object-overhead
+    factor for strings) is under 160 MiB — both read from one
+    aggregate job that also materializes the checkpoint the loop
+    needed anyway — the edges collect to the driver and union-find
+    labels them in milliseconds, skipping ~11 star rounds of pure
+    per-round scheduling floor (~70% of wall on toy graphs, PERF.md
+    §23). The dual bound caps driver memory explicitly for BOTH id
+    families (5M long-id edges ≈ 80 MB; a same-count string-id set
+    that would balloon as Python dict entries routes distributed);
+    pass ``driver_finish_max_edges=0`` to force the distributed path. At 100 TB the candidate-pair graph exceeds any
     sane bound and the star-contraction path runs unchanged — this is
     the same hybrid class as ``minhash_candidate_pairs``'s
     ``max_bucket_size`` guard, not a scale compromise.
@@ -890,10 +893,38 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     if driver_finish_max_edges > 0:
-        # one count job; it materializes the checkpoint that round 1
-        # would have materialized anyway, so the distributed path pays
-        # no extra pass for the probe
-        if edges.count() <= driver_finish_max_edges:
+        # one aggregate job; it materializes the checkpoint that
+        # round 1 would have materialized anyway, so the distributed
+        # path pays no extra pass for the probe. The gate is BYTE-aware
+        # as well as row-aware: 5M long-id edges are ~80 MB, but 5M
+        # 40-char STRING-id edges are ~320 MB raw and several GB as
+        # Python dict entries — row count alone would route those to a
+        # driver OOM. Strings are charged a 4x object-overhead factor;
+        # the payload bound (160 MiB effective) keeps the worst-case
+        # driver footprint in the same class as the long-id design
+        # point.
+        integral = isinstance(
+            edges.schema["u"].dataType, _INTEGRAL_TYPES
+        ) and isinstance(edges.schema["v"].dataType, _INTEGRAL_TYPES)
+        payload = (
+            F.count(F.lit(1)) * F.lit(16)
+            if integral
+            else F.coalesce(
+                F.sum(
+                    (F.octet_length(F.col("u").cast("string"))
+                     + F.octet_length(F.col("v").cast("string")))
+                    * F.lit(4)
+                ),
+                F.lit(0),
+            )
+        )
+        probe = edges.agg(
+            F.count(F.lit(1)).alias("n"), payload.alias("b")
+        ).first()
+        if (
+            probe["n"] <= driver_finish_max_edges
+            and probe["b"] <= 160 * 1024 * 1024
+        ):
             return _driver_union_find_labels(edges)
     prev_sig: tuple | None = None
     for _ in range(max_iterations):

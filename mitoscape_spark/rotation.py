@@ -60,7 +60,7 @@ caller falls back to the hand list — the derived set AUGMENTS the hand
 overrides (union), it never silently replaces a working pin.
 
 Cache validity (round-8 advice item 5): the memoized git/parse state
-is keyed on a cheap worktree fingerprint (max mtime + file count over
+is keyed on a cheap worktree fingerprint (hashed stat listing over
 package ``.py`` files, plus HEAD for history queries), so derivations
 stay correct in a long-lived process that edits files between calls —
 not just at process start.
@@ -111,24 +111,34 @@ def _git(root: str, *args: str) -> str | None:
     return out.stdout if out.returncode == 0 else None
 
 
-def _worktree_fingerprint(root: str) -> tuple[int, float]:
-    """(file count, max mtime) over the package's .py files — a cheap
-    stat-only key that changes whenever any package file is edited,
-    added, or removed. Cache-busts the worktree-dependent memoizations
-    below in long-lived processes (round-8 advice item 5)."""
-    n, newest = 0, 0.0
+def _worktree_fingerprint(root: str) -> tuple[int, int]:
+    """(file count, hash of per-file (path, size, mtime_ns)) over the
+    package's .py files — a cheap stat-only key that changes whenever
+    any package file is edited, added, removed, or renamed.
+    Cache-busts the worktree-dependent memoizations below in
+    long-lived processes (round-8 advice item 5). Hashing the FULL
+    stat listing (not just the max mtime) also catches edits that
+    preserve or back-date timestamps when the size changes
+    (cp -p / rsync -a restores — round-9 review finding 3); the
+    residual blind spot is a same-size edit with an identically
+    preserved mtime_ns, which no stat-only scheme can see."""
+    n = 0
+    stats: list[tuple[str, int, int]] = []
     for dirpath, _dirs, files in os.walk(os.path.join(root, _PKG)):
         if "__pycache__" in dirpath:
             continue
         for fn in files:
             if fn.endswith(".py"):
                 n += 1
+                p = os.path.join(dirpath, fn)
                 try:
-                    mt = os.stat(os.path.join(dirpath, fn)).st_mtime
+                    st = os.stat(p)
                 except OSError:
                     continue
-                newest = max(newest, mt)
-    return n, newest
+                stats.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    return n, hash(tuple(sorted(stats)))
 
 
 def _boundaries(root: str) -> tuple[tuple[int, str], ...] | None:
@@ -157,13 +167,9 @@ def _boundaries_at(
     return tuple(sorted(found.items()))
 
 
-def _diff_since(root: str, sha: str) -> frozenset[str] | None:
-    return _diff_since_keyed(root, sha, _worktree_fingerprint(root))
-
-
 @lru_cache(maxsize=64)
 def _diff_since_keyed(
-    root: str, sha: str, wt_key: tuple[int, float]
+    root: str, sha: str, wt_key: tuple[int, int]
 ) -> frozenset[str] | None:
     """Package .py files changed between ``sha`` and the WORKING TREE
     (committed + uncommitted), plus untracked new modules. ``wt_key``
@@ -212,13 +218,45 @@ def _imported_mods(node: ast.AST, known: dict[str, str]) -> frozenset[str]:
     return frozenset(mods)
 
 
+# sentinel module name for imports the static analysis cannot resolve
+# (relative imports parsed without knowing the containing module).
+# Reaching the walker, it fails the whole derivation open to the hand
+# list — never a silent skip (round-9 review finding 1)
+_UNRESOLVED = "<unresolved-import>"
+
+
+def _resolve_from(
+    n: ast.ImportFrom, pkg_parts: tuple[str, ...] | None
+) -> str | None:
+    """Effective absolute dotted module of an ImportFrom, resolving
+    relative imports against the containing module's package parts.
+    Returns None for non-package imports, _UNRESOLVED when a relative
+    import cannot be resolved (unknown container / over-deep level)."""
+    if n.level == 0:
+        if n.module and n.module.split(".")[0] == _PKG:
+            return n.module
+        return None
+    if pkg_parts is None or n.level - 1 > len(pkg_parts):
+        return _UNRESOLVED
+    base = pkg_parts[: len(pkg_parts) - (n.level - 1)]
+    parts = list(base) + (n.module.split(".") if n.module else [])
+    if not parts or parts[0] != _PKG:
+        return _UNRESOLVED  # relative import escaping the package
+    return ".".join(parts)
+
+
 def _imported_targets(
-    node: ast.AST, known: dict[str, str]
+    node: ast.AST,
+    known: dict[str, str],
+    pkg_parts: tuple[str, ...] | None = None,
 ) -> frozenset[tuple[str, str | None]]:
     """(module, name) pairs imported anywhere inside ``node``; name is
     None for whole-module imports (``import m`` / ``from pkg import
     m``) — the walker then falls back to file granularity for that
-    target (round-9: entry-granular staleness)."""
+    target (round-9: entry-granular staleness). ``pkg_parts`` is the
+    containing module's package path for relative-import resolution;
+    unresolvable relatives surface as (_UNRESOLVED, None), which makes
+    the derivation fail open rather than silently dropping the edge."""
     out: set[tuple[str, str | None]] = set()
     for n in ast.walk(node):
         if isinstance(n, ast.Import):
@@ -227,20 +265,26 @@ def _imported_targets(
                     m = _known_mod(a.name, known)
                     if m:
                         out.add((m, None))
-        elif isinstance(n, ast.ImportFrom) and n.module:
-            if n.module.split(".")[0] != _PKG:
+        elif isinstance(n, ast.ImportFrom):
+            eff = _resolve_from(n, pkg_parts)
+            if eff is None:
+                continue
+            if eff == _UNRESOLVED:
+                out.add((_UNRESOLVED, None))
                 continue
             for a in n.names:
-                full = f"{n.module}.{a.name}"
+                full = f"{eff}.{a.name}"
                 if full in known:  # importing a MODULE object
                     out.add((full, None))
                     continue
-                m = _known_mod(n.module, known)
-                if m == n.module:
+                m = _known_mod(eff, known)
+                if m == eff:
                     out.add((m, a.name))
                 elif m:  # import through a package __init__ re-export:
                     # name resolution is dynamic — whole-module fallback
                     out.add((m, None))
+                else:
+                    out.add((_UNRESOLVED, None))
     return frozenset(out)
 
 
@@ -252,7 +296,7 @@ def _module_index(
 
 @lru_cache(maxsize=8)
 def _module_index_keyed(
-    root: str, wt_key: tuple[int, float]
+    root: str, wt_key: tuple[int, int]
 ) -> tuple[dict[str, str], dict[str, frozenset[str]]] | None:
     """modname -> relpath, and the module-level import graph (ALL
     package-internal import edges anywhere in each file). ``wt_key``
@@ -305,12 +349,17 @@ class _Entry:
 
     __slots__ = ("dump", "refs", "imports")
 
-    def __init__(self, node: ast.AST, known: dict[str, str]) -> None:
+    def __init__(
+        self,
+        node: ast.AST,
+        known: dict[str, str],
+        pkg_parts: tuple[str, ...] | None = None,
+    ) -> None:
         self.dump = ast.dump(node)
         self.refs = frozenset(
             n.id for n in ast.walk(node) if isinstance(n, ast.Name)
         )
-        self.imports = _imported_targets(node, known)
+        self.imports = _imported_targets(node, known, pkg_parts)
 
     @property
     def mods(self) -> frozenset[str]:
@@ -328,7 +377,12 @@ class _ToplevelEntry:
 
     __slots__ = ("dump", "refs", "imports")
 
-    def __init__(self, nodes: list[ast.stmt], known: dict[str, str]) -> None:
+    def __init__(
+        self,
+        nodes: list[ast.stmt],
+        known: dict[str, str],
+        pkg_parts: tuple[str, ...] | None = None,
+    ) -> None:
         mod = ast.Module(body=nodes, type_ignores=[])
         self.dump = ast.dump(mod)
         # refs ARE tracked: module-level code that calls a definition
@@ -337,7 +391,7 @@ class _ToplevelEntry:
         self.refs = frozenset(
             n.id for n in ast.walk(mod) if isinstance(n, ast.Name)
         )
-        self.imports = _imported_targets(mod, known)
+        self.imports = _imported_targets(mod, known, pkg_parts)
 
     @property
     def mods(self) -> frozenset[str]:
@@ -348,17 +402,22 @@ _TOPLEVEL = "::toplevel"
 
 
 def _parse_entries(
-    src: str, known: dict[str, str]
+    src: str,
+    known: dict[str, str],
+    pkg_parts: tuple[str, ...] | None = None,
 ) -> tuple[dict[str, _Entry], dict[str, tuple[str, str | None]]] | None:
     """Top-level entries of a package file.
 
     Keys: function/class/constant names; ``oracle::<q>`` /
     ``queries::<q>`` for registry dict-literal items and subscript
     assigns; ``::toplevel`` for the synthetic residual (module-level
-    imports, guards, multi-target assigns — everything unnameable).
+    guards, multi-target non-Name assigns — everything unnameable).
     Second value maps module-level import bindings to their target:
     ``load_table`` → ``("mitoscape_spark.catalog", "load_table")``;
-    the name is None for whole-module bindings.
+    the name is None for whole-module bindings. ``pkg_parts`` (the
+    containing module's package path) resolves relative imports;
+    without it a relative package import maps to _UNRESOLVED, which
+    fails the derivation open instead of dropping the edge.
     """
     try:
         tree = ast.parse(src)
@@ -372,16 +431,16 @@ def _parse_entries(
         if isinstance(value, ast.Dict):
             for k, v in zip(value.keys, value.values):
                 if isinstance(k, ast.Constant) and isinstance(k.value, str):
-                    entries[f"{reg.lower()}::{k.value}"] = _Entry(v, known)
+                    entries[f"{reg.lower()}::{k.value}"] = _Entry(v, known, pkg_parts)
         # the registry name itself also resolves (``from queries import
         # QUERIES``-style consumers see any item change)
-        entries[reg] = _Entry(value, known)
+        entries[reg] = _Entry(value, known, pkg_parts)
 
     for i, node in enumerate(tree.body):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            entries[node.name] = _Entry(node, known)
+            entries[node.name] = _Entry(node, known, pkg_parts)
         elif isinstance(node, ast.ClassDef):
-            entries[node.name] = _Entry(node, known)
+            entries[node.name] = _Entry(node, known, pkg_parts)
         elif isinstance(node, (ast.Assign, ast.AnnAssign)):
             targets = (
                 node.targets if isinstance(node, ast.Assign) else [node.target]
@@ -415,33 +474,41 @@ def _parse_entries(
                 and isinstance(t0.slice.value, str)
             ):
                 key = f"{t0.value.id.lower()}::{t0.slice.value}"
-                entries[key] = _Entry(value, known)
+                entries[key] = _Entry(value, known, pkg_parts)
             elif resolvable:
                 for nm in names:
                     if nm in ("QUERIES", "ORACLE"):
                         add_registry(nm, value)
                     else:
-                        entries[nm] = _Entry(value, known)
+                        entries[nm] = _Entry(value, known, pkg_parts)
             else:
                 residual.append(node)  # attribute/starred target
-        elif isinstance(node, ast.ImportFrom) and node.module:
+        elif isinstance(node, ast.ImportFrom):
             # imports are NOT part of the toplevel residual: a binding
             # redirect (same name, different source module) is detected
             # precisely per consumer via the import_names comparison in
             # derive_pins, so an import-line edit in a 10k-line query
-            # file pins only the queries whose refs actually use it
-            if node.module.split(".")[0] != _PKG:
+            # file pins only the queries whose refs actually use it.
+            # Relative imports resolve against pkg_parts (round-9
+            # review finding 1); unresolvable ones bind _UNRESOLVED.
+            eff = _resolve_from(node, pkg_parts)
+            if eff is None:
                 continue
             for a in node.names:
-                full = f"{node.module}.{a.name}"
+                if eff == _UNRESOLVED:
+                    import_names[a.asname or a.name] = (_UNRESOLVED, None)
+                    continue
+                full = f"{eff}.{a.name}"
                 if full in known:
                     import_names[a.asname or a.name] = (full, None)
                     continue
-                m = _known_mod(n_mod := node.module, known)
-                if m == n_mod:
+                m = _known_mod(eff, known)
+                if m == eff:
                     import_names[a.asname or a.name] = (m, a.name)
                 elif m:  # re-export through a package __init__
                     import_names[a.asname or a.name] = (m, None)
+                else:
+                    import_names[a.asname or a.name] = (_UNRESOLVED, None)
         elif isinstance(node, ast.Import):
             # plain `import mitoscape_spark.x.y as z`: bind z -> module
             # so body refs through the alias still attribute the module
@@ -460,7 +527,7 @@ def _parse_entries(
             pass  # module docstring: doc-only edits never pin
         else:
             residual.append(node)
-    entries[_TOPLEVEL] = _ToplevelEntry(residual, known)
+    entries[_TOPLEVEL] = _ToplevelEntry(residual, known, pkg_parts)
     return entries, import_names
 
 
@@ -485,7 +552,12 @@ def _entries_at(
         src = _git(root, "show", f"{sha}:{relpath}")
         if src is None:
             return None
-    return _parse_entries(src, known)
+    mod = relpath[: -len(".py")].replace(os.sep, ".")
+    if mod.endswith(".__init__"):
+        pkg_parts = tuple(mod[: -len(".__init__")].split("."))
+    else:
+        pkg_parts = tuple(mod.split(".")[:-1])
+    return _parse_entries(src, known, pkg_parts)
 
 
 def _worktree_entries(root: str, relpath: str):
@@ -564,6 +636,11 @@ def _entry_path(
         return None
     while queue:
         mod, nm = queue.pop()
+        if mod == _UNRESOLVED:
+            # an import the static analysis could not resolve is on
+            # this path — failing open (hand pins + oldest-first) beats
+            # silently dropping the edge (round-9 review finding 1)
+            return None
         rel = mod_paths.get(mod)
         if rel is None:
             continue  # not a package file (stale index entry)

@@ -1207,6 +1207,30 @@ def test_connected_components_driver_finisher_string_ids(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_byte_bound_routes_fat_string_ids(spark, monkeypatch):
+    """The gate is byte-aware, not just row-aware: few edges with FAT
+    string ids must take the distributed path — a row-count-only gate
+    would collect GB-scale Python strings to the driver (round-9
+    review finding)."""
+    from mitoscape_spark.operators import dedup as D
+
+    fat = "k" * (30 * 1024 * 1024)  # 30 MiB per id -> payload >> 160 MiB
+    pairs = spark.createDataFrame(
+        [(fat + "1", fat + "2"), (fat + "2", fat + "3")],
+        "doc_a string, doc_b string",
+    )
+
+    def _boom(edges):
+        raise AssertionError("driver finisher ran above the byte bound")
+
+    monkeypatch.setattr(D, "_driver_union_find_labels", _boom)
+    comp = {
+        r.id[-1]: r.component[-1]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert comp == {"1": "1", "2": "1", "3": "1"}
+
+
 def test_cap_per_key_deterministic_cap(spark):
     """cap_per_key keeps at most N rows per key, keeps small keys
     whole, and is deterministic across invocations."""

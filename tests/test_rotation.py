@@ -598,6 +598,69 @@ def test_entry_granular_binding_redirect_pins_consumer(tmp_path):
         R.clear_caches()
 
 
+def test_relative_imports_resolve_and_pin(tmp_path):
+    """`from .sampling import cap_per_key` must create the same
+    staleness edge as the absolute form — relative imports were
+    invisible to the derivation (round-9 review finding 1)."""
+    root = _mini_repo2(tmp_path)
+    ops2 = root / "mitoscape_spark" / "operators" / "ops2.py"
+    sampling = root / "mitoscape_spark" / "operators" / "sampling.py"
+    import subprocess
+
+    ops2.write_text(
+        _OPS2.replace(
+            "from mitoscape_spark.operators.sampling import cap_per_key",
+            "from .sampling import cap_per_key",
+        )
+    )
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "PATH": os.environ["PATH"], "HOME": os.environ.get("HOME", "/tmp")}
+    subprocess.run(["git", "-C", str(root), "commit", "-aqm", "relative"],
+                   check=True, capture_output=True, env=env)
+    subprocess.run(
+        ["git", "-C", str(root), "commit", "-q", "--allow-empty", "-m",
+         "round 2: verdict/advice/correctness/bench"],
+        check=True, capture_output=True, env=env)
+    try:
+        declared = {
+            "ext_alpha": _FakeFn(
+                "mitoscape_spark.queries.extensions", "ext_alpha"),
+            "ext_beta": _FakeFn(
+                "mitoscape_spark.queries.extensions", "ext_beta"),
+        }
+        R.clear_caches()
+        assert R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2}, declared, root=str(root)
+        ) == frozenset()
+        # change the relatively-imported operator: alpha must pin
+        sampling.write_text("def cap_per_key(df, k, n):\n    return df.limit(n)\n")
+        R.clear_caches()
+        explain = {}
+        pins = R.derive_pins(
+            {"ext_alpha": 2, "ext_beta": 2}, declared, root=str(root),
+            explain=explain,
+        )
+        assert pins == {"ext_alpha"}, explain
+        assert "cap_per_key" in explain["ext_alpha"]
+    finally:
+        R.clear_caches()
+
+
+def test_unresolvable_relative_import_fails_open():
+    """Parsing a relative import WITHOUT knowing the containing module
+    must surface _UNRESOLVED (never a silent drop), and a path that
+    touches it makes the walker fail open."""
+    src = "from .catalog import load_table\n\ndef q(df):\n    return load_table(df)\n"
+    entries, imap = R._parse_entries(src, _known())  # no pkg_parts
+    assert imap["load_table"] == (R._UNRESOLVED, None)
+    # with pkg_parts it resolves to the absolute module
+    entries2, imap2 = R._parse_entries(
+        src, _known(), pkg_parts=("mitoscape_spark",)
+    )
+    assert imap2["load_table"] == ("mitoscape_spark.catalog", "load_table")
+
+
 def test_whole_module_alias_falls_back_to_file_granularity(tmp_path):
     """ext_beta uses `import operators.other as O` — any content
     change in other.py must pin it (coarse fallback is an

@@ -113,6 +113,13 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
+    # validate BEFORE the expensive corpus synthesis: --factor 1 makes
+    # the exponent denominator log(1)=0 and --rounds 0 yields None
+    # timings (round-9 review finding 5)
+    if args.factor < 2:
+        ap.error("--factor must be >= 2 (exponent is log-ratio based)")
+    if args.rounds < 1:
+        ap.error("--rounds must be >= 1")
 
     from mitoscape_spark.queries.relational import QUERIES
     from mitoscape_spark.session import get_spark

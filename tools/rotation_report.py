@@ -53,6 +53,15 @@ def main() -> int:
     print(f"tiers: {dict(sorted(tiers.items()))}")
     print(f"derived pins: {len(derived)} (hand overrides: "
           f"{len(entry._ROTATION_PINS)})")
+    dropped = explain.get("__ubiquitous_dropped__")
+    if dropped:
+        # round-9 review finding 4: the conscious-hand-pin signal must
+        # reach THIS tool, not just a stderr line lost in Spark logs
+        print(
+            "!! CHANGED BUT EXCLUDED AS UBIQUITOUS (>50% of query "
+            "paths — dependents re-check only at tier-4 cap-rate; "
+            f"hand-pin a broad re-check if semantic): {dropped}"
+        )
     byround = Counter(latest.get(n) for n in derived)
     print(f"pins by latest-verdict round: {dict(sorted(byround.items()))}\n")
     print(f"--- driver slice (first {args.cap}) ---")
