@@ -123,8 +123,10 @@ _ROTATION_PINS: frozenset[str] = frozenset({
     # (r8, commit e96aafb) — but the contract's preferred evidence is
     # driver-recorded. Hand-pinning puts them at tier 3 with the oldest
     # verdict rounds, ahead of any round-9 derived pins, so one 50-slot
-    # round retires the staleness backlog permanently. Remove after
-    # CORRECTNESS_r09 lands.
+    # round retires the staleness backlog permanently. SELF-RETIRING:
+    # once a name's driver verdict moves past _HAND_PIN_RETIRE_ROUND
+    # (i.e. CORRECTNESS_r09 lands), its pin stops applying — the list
+    # can be deleted at leisure, it can never go stale.
     "ext_copurchase_pairs", "ext_datetime_funcs", "ext_delete_vectors",
     "ext_expectations", "ext_grouped_mode", "ext_incremental_agg",
     "ext_null_semantics", "ext_pack_ffd", "ext_pattern_match",
@@ -141,11 +143,22 @@ _ROTATION_PINS: frozenset[str] = frozenset({
     "q07", "q14", "q15",
 })
 
+# hand pins apply only while the name's latest driver verdict is at or
+# before this round (the staleness they exist to cure); a fresh driver
+# record retires the pin automatically
+_HAND_PIN_RETIRE_ROUND = 3
+
 
 def _rotation_pins() -> frozenset[str]:
     """Union of hand overrides and the mechanically derived stale set;
     falls back to the hand list alone if derivation fails (no git,
-    shallow clone, parse error — rotation degrades, never breaks)."""
+    shallow clone, parse error — rotation degrades, never breaks).
+
+    Hand pins are SELF-RETIRING: each is applied only while the name's
+    latest driver verdict is at or before _HAND_PIN_RETIRE_ROUND, so
+    once the driver re-records a pinned name the pin evaporates — no
+    round-(N+1) cleanup commit, and a freshly-recorded name can never
+    linger in tier 3 displacing genuinely stale pins."""
     from mitoscape_spark.queries import QUERIES
 
     dangling = _ROTATION_PINS - set(QUERIES)
@@ -157,10 +170,14 @@ def _rotation_pins() -> frozenset[str]:
             f"_ROTATION_PINS names not in QUERIES (typo/rename?): "
             f"{sorted(dangling)}"
         )
+    latest_round = {n: rnd for n, (rnd, _res) in _verdict_history().items()}
+    hand = frozenset(
+        n for n in _ROTATION_PINS
+        if latest_round.get(n, 0) <= _HAND_PIN_RETIRE_ROUND
+    )
     try:
         from mitoscape_spark.rotation import derive_pins
 
-        latest_round = {n: rnd for n, (rnd, _res) in _verdict_history().items()}
         derived = derive_pins(latest_round, QUERIES)
     except Exception:  # noqa: BLE001 — fail-open to the hand list
         derived = None
@@ -172,8 +189,8 @@ def _rotation_pins() -> frozenset[str]:
             "error) — ordering falls back to hand pins + oldest-first",
             file=sys.stderr,
         )
-        return _ROTATION_PINS
-    return _ROTATION_PINS | derived
+        return hand
+    return hand | derived
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
