@@ -110,55 +110,26 @@ def _verdict_history(here: str | None = None) -> dict[str, tuple[int, dict]]:
 # THE list to an override): names to re-verify that the mechanical
 # derivation in mitoscape_spark/rotation.py cannot see — e.g. a
 # semantic change routed through config or an external artifact rather
-# than package code. The derived set is the primary source: a name is
+# than package code, or a broad re-check after a UBIQUITOUS entry
+# change (derive_pins surfaces those via __ubiquitous_dropped__; the
+# adjudication gate in tests/test_rotation.py forces the call to be
+# made consciously). The derived set is the primary source: a name is
 # pinned iff its statically-derived code path (function + intra-file
 # helpers + oracle SQL + transitively imported operator modules, minus
 # ubiquitous infra) changed after its OWN latest driver verdict's
 # round-boundary commit. Every name here must exist in QUERIES —
-# queries() asserts it loudly (round-7 advice item 4).
-_ROTATION_PINS: frozenset[str] = frozenset({
-    # Round-9 verdict item 1: the 37 names whose latest DRIVER verdict
-    # is still r01/r03. Their static code paths are proven unchanged
-    # (rotation.py AST audit) and they re-verified hash-green locally
-    # (r8, commit e96aafb) — but the contract's preferred evidence is
-    # driver-recorded. Hand-pinning puts them at tier 3 with the oldest
-    # verdict rounds, ahead of any round-9 derived pins, so one 50-slot
-    # round retires the staleness backlog permanently. SELF-RETIRING:
-    # once a name's driver verdict moves past _HAND_PIN_RETIRE_ROUND
-    # (i.e. CORRECTNESS_r09 lands), its pin stops applying — the list
-    # can be deleted at leisure, it can never go stale.
-    "ext_copurchase_pairs", "ext_datetime_funcs", "ext_delete_vectors",
-    "ext_expectations", "ext_grouped_mode", "ext_incremental_agg",
-    "ext_null_semantics", "ext_pack_ffd", "ext_pattern_match",
-    "ext_revenue_concentration", "ext_row_ids", "ext_scd2",
-    "ext_sliding_distinct", "ext_sliding_sum", "ext_snapshot_format",
-    "ext_sql_disjunctive_filter", "ext_sql_grouping_sets",
-    "ext_sql_lateral_topn", "ext_sql_local_supplier_volume",
-    "ext_sql_order_priority", "ext_sql_pipe_syntax",
-    "ext_sql_pricing_summary", "ext_sql_recursive_cte",
-    "ext_sql_returned_items", "ext_sql_shipping_priority",
-    "ext_sql_volume_shipping", "ext_string_funcs", "ext_table_changes",
-    "ext_term_freq", "ext_theta_overlap", "ext_time_travel",
-    "ext_user_trend", "ext_window_rank", "ext_zorder",
-    "q07", "q14", "q15",
-})
-
-# hand pins apply only while the name's latest driver verdict is at or
-# before this round (the staleness they exist to cure); a fresh driver
-# record retires the pin automatically
-_HAND_PIN_RETIRE_ROUND = 3
+# queries() raises loudly otherwise (round-7 advice item 4).
+#
+# EMPTY since round 10: the round-9 staleness backlog (37 r01/r03
+# names) was driver-re-recorded in CORRECTNESS_r09, which self-retired
+# every pin; the list itself was then deleted (round-9 verdict item 3).
+_ROTATION_PINS: frozenset[str] = frozenset()
 
 
 def _rotation_pins() -> frozenset[str]:
     """Union of hand overrides and the mechanically derived stale set;
     falls back to the hand list alone if derivation fails (no git,
-    shallow clone, parse error — rotation degrades, never breaks).
-
-    Hand pins are SELF-RETIRING: each is applied only while the name's
-    latest driver verdict is at or before _HAND_PIN_RETIRE_ROUND, so
-    once the driver re-records a pinned name the pin evaporates — no
-    round-(N+1) cleanup commit, and a freshly-recorded name can never
-    linger in tier 3 displacing genuinely stale pins."""
+    shallow clone, parse error — rotation degrades, never breaks)."""
     from mitoscape_spark.queries import QUERIES
 
     dangling = _ROTATION_PINS - set(QUERIES)
@@ -171,10 +142,6 @@ def _rotation_pins() -> frozenset[str]:
             f"{sorted(dangling)}"
         )
     latest_round = {n: rnd for n, (rnd, _res) in _verdict_history().items()}
-    hand = frozenset(
-        n for n in _ROTATION_PINS
-        if latest_round.get(n, 0) <= _HAND_PIN_RETIRE_ROUND
-    )
     try:
         from mitoscape_spark.rotation import derive_pins
 
@@ -189,8 +156,8 @@ def _rotation_pins() -> frozenset[str]:
             "error) — ordering falls back to hand pins + oldest-first",
             file=sys.stderr,
         )
-        return hand
-    return hand | derived
+        return _ROTATION_PINS
+    return _ROTATION_PINS | derived
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -222,9 +189,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          change there reaches tier-4 names only at cap-rate.
          derive_pins surfaces any such dropped module on stderr /
          explain["__ubiquitous_dropped__"] so it can be hand-pinned
-         consciously (round-8 advice item 1). Tier 4 also remains the
-         safety net for what static analysis can't see (driver
-         harness changes, testdata regeneration, dynamic dispatch).
+         consciously (round-8 advice item 1), and a test gate requires
+         every surfaced drop to be adjudicated in COVERAGE.md
+         (round-9 verdict item 4). Tier 4 also remains the safety net
+         for what static analysis can't see (driver harness changes,
+         testdata regeneration, dynamic dispatch);
+      5. rows-only names with no declared oracle whose code path is
+         unchanged (not pinned): a fresh driver record of these can
+         only ever re-record ``no_oracle`` — it buys no new evidence,
+         so they never displace an oracle-checkable re-record from the
+         cap (round-9 verdict item 5). A code change (tier 3 pin) or
+         a gained oracle (tier 2) promotes them back up.
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 
@@ -242,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (2, rnd, name)
         if name in pins:
             return (3, rnd, name)
+        if err == "no_oracle" and name not in ORACLE:
+            return (5, rnd, name)
         return (4, rnd, name)
 
     ordered = sorted(QUERIES, key=order_key)

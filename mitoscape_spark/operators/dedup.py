@@ -820,7 +820,7 @@ def _driver_union_find_labels(edges: DataFrame) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     import pandas as pd
 
-    # pandas + Arrow ingestion: at the 5M-edge bound a plain
+    # pandas + Arrow ingestion: at the 2M-edge bound a plain
     # list-of-tuples createDataFrame pays per-row Python serialization
     # (tens of seconds); the Arrow path ships two columnar buffers
     out_pdf = pd.DataFrame(
@@ -837,7 +837,7 @@ def connected_components(
     max_iterations: int = 30,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
-    driver_finish_max_edges: int = 5_000_000,
+    driver_finish_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component): connected components over candidate-pair edges —
     the step that turns near-dup PAIRS into dedup GROUPS. Alternating
@@ -862,20 +862,24 @@ def connected_components(
 
     Small graphs take a BOUNDED driver finisher instead (round-9,
     verdict item 2): when the distinct'd edge set is at most
-    ``driver_finish_max_edges`` rows AND its estimated driver payload
-    (16 B/edge for integral ids; octet length × 4 object-overhead
-    factor for strings) is under 160 MiB — both read from one
-    aggregate job that also materializes the checkpoint the loop
-    needed anyway — the edges collect to the driver and union-find
-    labels them in milliseconds, skipping ~11 star rounds of pure
-    per-round scheduling floor (~70% of wall on toy graphs, PERF.md
-    §23). The dual bound caps driver memory explicitly for BOTH id
-    families (5M long-id edges ≈ 80 MB; a same-count string-id set
-    that would balloon as Python dict entries routes distributed);
-    pass ``driver_finish_max_edges=0`` to force the distributed path. At 100 TB the candidate-pair graph exceeds any
-    sane bound and the star-contraction path runs unchanged — this is
-    the same hybrid class as ``minhash_candidate_pairs``'s
-    ``max_bucket_size`` guard, not a scale compromise.
+    ``driver_finish_max_edges`` rows AND its estimated PYTHON-PROCESS
+    peak (~300 B/edge for integral ids — measured, see below; octet
+    length × 4 plus the same 300 B/edge object overhead for strings)
+    is under 640 MiB — both read from one aggregate job that also
+    materializes the checkpoint the loop needed anyway — the edges
+    collect to the driver and union-find labels them in milliseconds,
+    skipping ~11 star rounds of pure per-round scheduling floor (~70%
+    of wall on toy graphs, PERF.md §23). The byte estimate models the
+    DRIVER PROCESS footprint, not the Arrow wire size (round-9 advice
+    item 1): the 16 B/edge Arrow transfer balloons to boxed-int lists
+    plus a ~2-nodes/edge union-find ``parent`` dict — measured peak
+    RSS delta 565 MB for a 2M-edge integral run (~300 B/edge), which
+    is what the 640 MiB budget and the 2M default row bound are sized
+    to. Pass ``driver_finish_max_edges=0`` to force the distributed
+    path. At 100 TB the candidate-pair graph exceeds any sane bound
+    and the star-contraction path runs unchanged — this is the same
+    hybrid class as ``minhash_candidate_pairs``'s ``max_bucket_size``
+    guard, not a scale compromise.
 
     ``connected_components_propagation`` below keeps the simple
     min-label variant for comparison/tests.
@@ -896,20 +900,24 @@ def connected_components(
         # one aggregate job; it materializes the checkpoint that
         # round 1 would have materialized anyway, so the distributed
         # path pays no extra pass for the probe. The gate is BYTE-aware
-        # as well as row-aware: 5M long-id edges are ~80 MB, but 5M
-        # 40-char STRING-id edges are ~320 MB raw and several GB as
-        # Python dict entries — row count alone would route those to a
-        # driver OOM. Strings are charged a 4x object-overhead factor;
-        # the payload bound (160 MiB effective) keeps the worst-case
-        # driver footprint in the same class as the long-id design
-        # point.
+        # as well as row-aware, and the byte model is the PYTHON
+        # PROCESS peak, not the Arrow wire size (round-9 advice
+        # item 1): an integral edge ships 16 B over Arrow but costs
+        # ~300 B once it lives as tolist()-boxed ints plus up to two
+        # union-find dict entries (measured: 565 MB peak RSS delta at
+        # 2M edges). Strings add their character data ×4 (str object
+        # + pandas object array + dict key) on top of the same
+        # per-edge overhead — row count alone would route a 2M-edge
+        # 40-char-string set into a multi-GB driver.
         integral = isinstance(
             edges.schema["u"].dataType, _INTEGRAL_TYPES
         ) and isinstance(edges.schema["v"].dataType, _INTEGRAL_TYPES)
+        per_edge_overhead = F.count(F.lit(1)) * F.lit(300)
         payload = (
-            F.count(F.lit(1)) * F.lit(16)
+            per_edge_overhead
             if integral
-            else F.coalesce(
+            else per_edge_overhead
+            + F.coalesce(
                 F.sum(
                     (F.octet_length(F.col("u").cast("string"))
                      + F.octet_length(F.col("v").cast("string")))
@@ -923,7 +931,7 @@ def connected_components(
         ).first()
         if (
             probe["n"] <= driver_finish_max_edges
-            and probe["b"] <= 160 * 1024 * 1024
+            and probe["b"] <= 640 * 1024 * 1024
         ):
             return _driver_union_find_labels(edges)
     prev_sig: tuple | None = None

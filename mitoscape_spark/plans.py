@@ -28,8 +28,16 @@ from pyspark.sql import DataFrame
 # rangepartitioning", "Exchange SinglePartition", ...) — deliberately
 # NOT "BroadcastExchange": a broadcast-join plan's STREAM side can
 # still be a single-row-group scan running as one task, exactly the
-# degenerate case this helper exists to rescue (round-8 advice item 4)
-_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)Exchange\b")
+# degenerate case this helper exists to rescue (round-8 advice item 4).
+# "ReusedExchange" is excluded too (round-9 advice item 2): a
+# BroadcastExchange that Spark prints as a ReusedExchange node must not
+# short-circuit the probe — the plan is still shuffle-free on the
+# stream side. A reused SHUFFLE exchange cannot slip through: its
+# ORIGINAL Exchange node is printed elsewhere in the same plan string
+# (reuse references an existing subtree), and the ReusedExchange line
+# itself restates the reused child ("ReusedExchange [...], Exchange
+# hashpartitioning(...)"), which this pattern still matches.
+_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)(?<!Reused)Exchange\b")
 
 
 def ensure_min_parallelism(

@@ -535,7 +535,7 @@ def _parse_entries(
 # 64 thrashed (evictions forced ~80 re-parses per warm derivation)
 def _entries_at(
     root: str, relpath: str, sha: str | None, mtime_key: float | None
-) -> tuple[dict[str, _Entry], dict[str, str]] | None:
+) -> tuple[dict[str, _Entry], dict[str, tuple[str, str | None]]] | None:
     """Parsed entries of ``relpath`` at commit ``sha`` (or the working
     tree when sha is None; ``mtime_key`` only busts the cache)."""
     idx = _module_index(root)
@@ -560,7 +560,9 @@ def _entries_at(
     return _parse_entries(src, known, pkg_parts)
 
 
-def _worktree_entries(root: str, relpath: str):
+def _worktree_entries(
+    root: str, relpath: str
+) -> tuple[dict[str, _Entry], dict[str, tuple[str, str | None]]] | None:
     try:
         mtime = os.stat(os.path.join(root, relpath)).st_mtime
     except OSError:

@@ -575,6 +575,41 @@ def test_ensure_min_parallelism_probes_through_broadcast(spark):
     )
 
 
+def test_ensure_min_parallelism_reused_broadcast_not_shuffle(spark):
+    """A ReusedExchange node wrapping a BROADCAST exchange must not
+    read as a shuffle and short-circuit the probe (round-9 advice
+    item 2) — while genuine shuffle text, including a ReusedExchange
+    line that restates a reused SHUFFLE child, still must."""
+    from mitoscape_spark.plans import _SHUFFLE_EXCHANGE
+
+    assert not _SHUFFLE_EXCHANGE.search("BroadcastExchange HashedRelation")
+    assert not _SHUFFLE_EXCHANGE.search(
+        "ReusedExchange [k#5L], BroadcastExchange HashedRelation"
+    )
+    assert _SHUFFLE_EXCHANGE.search("Exchange hashpartitioning(k#3L, 32)")
+    assert _SHUFFLE_EXCHANGE.search(
+        "ReusedExchange [k#5L], Exchange hashpartitioning(k#3L, 32)"
+    )
+    # end-to-end: same broadcast dim joined twice — whether or not this
+    # Spark build prints the second side as ReusedExchange, the plan is
+    # broadcast-only and the one-task stream side must repartition UP
+    from mitoscape_spark.plans import ensure_min_parallelism
+
+    dim = spark.range(0, 10).select(F.col("id").alias("k"))
+    stream = spark.range(0, 1000, 1, 1).withColumn("k", F.col("id") % 10)
+    joined = stream.join(F.broadcast(dim), "k").join(
+        F.broadcast(dim.withColumnRenamed("k", "k2")),
+        F.col("k") == F.col("k2"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert not _SHUFFLE_EXCHANGE.search(plan), plan
+    out = ensure_min_parallelism(joined)
+    assert out is not joined, "broadcast-only plan was wrongly passed through"
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 4
+    )
+
+
 def test_samtext_python_datasource(spark, tmp_path):
     from mitoscape_spark.sources.sam import register_sam_source
 
@@ -1214,9 +1249,16 @@ def test_connected_components_byte_bound_routes_fat_string_ids(spark, monkeypatc
     review finding)."""
     from mitoscape_spark.operators import dedup as D
 
-    fat = "k" * (30 * 1024 * 1024)  # 30 MiB per id -> payload >> 160 MiB
+    # 4 edges x 2 ids x 30 MiB chars x 4 overhead factor ≈ 960 MiB
+    # estimated driver peak > the 640 MiB budget
+    fat = "k" * (30 * 1024 * 1024)
     pairs = spark.createDataFrame(
-        [(fat + "1", fat + "2"), (fat + "2", fat + "3")],
+        [
+            (fat + "1", fat + "2"),
+            (fat + "2", fat + "3"),
+            (fat + "3", fat + "4"),
+            (fat + "4", fat + "5"),
+        ],
         "doc_a string, doc_b string",
     )
 
@@ -1228,7 +1270,7 @@ def test_connected_components_byte_bound_routes_fat_string_ids(spark, monkeypatc
         r.id[-1]: r.component[-1]
         for r in D.connected_components(pairs).collect()
     }
-    assert comp == {"1": "1", "2": "1", "3": "1"}
+    assert comp == {"1": "1", "2": "1", "3": "1", "4": "1", "5": "1"}
 
 
 def test_cap_per_key_deterministic_cap(spark):

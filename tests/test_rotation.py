@@ -171,6 +171,70 @@ def test_queries_ordering_survives_with_pins():
     assert set(ordered) == set(QUERIES)
 
 
+def test_rows_only_unchanged_names_sink_to_tier5(monkeypatch):
+    """A rows-only (``no_oracle``) name with no declared oracle and an
+    unchanged code path must sort AFTER every tier-4 name: re-recording
+    it buys no new evidence, so it never displaces an oracle-checkable
+    re-record from the driver's 50-slot cap (round-9 verdict item 5)."""
+    e = _entry_module()
+    from mitoscape_spark.queries import ORACLE, QUERIES
+
+    oracle_names = [n for n in QUERIES if n in ORACLE]
+    rows_only = next(n for n in QUERIES if n not in ORACLE)
+    a, c = oracle_names[0], oracle_names[1]
+    fake = {
+        a: (5, {"err": None}),        # tier 4, old verdict
+        c: (9, {"err": None}),        # tier 4, fresh verdict
+        rows_only: (3, {"err": "no_oracle"}),  # oldest of the three
+    }
+    monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake))
+    monkeypatch.setattr(e, "_rotation_pins", frozenset)
+    ordered = list(e.queries())
+    # rows-only sinks below BOTH tier-4 names despite its older verdict
+    assert ordered.index(rows_only) > ordered.index(a)
+    assert ordered.index(rows_only) > ordered.index(c)
+    # tier 4 stays oldest-first internally
+    assert ordered.index(a) < ordered.index(c)
+    # ...and a gained oracle promotes a stale rows-only record to
+    # tier 2, ahead of everything tier-3+: simulate by marking an
+    # ORACLE-declaring name's last verdict as no_oracle
+    fake2 = dict(fake)
+    fake2[a] = (5, {"err": "no_oracle"})
+    monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake2))
+    ordered2 = list(e.queries())
+    assert ordered2.index(a) < ordered2.index(c)
+    assert ordered2.index(a) < ordered2.index(rows_only)
+
+
+def test_ubiquitous_drops_are_adjudicated_in_coverage():
+    """Round-9 verdict item 4: derive_pins deliberately refuses to pin
+    on changed-but-ubiquitous entries (>50% of query paths) — the one
+    path a semantic change could reach tier-4 names only at cap-rate.
+    This gate forces the call to be CONSCIOUS: every entry surfaced in
+    ``__ubiquitous_dropped__`` for the current worktree must be named
+    in COVERAGE.md (the round's adjudication record: either 'benign,
+    tier-4 cap-rate is fine' or 'semantic, hand-pinned')."""
+    e = _entry_module()
+    from mitoscape_spark.queries import QUERIES
+
+    latest = {n: rnd for n, (rnd, _r) in e._verdict_history().items()}
+    explain: dict[str, str] = {}
+    pins = R.derive_pins(latest, QUERIES, explain=explain)
+    if pins is None:
+        pytest.skip("derivation unavailable (no git history)")
+    dropped = explain.get("__ubiquitous_dropped__")
+    if not dropped:
+        return  # nothing ubiquitous changed — nothing to adjudicate
+    coverage = open(os.path.join("/root/repo", "COVERAGE.md")).read()
+    missing = [d for d in dropped.split(", ") if d not in coverage]
+    assert not missing, (
+        f"ubiquitous path entries changed since their consumers' last "
+        f"driver verdicts but are not adjudicated in COVERAGE.md: "
+        f"{missing} — add an adjudication line (benign / hand-pinned) "
+        f"naming each entry verbatim"
+    )
+
+
 def test_dangling_hand_pin_fails_loudly():
     e = _entry_module()
     saved = e._ROTATION_PINS

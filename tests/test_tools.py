@@ -52,6 +52,62 @@ def test_merged_window_empty():
     assert _merged_window_sec([]) == 0.0
 
 
+def test_ext_scale_probe_corpus_is_isomorphic(spark, tmp_path, monkeypatch):
+    """tools/ext_scale_probe.py _synthesize: each copy must be an
+    ISOMORPHIC disjoint slice — token structure preserved but token
+    spaces disjoint across copies (no synthetic near-dup clusters),
+    and embeddings reflected orthogonally (intra-copy dot products
+    exactly preserved, cross-copy decorrelated) — otherwise the 10x
+    exponent measures pair explosion, not engine scaling."""
+    import math
+
+    import ext_scale_probe as P
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    monkeypatch.setattr(P, "_BASE", src)
+    out = str(tmp_path / "ext2x")
+    P._synthesize(spark, 2, out, {"documents", "embeddings"})
+
+    docs0 = pq.read_table(f"{src}/documents.parquet").to_pydict()
+    docs = {
+        r["doc_id"]: r
+        for b in pq.ParquetDataset(f"{out}/documents.parquet").read().to_pylist()
+        for r in [b]
+    }
+    n = len(docs0["doc_id"])
+    assert len(docs) == 2 * n
+    d0 = docs0["doc_id"][0]
+    base_text = docs0["text"][0]
+    copy = docs[d0 + P._OFFSET]
+    # same token count, zero shared tokens, consistent n_chars
+    b_toks, c_toks = base_text.split(), copy["text"].split()
+    assert len(b_toks) == len(c_toks)
+    assert not set(b_toks) & set(c_toks)
+    assert copy["n_chars"] == len(copy["text"])
+    # intra-copy token equality classes preserved: positions of equal
+    # tokens match between base and copy
+    eq_base = {(i, j) for i in range(len(b_toks)) for j in range(i + 1, len(b_toks)) if b_toks[i] == b_toks[j]}
+    eq_copy = {(i, j) for i in range(len(c_toks)) for j in range(i + 1, len(c_toks)) if c_toks[i] == c_toks[j]}
+    assert eq_base == eq_copy
+
+    emb0 = pq.read_table(f"{src}/embeddings.parquet").to_pydict()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in pq.ParquetDataset(f"{out}/embeddings.parquet").read().to_pylist()
+    }
+    ids = emb0["vec_id"][:2]
+    a0, b0 = emb0["embedding"][0], emb0["embedding"][1]
+    a1, b1 = emb[ids[0] + P._OFFSET], emb[ids[1] + P._OFFSET]
+    dot = lambda x, y: sum(p * q for p, q in zip(x, y))  # noqa: E731
+    # orthogonal reflection: intra-copy dots/norms exactly preserved
+    # (same float32 magnitudes, only signs flip)
+    assert math.isclose(dot(a0, b0), dot(a1, b1), rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(dot(a0, a0), dot(a1, a1), rel_tol=1e-6)
+    # ...and the copy is NOT the identity (some signs really flipped)
+    assert any(abs(x + y) < 1e-12 and abs(x) > 0 for x, y in zip(a0, a1))
+
+
 def test_spill_probe_corpus_derivation(tmp_path):
     """tools/spill_probe.py build_corpus: FACTOR perturbed copies with
     shifted ids, per-copy text suffix (copy 0 byte-identical), and a

@@ -46,6 +46,8 @@ def main() -> int:
             return 2
         if name in derived or name in entry._ROTATION_PINS:
             return 3
+        if err == "no_oracle" and name not in ORACLE:
+            return 5  # unchanged rows-only: re-record buys nothing
         return 4
 
     tiers = Counter(tier(n) for n in ordered)
