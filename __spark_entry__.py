@@ -195,16 +195,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          for what static analysis can't see (driver harness changes,
          testdata regeneration, dynamic dispatch);
       5. rows-only names with no declared oracle whose code path is
-         unchanged (not pinned): a fresh driver record of these can
-         only ever re-record ``no_oracle`` — it buys no new evidence,
-         so they never displace an oracle-checkable re-record from the
-         cap (round-9 verdict item 5). A code change (tier 3 pin) or
-         a gained oracle (tier 2) promotes them back up.
+         unchanged (not pinned): a fresh driver record of these mostly
+         re-stamps ``no_oracle``, so they must not displace
+         oracle-checkable re-records from the cap (round-9 verdict
+         item 5). But a re-run DOES prove "still executes" — the
+         tier-4 safety net the docstring above promises — so the tier
+         is a DRIP-FEED, not a freezer: each round the single
+         oldest-verdict tier-5 name is promoted back into tier 4's
+         oldest-first rotation (round-10 review finding 2; ~12 such
+         names → each re-executed roughly once per dozen rounds). A
+         code change (tier 3 pin) or a gained oracle (tier 2)
+         promotes immediately regardless.
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 
     latest = _verdict_history()
     pins = _rotation_pins()
+
+    tier5 = {
+        name
+        for name, (rnd, res) in latest.items()
+        if res.get("err") == "no_oracle"
+        and name not in ORACLE
+        and name not in pins
+    }
+    drip = min(tier5, key=lambda n: (latest[n][0], n)) if tier5 else None
 
     def order_key(name: str) -> tuple[int, int, str]:
         if name not in latest:
@@ -217,7 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (2, rnd, name)
         if name in pins:
             return (3, rnd, name)
-        if err == "no_oracle" and name not in ORACLE:
+        if name in tier5 and name != drip:
             return (5, rnd, name)
         return (4, rnd, name)
 

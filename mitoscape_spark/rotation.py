@@ -825,6 +825,26 @@ def derive_pins(
     return frozenset(pins & set(declared))
 
 
+def adjudication_token(root: str, dropped: str) -> str:
+    """Round-scoped adjudication token for a ``__ubiquitous_dropped__``
+    entry (``rel::key``): the entry name suffixed with the first 12 hex
+    chars of a SHA-256 over its CURRENT ast dump. COVERAGE.md must
+    contain this exact token for the drop to count as adjudicated
+    (tests/test_rotation.py) — hashing the content means a LATER
+    semantic change to the same entry invalidates the old adjudication
+    and forces a fresh conscious call, instead of a stale past-round
+    mention satisfying the gate forever (round-10 review finding 1).
+    Removed entries hash the sentinel ``<removed>``."""
+    import hashlib
+
+    rel, _, key = dropped.partition("::")
+    parsed = _worktree_entries(root, rel)
+    entry = parsed[0].get(key) if parsed else None
+    dump = entry.dump if entry is not None else "<removed>"
+    digest = hashlib.sha256(dump.encode()).hexdigest()[:12]
+    return f"{dropped}@{digest}"
+
+
 def clear_caches() -> None:
     """Reset memoized git/parse state (tests mutate the worktree)."""
     _boundaries_at.cache_clear()

@@ -172,38 +172,40 @@ def test_queries_ordering_survives_with_pins():
 
 
 def test_rows_only_unchanged_names_sink_to_tier5(monkeypatch):
-    """A rows-only (``no_oracle``) name with no declared oracle and an
-    unchanged code path must sort AFTER every tier-4 name: re-recording
-    it buys no new evidence, so it never displaces an oracle-checkable
-    re-record from the driver's 50-slot cap (round-9 verdict item 5)."""
+    """Rows-only (``no_oracle``) names with no declared oracle and an
+    unchanged code path sink to tier 5 so they don't displace
+    oracle-checkable re-records (round-9 verdict item 5) — EXCEPT the
+    single oldest, which drips back into tier 4 each round so the
+    'still executes' safety net survives at one slot per round
+    (round-10 review finding 2)."""
     e = _entry_module()
     from mitoscape_spark.queries import ORACLE, QUERIES
 
     oracle_names = [n for n in QUERIES if n in ORACLE]
-    rows_only = next(n for n in QUERIES if n not in ORACLE)
+    ro = [n for n in QUERIES if n not in ORACLE][:2]
     a, c = oracle_names[0], oracle_names[1]
     fake = {
         a: (5, {"err": None}),        # tier 4, old verdict
         c: (9, {"err": None}),        # tier 4, fresh verdict
-        rows_only: (3, {"err": "no_oracle"}),  # oldest of the three
+        ro[0]: (3, {"err": "no_oracle"}),  # oldest rows-only: the drip
+        ro[1]: (4, {"err": "no_oracle"}),  # second rows-only: tier 5
     }
     monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake))
     monkeypatch.setattr(e, "_rotation_pins", frozenset)
     ordered = list(e.queries())
-    # rows-only sinks below BOTH tier-4 names despite its older verdict
-    assert ordered.index(rows_only) > ordered.index(a)
-    assert ordered.index(rows_only) > ordered.index(c)
-    # tier 4 stays oldest-first internally
-    assert ordered.index(a) < ordered.index(c)
-    # ...and a gained oracle promotes a stale rows-only record to
-    # tier 2, ahead of everything tier-3+: simulate by marking an
+    # the oldest rows-only name is the drip: tier 4, oldest-first
+    assert ordered.index(ro[0]) < ordered.index(a) < ordered.index(c)
+    # every OTHER rows-only name sinks below all of tier 4
+    assert ordered.index(ro[1]) > ordered.index(c)
+    # a gained oracle promotes a stale rows-only record to tier 2,
+    # ahead of everything tier-3+: simulate by marking an
     # ORACLE-declaring name's last verdict as no_oracle
     fake2 = dict(fake)
     fake2[a] = (5, {"err": "no_oracle"})
     monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake2))
     ordered2 = list(e.queries())
     assert ordered2.index(a) < ordered2.index(c)
-    assert ordered2.index(a) < ordered2.index(rows_only)
+    assert ordered2.index(a) < ordered2.index(ro[1])
 
 
 def test_ubiquitous_drops_are_adjudicated_in_coverage():
@@ -225,13 +227,22 @@ def test_ubiquitous_drops_are_adjudicated_in_coverage():
     dropped = explain.get("__ubiquitous_dropped__")
     if not dropped:
         return  # nothing ubiquitous changed — nothing to adjudicate
-    coverage = open(os.path.join("/root/repo", "COVERAGE.md")).read()
-    missing = [d for d in dropped.split(", ") if d not in coverage]
+    root = R._repo_root()
+    coverage = open(os.path.join(root, "COVERAGE.md")).read()
+    # content-hashed token, not a bare substring: a LATER change to an
+    # already-adjudicated entry mints a new token and re-fails the gate
+    # (round-10 review finding 1 — stale adjudications must not satisfy)
+    missing = [
+        tok
+        for d in dropped.split(", ")
+        for tok in [R.adjudication_token(root, d)]
+        if tok not in coverage
+    ]
     assert not missing, (
         f"ubiquitous path entries changed since their consumers' last "
-        f"driver verdicts but are not adjudicated in COVERAGE.md: "
-        f"{missing} — add an adjudication line (benign / hand-pinned) "
-        f"naming each entry verbatim"
+        f"driver verdicts but are not adjudicated in COVERAGE.md: add "
+        f"an adjudication line (benign / hand-pinned) containing each "
+        f"token verbatim: {missing}"
     )
 
 

@@ -72,8 +72,7 @@ def test_ext_scale_probe_corpus_is_isomorphic(spark, tmp_path, monkeypatch):
     docs0 = pq.read_table(f"{src}/documents.parquet").to_pydict()
     docs = {
         r["doc_id"]: r
-        for b in pq.ParquetDataset(f"{out}/documents.parquet").read().to_pylist()
-        for r in [b]
+        for r in pq.ParquetDataset(f"{out}/documents.parquet").read().to_pylist()
     }
     n = len(docs0["doc_id"])
     assert len(docs) == 2 * n

@@ -146,6 +146,8 @@ def _synthesize(spark, factor: int, out_dir: str, tables: set[str]) -> None:
         # reuse the qseries corpus when it exists (same derivation)
         q_dir = os.path.join(_OUT, f"q{factor}x", "lineitem.parquet")
         dst = os.path.join(out_dir, "lineitem.parquet")
+        if os.path.islink(dst) and not os.path.exists(dst):
+            os.unlink(dst)  # dangling link from a deleted qseries run
         if os.path.exists(q_dir) and not os.path.exists(dst):
             os.symlink(q_dir, dst)
             print("  lineitem: reusing qseries corpus", file=sys.stderr)
@@ -188,6 +190,8 @@ def main() -> int:
     names = list(_PROBE_QUERIES)
     if args.queries:
         names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        if not names:
+            ap.error("--queries named no queries")
         unknown = set(names) - set(_PROBE_QUERIES)
         if unknown:
             ap.error(f"not in the probe set: {sorted(unknown)}")

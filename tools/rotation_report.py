@@ -35,6 +35,14 @@ def main() -> int:
     ordered = list(entry.queries())
     full = entry._verdict_history()
 
+    pins_all = derived | entry._ROTATION_PINS
+    tier5 = {
+        n
+        for n, (rnd, res) in full.items()
+        if res.get("err") == "no_oracle" and n not in ORACLE and n not in pins_all
+    }
+    drip = min(tier5, key=lambda n: (full[n][0], n)) if tier5 else None
+
     def tier(name: str) -> int:
         if name not in full:
             return 0
@@ -44,10 +52,10 @@ def main() -> int:
             return 1
         if err == "no_oracle" and name in ORACLE:
             return 2
-        if name in derived or name in entry._ROTATION_PINS:
+        if name in pins_all:
             return 3
-        if err == "no_oracle" and name not in ORACLE:
-            return 5  # unchanged rows-only: re-record buys nothing
+        if name in tier5 and name != drip:
+            return 5  # unchanged rows-only: drip-fed, one per round
         return 4
 
     tiers = Counter(tier(n) for n in ordered)
@@ -64,6 +72,15 @@ def main() -> int:
             "paths — dependents re-check only at tier-4 cap-rate; "
             f"hand-pin a broad re-check if semantic): {dropped}"
         )
+        from mitoscape_spark.rotation import _repo_root, adjudication_token
+
+        root = _repo_root()
+        print(
+            "   adjudicate in COVERAGE.md (content-hashed tokens — the "
+            "test gate requires each, verbatim):"
+        )
+        for d in dropped.split(", "):
+            print(f"     {adjudication_token(root, d)}")
     byround = Counter(latest.get(n) for n in derived)
     print(f"pins by latest-verdict round: {dict(sorted(byround.items()))}\n")
     print(f"--- driver slice (first {args.cap}) ---")
