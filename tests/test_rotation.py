@@ -246,6 +246,29 @@ def test_ubiquitous_drops_are_adjudicated_in_coverage():
     )
 
 
+def test_adjudication_token_shape_and_sentinel():
+    """Tokens are ``rel::key@sha12`` over the entry's CURRENT ast dump
+    (so a content change mints a new token); unknown/removed entries
+    hash a deterministic sentinel instead of crashing."""
+    import hashlib
+
+    root = R._repo_root()
+    tok = R.adjudication_token(root, "mitoscape_spark/catalog.py::load_table")
+    name, _, digest = tok.partition("@")
+    assert name == "mitoscape_spark/catalog.py::load_table"
+    assert len(digest) == 12 and int(digest, 16) >= 0
+    # stable across calls (pure function of worktree content)
+    assert tok == R.adjudication_token(
+        root, "mitoscape_spark/catalog.py::load_table"
+    )
+    gone = R.adjudication_token(
+        root, "mitoscape_spark/catalog.py::no_such_entry"
+    )
+    assert gone.endswith(
+        "@" + hashlib.sha256(b"<removed>").hexdigest()[:12]
+    )
+
+
 def test_dangling_hand_pin_fails_loudly():
     e = _entry_module()
     saved = e._ROTATION_PINS
