@@ -125,6 +125,13 @@ def _verdict_history(here: str | None = None) -> dict[str, tuple[int, dict]]:
 # every pin; the list itself was then deleted (round-9 verdict item 3).
 _ROTATION_PINS: frozenset[str] = frozenset()
 
+# Tier-5 staleness ceiling (round-10 verdict item 1): a rows-only name
+# whose latest driver verdict is this many rounds (or more) behind the
+# newest round in the history is promoted into tier 4 regardless of the
+# one-per-round drip, so no record — oracle or rows-only — can age past
+# the tier-4 freshness ledger indefinitely.
+_TIER5_MAX_LAG = 5
+
 
 def _rotation_pins() -> frozenset[str]:
     """Union of hand overrides and the mechanically derived stale set;
@@ -203,23 +210,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          is a DRIP-FEED, not a freezer: each round the single
          oldest-verdict tier-5 name is promoted back into tier 4's
          oldest-first rotation (round-10 review finding 2; ~12 such
-         names → each re-executed roughly once per dozen rounds). A
-         code change (tier 3 pin) or a gained oracle (tier 2)
-         promotes immediately regardless.
+         names → each re-executed roughly once per dozen rounds),
+         PLUS every tier-5 name whose verdict has fallen
+         ``_TIER5_MAX_LAG`` or more rounds behind the latest driver
+         round (round-10 verdict item 1: the one-per-round drip alone
+         gives a ~12-round worst-case lag, so rows-only names were the
+         only records that could outlive the tier-4 freshness ledger —
+         the ceiling bounds EVERY name's staleness at cap-irrelevant
+         cost, ~16 tier-5 names / 5 rounds ≈ 3 slots per round in
+         steady state). A code change (tier 3 pin) or a gained oracle
+         (tier 2) promotes immediately regardless.
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 
     latest = _verdict_history()
     pins = _rotation_pins()
 
+    # intersect with QUERIES: a name removed/renamed after recording a
+    # no_oracle verdict would otherwise become a permanent min-key drip
+    # (its round never advances), silently disabling the drip-feed for
+    # every REAL tier-5 name (round-10 advice item 1)
     tier5 = {
         name
         for name, (rnd, res) in latest.items()
-        if res.get("err") == "no_oracle"
+        if name in QUERIES
+        and res.get("err") == "no_oracle"
         and name not in ORACLE
         and name not in pins
     }
-    drip = min(tier5, key=lambda n: (latest[n][0], n)) if tier5 else None
+    latest_round = max((rnd for rnd, _res in latest.values()), default=0)
+    overdue = {
+        n for n in tier5 if latest_round - latest[n][0] >= _TIER5_MAX_LAG
+    }
+    drip_pool = tier5 - overdue
+    drip = (
+        min(drip_pool, key=lambda n: (latest[n][0], n)) if drip_pool else None
+    )
+    promoted = overdue | ({drip} if drip else set())
 
     def order_key(name: str) -> tuple[int, int, str]:
         if name not in latest:
@@ -232,7 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (2, rnd, name)
         if name in pins:
             return (3, rnd, name)
-        if name in tier5 and name != drip:
+        if name in tier5 and name not in promoted:
             return (5, rnd, name)
         return (4, rnd, name)
 

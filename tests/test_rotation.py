@@ -184,11 +184,14 @@ def test_rows_only_unchanged_names_sink_to_tier5(monkeypatch):
     oracle_names = [n for n in QUERIES if n in ORACLE]
     ro = [n for n in QUERIES if n not in ORACLE][:2]
     a, c = oracle_names[0], oracle_names[1]
+    # rounds chosen INSIDE the staleness ceiling (lag < _TIER5_MAX_LAG
+    # vs latest round 9) so this test isolates the one-per-round drip;
+    # the ceiling has its own test below
     fake = {
-        a: (5, {"err": None}),        # tier 4, old verdict
+        a: (7, {"err": None}),        # tier 4, old verdict
         c: (9, {"err": None}),        # tier 4, fresh verdict
-        ro[0]: (3, {"err": "no_oracle"}),  # oldest rows-only: the drip
-        ro[1]: (4, {"err": "no_oracle"}),  # second rows-only: tier 5
+        ro[0]: (5, {"err": "no_oracle"}),  # oldest rows-only: the drip
+        ro[1]: (6, {"err": "no_oracle"}),  # second rows-only: tier 5
     }
     monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake))
     monkeypatch.setattr(e, "_rotation_pins", frozenset)
@@ -201,11 +204,66 @@ def test_rows_only_unchanged_names_sink_to_tier5(monkeypatch):
     # ahead of everything tier-3+: simulate by marking an
     # ORACLE-declaring name's last verdict as no_oracle
     fake2 = dict(fake)
-    fake2[a] = (5, {"err": "no_oracle"})
+    fake2[a] = (7, {"err": "no_oracle"})
     monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake2))
     ordered2 = list(e.queries())
     assert ordered2.index(a) < ordered2.index(c)
     assert ordered2.index(a) < ordered2.index(ro[1])
+
+
+def test_tier5_ghost_name_cannot_hijack_the_drip(monkeypatch):
+    """Round-10 advice item 1: a no_oracle verdict for a name that was
+    later removed/renamed must not become the permanent min-key drip
+    (its round never advances, so no real tier-5 name would ever be
+    promoted). Ghosts are excluded from tier 5 entirely."""
+    e = _entry_module()
+    from mitoscape_spark.queries import ORACLE, QUERIES
+
+    ro = [n for n in QUERIES if n not in ORACLE][:2]
+    a = next(n for n in QUERIES if n in ORACLE)
+    fake = {
+        "ext_ghost_removed_query": (1, {"err": "no_oracle"}),  # ghost
+        a: (8, {"err": None}),
+        ro[0]: (8, {"err": "no_oracle"}),  # real tier-5: must be drip
+        ro[1]: (9, {"err": "no_oracle"}),
+    }
+    monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake))
+    monkeypatch.setattr(e, "_rotation_pins", frozenset)
+    ordered = list(e.queries())
+    # ro[0] is the drip (tier 4, r08) — it precedes ro[1] (tier 5)
+    # even though the ghost's r01 verdict is older than both; the
+    # ghost itself never appears (it is not a declared query)
+    assert ordered.index(ro[0]) < ordered.index(ro[1])
+    assert ordered.index(a) < ordered.index(ro[1])
+    assert "ext_ghost_removed_query" not in ordered
+
+
+def test_tier5_staleness_ceiling_promotes_overdue_names(monkeypatch):
+    """Round-10 verdict item 1: tier-5 names >= _TIER5_MAX_LAG rounds
+    behind the latest driver round are promoted into tier 4 in the
+    same round (not one-per-round dripped), so rows-only records can
+    never age past the tier-4 freshness ledger."""
+    e = _entry_module()
+    from mitoscape_spark.queries import ORACLE, QUERIES
+
+    ro = [n for n in QUERIES if n not in ORACLE][:3]
+    a = next(n for n in QUERIES if n in ORACLE)
+    lag = e._TIER5_MAX_LAG
+    fake = {
+        a: (10, {"err": None}),                       # sets latest_round
+        ro[0]: (10 - lag, {"err": "no_oracle"}),      # overdue: ceiling
+        ro[1]: (10 - lag, {"err": "no_oracle"}),      # overdue: ceiling
+        ro[2]: (10 - lag + 1, {"err": "no_oracle"}),  # fresh enough: drip
+    }
+    monkeypatch.setattr(e, "_verdict_history", lambda: dict(fake))
+    monkeypatch.setattr(e, "_rotation_pins", frozenset)
+    ordered = list(e.queries())
+    # BOTH overdue names promote (tier 4, oldest-first), and the drip
+    # still fires for the non-overdue pool — nothing stays tier 5 here
+    for n in ro:
+        assert ordered.index(n) < ordered.index(a), n
+    assert ordered.index(ro[0]) < ordered.index(ro[2])
+    assert ordered.index(ro[1]) < ordered.index(ro[2])
 
 
 def test_ubiquitous_drops_are_adjudicated_in_coverage():

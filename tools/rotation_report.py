@@ -36,12 +36,27 @@ def main() -> int:
     full = entry._verdict_history()
 
     pins_all = derived | entry._ROTATION_PINS
+    # same ghost-guard (n in QUERIES) + staleness-ceiling logic as
+    # __spark_entry__.queries() — this report must show the driver's
+    # actual slice (round-10 advice item 1 / verdict item 1)
     tier5 = {
         n
         for n, (rnd, res) in full.items()
-        if res.get("err") == "no_oracle" and n not in ORACLE and n not in pins_all
+        if n in QUERIES
+        and res.get("err") == "no_oracle"
+        and n not in ORACLE
+        and n not in pins_all
     }
-    drip = min(tier5, key=lambda n: (full[n][0], n)) if tier5 else None
+    latest_round = max((rnd for rnd, _res in full.values()), default=0)
+    overdue = {
+        n for n in tier5
+        if latest_round - full[n][0] >= entry._TIER5_MAX_LAG
+    }
+    drip_pool = tier5 - overdue
+    drip = (
+        min(drip_pool, key=lambda n: (full[n][0], n)) if drip_pool else None
+    )
+    promoted = overdue | ({drip} if drip else set())
 
     def tier(name: str) -> int:
         if name not in full:
@@ -54,8 +69,8 @@ def main() -> int:
             return 2
         if name in pins_all:
             return 3
-        if name in tier5 and name != drip:
-            return 5  # unchanged rows-only: drip-fed, one per round
+        if name in tier5 and name not in promoted:
+            return 5  # unchanged rows-only: drip-fed / ceiling-promoted
         return 4
 
     tiers = Counter(tier(n) for n in ordered)
@@ -63,6 +78,15 @@ def main() -> int:
     print(f"tiers: {dict(sorted(tiers.items()))}")
     print(f"derived pins: {len(derived)} (hand overrides: "
           f"{len(entry._ROTATION_PINS)})")
+    if promoted:
+        tag = {n: "ceiling" for n in overdue}
+        if drip:
+            tag[drip] = "drip"
+        print(
+            "tier-5 promotions this round: "
+            + ", ".join(f"{n} ({tag[n]}, r{full[n][0]:02d})"
+                        for n in sorted(promoted))
+        )
     dropped = explain.get("__ubiquitous_dropped__")
     if dropped:
         # round-9 review finding 4: the conscious-hand-pin signal must
