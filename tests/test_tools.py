@@ -107,6 +107,36 @@ def test_ext_scale_probe_corpus_is_isomorphic(spark, tmp_path, monkeypatch):
     assert any(abs(x + y) < 1e-12 and abs(x) > 0 for x, y in zip(a0, a1))
 
 
+def test_ext_scale_probe_rejects_aliasable_base_tokens(spark, tmp_path, monkeypatch):
+    """Round-10 advice item 2: a base token already ending in
+    ``_<digits>`` (e.g. 'foo_1') aliases a lower copy's suffixed form
+    ('foo' + '_1'), silently re-creating the cross-copy shingle overlap
+    the suffix scheme exists to prevent. _synthesize must refuse such a
+    corpus instead of measuring pair explosion."""
+    import ext_scale_probe as P
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    base = tmp_path / "bad_base"
+    base.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["clean tokens here", "this one has foo_1 inside"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": pa.array([17, 25], pa.int64()),
+            }
+        ),
+        base / "documents.parquet",
+    )
+    monkeypatch.setattr(P, "_BASE", str(base))
+    with pytest.raises(ValueError, match="_<digits>"):
+        P._synthesize(spark, 2, str(tmp_path / "out"), {"documents"})
+
+
 def test_spill_probe_corpus_derivation(tmp_path):
     """tools/spill_probe.py build_corpus: FACTOR perturbed copies with
     shifted ids, per-copy text suffix (copy 0 byte-identical), and a

@@ -62,6 +62,8 @@ _OUT = os.path.join(_REPO, ".scale_probe")
 
 # the 10 heaviest extension queries (round-9 verdict item 2), with the
 # tables each one reads (static: queries/extensions.py load_table calls)
+# + the embeddings-family two-decade additions (round-10 verdict item 4:
+# ext_dedup_embedding end-to-end and the IVF-pruned route)
 _PROBE_QUERIES = {
     "ext_dedup_near": ["documents"],
     "ext_substring_dedup": ["documents"],
@@ -71,6 +73,8 @@ _PROBE_QUERIES = {
     "ext_triangle_count": ["lineitem"],
     "ext_leakage_safe_split": ["documents"],
     "ext_knn_join": ["embeddings"],
+    "ext_knn_join_ivf": ["embeddings"],
+    "ext_dedup_embedding": ["embeddings"],
     "ext_boilerplate": ["documents"],
     "ext_containment": ["documents"],
 }
@@ -97,6 +101,23 @@ def _synthesize(spark, factor: int, out_dir: str, tables: set[str]) -> None:
 
     if "documents" in tables:
         docs = load_table(spark, _BASE, "documents")
+
+        # cross-copy token disjointness must be PROVABLE, not assumed
+        # (round-10 advice item 2): a base token already ending in
+        # ``_<digits>`` collides with a lower copy's suffixed form
+        # (base ``foo_1`` == copy-1's ``foo`` + ``_1``), creating
+        # cross-copy shingle overlap the isomorphism test can't see.
+        # The corpus generator never emits such tokens today — fail
+        # loudly if that ever changes rather than silently measuring
+        # pair explosion.
+        n_bad = docs.where(F.col("text").rlike(r"_\d+(\s|$)")).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} base documents contain tokens ending in "
+                "'_<digits>' — the per-copy suffix scheme would alias "
+                "them across copies; pick a delimiter outside the base "
+                "alphabet before probing"
+            )
 
         def doc_copy(k: int):
             if k == 0:
@@ -229,6 +250,11 @@ def main() -> int:
         fn = QUERIES[name]
         _time_query(fn, spark, _BASE, 1)  # warm plan shape + codegen
         t1 = _time_query(fn, spark, _BASE, args.rounds)
+        # symmetric warm at the big scale (round-10 advice item 3):
+        # without it the t10 timing's first round carries first-touch
+        # costs (file listing, plan compile against the bigger corpus)
+        # that bias exponents upward when --rounds is small
+        _time_query(fn, spark, big_dir, 1)
         t10 = _time_query(fn, spark, big_dir, args.rounds)
         exp = math.log(t10 / t1) / math.log(args.factor)
         results[name] = {
