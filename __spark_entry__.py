@@ -218,8 +218,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          only records that could outlive the tier-4 freshness ledger —
          the ceiling bounds EVERY name's staleness at cap-irrelevant
          cost, ~16 tier-5 names / 5 rounds ≈ 3 slots per round in
-         steady state). A code change (tier 3 pin) or a gained oracle
-         (tier 2) promotes immediately regardless.
+         steady state). NB a promotion competes in tier 4 at its OWN
+         verdict age — it never displaces strictly-older tier-4
+         records — so while the tier-4 backlog is older than the drip
+         name, the drip defers and is re-selected next round
+         (rotation_report.py tags each promotion IN-slice / outside
+         cap); the ceiling names are by construction among the oldest,
+         so they always land. A code change (tier 3 pin) or a gained
+         oracle (tier 2) promotes immediately regardless.
     """
     from mitoscape_spark.queries import ORACLE, QUERIES
 

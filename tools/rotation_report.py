@@ -82,10 +82,19 @@ def main() -> int:
         tag = {n: "ceiling" for n in overdue}
         if drip:
             tag[drip] = "drip"
+        # a promotion competes in tier 4 at its OWN verdict age
+        # (oldest-first is the whole point — it must not displace
+        # strictly-older records), so it can still fall outside the
+        # 50-slot cap when the tier-4 backlog is older; show which
+        # promotions actually land in the driver slice this round
+        slice50 = set(ordered[:50])
         print(
             "tier-5 promotions this round: "
-            + ", ".join(f"{n} ({tag[n]}, r{full[n][0]:02d})"
-                        for n in sorted(promoted))
+            + ", ".join(
+                f"{n} ({tag[n]}, r{full[n][0]:02d}, "
+                f"{'IN slice' if n in slice50 else 'outside cap — carries'})"
+                for n in sorted(promoted)
+            )
         )
     dropped = explain.get("__ubiquitous_dropped__")
     if dropped:
