@@ -137,6 +137,77 @@ def test_ext_scale_probe_rejects_aliasable_base_tokens(spark, tmp_path, monkeypa
         P._synthesize(spark, 2, str(tmp_path / "out"), {"documents"})
 
 
+def test_ext_scale_probe_flat_plan_matches_branch_derivation(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: _synthesize switched from a factor-branch unionByName
+    to a flat ``base CROSS JOIN range(factor)`` plan (O(1) plan size —
+    what unlocks the 1000x probe). The copy VALUES must be identical to
+    the old branch derivation: same xxhash64(k, j) sign bits, same
+    '_<k>' suffixes, same k*OFFSET id shifts. This test re-derives one
+    copy the old literal-k way and compares row sets exactly."""
+    import ext_scale_probe as P
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    monkeypatch.setattr(P, "_BASE", src)
+    out = str(tmp_path / "flat3x")
+    P._synthesize(spark, 3, out, {"documents", "embeddings"})
+
+    k = 2  # compare copy 2 (a non-trivial hash seed)
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{k}")
+    expect_docs = docs.select(
+        (F.col("doc_id") + k * P._OFFSET).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    ).collect()
+    got_docs = (
+        spark.read.parquet(f"{out}/documents.parquet")
+        .where(F.col("doc_id") >= k * P._OFFSET)
+        .collect()
+    )
+    assert sorted(map(tuple, got_docs)) == sorted(map(tuple, expect_docs))
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    flipped = F.transform(
+        "embedding",
+        lambda v, j: (
+            v
+            * F.when(
+                F.pmod(F.xxhash64(F.lit(k), j), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+        ).cast("float"),
+    )
+    expect_emb = emb.select(
+        (F.col("vec_id") + k * P._OFFSET).alias("vec_id"),
+        flipped.alias("embedding"),
+        "label",
+    ).collect()
+    got_emb = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .where(F.col("vec_id") >= k * P._OFFSET)
+        .collect()
+    )
+    key = lambda r: r.vec_id  # noqa: E731
+    for g, e in zip(sorted(got_emb, key=key), sorted(expect_emb, key=key)):
+        assert g.vec_id == e.vec_id and g.label == e.label
+        assert g.embedding == e.embedding  # exact float equality
+
+    # copy 0 passes through byte-identical (ids below the first offset)
+    base = pq.read_table(f"{src}/documents.parquet").to_pydict()
+    got0 = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{out}/documents.parquet").to_pylist()
+        if r["doc_id"] < P._OFFSET
+    }
+    assert got0 == dict(zip(base["doc_id"], base["text"]))
+
+
 def test_spill_probe_corpus_derivation(tmp_path):
     """tools/spill_probe.py build_corpus: FACTOR perturbed copies with
     shifted ids, per-copy text suffix (copy 0 byte-identical), and a

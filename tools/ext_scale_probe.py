@@ -38,6 +38,13 @@ disjoint slice of the original, per table family:
   (``l_orderkey/l_partkey/l_suppkey``), reusing its corpus directory
   when present so ext_triangle_count sees the same 10x graph.
 
+Copies are synthesized with a FLAT plan (``base CROSS JOIN
+range(factor)``, per-copy transforms as functions of the copy-index
+column) — plan size is O(1) in the factor, so three-decade corpora
+(``--factor 1000``) analyze and write fine where a factor-branch
+union would choke the analyzer. Values are identical to the branch
+derivation (test-pinned).
+
 Usage:
     python tools/ext_scale_probe.py [--factor 10] [--rounds 2]
         [--queries name1,name2,...] [--out-json /tmp/ext_scale.json]
@@ -90,14 +97,27 @@ def _synthesize(spark, factor: int, out_dir: str, tables: set[str]) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def copies(transform):
-        src_parts = [transform(0)]
-        for k in range(1, factor):
-            src_parts.append(transform(k))
-        out = src_parts[0]
-        for p in src_parts[1:]:
-            out = out.unionByName(p)
-        return out
+    # FLAT-PLAN copy derivation (round 11): the per-copy transforms are
+    # expressed as functions of a copy-index COLUMN over
+    # ``base CROSS JOIN range(factor)`` instead of a ``factor``-branch
+    # unionByName — a 1000-branch union chokes the analyzer (plan size
+    # grows with factor), the flat plan is O(1) regardless of factor,
+    # which is what unlocks the three-decade (1000x) probe. Copy values
+    # are IDENTICAL to the old branch derivation: the same per-(k, j)
+    # xxhash64 sign bits, the same ``_<k>`` token suffixes, the same
+    # k*_OFFSET id shifts — the isomorphism test pins the output, not
+    # the plan shape.
+    def copy_index(n_parts: int = 64):
+        # streamed side of a BroadcastNestedLoopJoin against the
+        # (small, broadcast) base table: n_parts tasks synthesize the
+        # corpus in parallel even though the base parquet is a single
+        # row group. Cast to int so xxhash64(k, j) hashes the same
+        # bytes the old branch path hashed with F.lit(int).
+        return (
+            spark.range(factor)
+            .repartition(min(n_parts, factor))
+            .select(F.col("id").cast("int").alias("__k"))
+        )
 
     if "documents" in tables:
         docs = load_table(spark, _BASE, "documents")
@@ -119,47 +139,56 @@ def _synthesize(spark, factor: int, out_dir: str, tables: set[str]) -> None:
                 "alphabet before probing"
             )
 
-        def doc_copy(k: int):
-            if k == 0:
-                return docs
-            text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{k}")
-            return docs.select(
-                (F.col("doc_id") + k * _OFFSET).alias("doc_id"),
+        k = F.col("__k")
+        suffixed = F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1_"), k.cast("string")),
+        )
+        text = F.when(k == 0, F.col("text")).otherwise(suffixed)
+        (
+            copy_index()
+            .crossJoin(F.broadcast(docs))
+            .select(
+                (F.col("doc_id") + k.cast("long") * _OFFSET).alias("doc_id"),
                 text.alias("text"),
                 "lang",
                 "source",
-                F.length(text).cast("long").alias("n_chars"),
+                F.when(k == 0, F.col("n_chars"))
+                .otherwise(F.length(text).cast("long"))
+                .alias("n_chars"),
             )
-
-        copies(doc_copy).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "documents.parquet")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents.parquet"))
         )
         print(f"  documents: x{factor} written", file=sys.stderr)
 
     if "embeddings" in tables:
         emb = load_table(spark, _BASE, "embeddings")
 
-        def emb_copy(k: int):
-            if k == 0:
-                return emb
-            flipped = F.transform(
-                "embedding",
-                lambda v, j: (
-                    v
-                    * F.when(
-                        F.pmod(F.xxhash64(F.lit(k), j), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                ).cast("float"),
-            )
-            return emb.select(
-                (F.col("vec_id") + k * _OFFSET).alias("vec_id"),
-                flipped.alias("embedding"),
+        k = F.col("__k")
+        flipped = F.transform(
+            "embedding",
+            lambda v, j: (
+                v
+                * F.when(
+                    F.pmod(F.xxhash64(k, j), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+            ).cast("float"),
+        )
+        (
+            copy_index()
+            .crossJoin(F.broadcast(emb))
+            .select(
+                (F.col("vec_id") + k.cast("long") * _OFFSET).alias("vec_id"),
+                F.when(k == 0, F.col("embedding"))
+                .otherwise(flipped)
+                .alias("embedding"),
                 "label",
             )
-
-        copies(emb_copy).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "embeddings.parquet")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings.parquet"))
         )
         print(f"  embeddings: x{factor} written", file=sys.stderr)
 
@@ -174,14 +203,20 @@ def _synthesize(spark, factor: int, out_dir: str, tables: set[str]) -> None:
             print("  lineitem: reusing qseries corpus", file=sys.stderr)
         elif not os.path.exists(dst):
             li = load_table(spark, _BASE, "lineitem")
-
-            def li_copy(k: int):
-                out = li
-                for col in _LINEITEM_KEYS:
-                    out = out.withColumn(col, F.col(col) + k * _OFFSET)
-                return out
-
-            copies(li_copy).write.mode("overwrite").parquet(dst)
+            # lineitem is the FACT side — stream it, broadcast the copy
+            # index (inverse of the docs/embeddings shape above)
+            out = li.crossJoin(
+                F.broadcast(
+                    spark.range(factor).select(
+                        F.col("id").cast("int").alias("__k")
+                    )
+                )
+            )
+            for col in _LINEITEM_KEYS:
+                out = out.withColumn(
+                    col, F.col(col) + F.col("__k").cast("long") * _OFFSET
+                )
+            out.drop("__k").write.mode("overwrite").parquet(dst)
             print(f"  lineitem: x{factor} written", file=sys.stderr)
 
 
