@@ -378,6 +378,7 @@ def knn_join_ivf(
     index: "IVFFlatIndex | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_block_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(id, nbr, cos): approximate kNN join via an IVF coarse
     quantizer — the 100 TB path where the exact ``knn_join``'s O(n²·d)
@@ -393,7 +394,7 @@ def knn_join_ivf(
     Pass a pre-``fit`` index to reuse a quantizer (or its persisted
     form via ``save_ivf``/``load_ivf``); default fits on the corpus.
 
-    Per-cell work runs as ONE numpy GEMM inside ``applyInPandas``
+    Per-cell work runs as numpy GEMMs inside ``applyInPandas``
     (members × probing queries), emitting id-only top-k candidates
     with the same rounding-margin band as the exact ``knn_join`` —
     a first cut scored the 2M candidate rows through the interpreted
@@ -401,6 +402,16 @@ def knn_join_ivf(
     sf0.1; the GEMM form does the identical math in ~2 s and ships no
     vectors out of the cell task. Only the ~n·k surviving candidates
     re-score JVM-side for the deterministic final ranking.
+
+    The score matrix is BLOCKED over query rows so each chunk stays
+    ~``score_block_bytes`` (64 MB default, same convention as the
+    blocked exact paths in operators/dedup.py): top-k-per-query is
+    row-independent, so chunking is exact. Without the bound, a
+    mis-sized quantizer (constant ``n_centroids`` on a grown corpus)
+    materializes a |probing queries| × |cell| float64 matrix — ~20 GB
+    and a kernel OOM kill at the 100× probe scale (PERF.md §26); the
+    bound caps worker memory for ANY cell size, leaving only time to
+    grow with the documented ~n²·p/C flop contract.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
@@ -447,17 +458,28 @@ def knn_join_ivf(
         mm = np.array([np.asarray(x) for x in ms["v"]])
         mq = mq / np.maximum(np.linalg.norm(mq, axis=1, keepdims=True), 1e-12)
         mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
-        cos = mq @ mm.T
-        cos[qid[:, None] == mid[None, :]] = np.nan  # no self-match
-        n_valid = (~np.isnan(cos)).sum(axis=1)
-        kk = np.minimum(k, n_valid)
-        desc = -np.sort(-np.nan_to_num(cos, nan=-np.inf), axis=1)
-        keep_rows = kk > 0
-        kth = np.full(len(qid), np.inf)
-        kth[keep_rows] = desc[keep_rows, kk[keep_rows] - 1]
-        cut = np.round(kth, 6) - 5.01e-7
-        ia, ib = np.nonzero(cos >= cut[:, None])
-        return pd.DataFrame({"id": qid[ia], "nbr": mid[ib]})
+        # blocked over query rows: each chunk's score matrix is
+        # ~score_block_bytes; per-query top-k is row-independent so the
+        # chunked result is bit-identical to the one-shot GEMM
+        step = max(1, score_block_bytes // (8 * len(mid)))
+        out_q, out_n = [], []
+        for lo in range(0, len(qid), step):
+            qidc = qid[lo:lo + step]
+            cos = mq[lo:lo + step] @ mm.T
+            cos[qidc[:, None] == mid[None, :]] = np.nan  # no self-match
+            n_valid = (~np.isnan(cos)).sum(axis=1)
+            kk = np.minimum(k, n_valid)
+            desc = -np.sort(-np.nan_to_num(cos, nan=-np.inf), axis=1)
+            keep_rows = kk > 0
+            kth = np.full(len(qidc), np.inf)
+            kth[keep_rows] = desc[keep_rows, kk[keep_rows] - 1]
+            cut = np.round(kth, 6) - 5.01e-7
+            ia, ib = np.nonzero(cos >= cut[:, None])
+            out_q.append(qidc[ia])
+            out_n.append(mid[ib])
+        return pd.DataFrame(
+            {"id": np.concatenate(out_q), "nbr": np.concatenate(out_n)}
+        )
 
     candidates = (
         members.unionByName(queries)

@@ -1500,6 +1500,35 @@ def test_knn_join_ivf_recall_and_full_probe_exactness(spark, emb):
     assert hits / total >= 0.6, f"recall {hits/total:.2f}"
 
 
+def test_knn_join_ivf_score_blocking_is_exact(spark, emb):
+    """A pathologically small score_block_bytes forces the per-cell
+    GEMM through many query-row chunks; the result must be
+    byte-identical to the effectively-unblocked default (top-k-per-
+    query is row-independent, so chunking may not change a single
+    pair). Guards the round-11 bounded-memory fix: without blocking, a
+    mis-sized quantizer (constant n_centroids on a grown corpus)
+    materializes a |queries|x|cell| float64 matrix — 20 GB and a
+    kernel OOM at the 100x probe scale (PERF.md §26)."""
+    from mitoscape_spark.operators.similarity import (
+        IVFFlatIndex,
+        knn_join_ivf,
+    )
+
+    idx = IVFFlatIndex(n_centroids=8, n_probe=4).fit(emb)
+    one_shot = sorted(
+        (r.id, r.nbr, r.cos)
+        for r in knn_join_ivf(emb, k=5, index=idx).collect()
+    )
+    # 1 KB budget => chunks of max(1, 1024 // (8*|cell|)) = 1 query row
+    blocked = sorted(
+        (r.id, r.nbr, r.cos)
+        for r in knn_join_ivf(
+            emb, k=5, index=idx, score_block_bytes=1024
+        ).collect()
+    )
+    assert blocked == one_shot
+
+
 def test_incremental_embedding_pairs_equals_from_scratch_delta(spark, emb):
     """incremental_embedding_pairs(corpus, new) must equal
     embedding_near_duplicates(corpus ∪ new) − (corpus-only pairs) —
