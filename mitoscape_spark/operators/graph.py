@@ -18,6 +18,87 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_pagerank_ranks(
+    e: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    damping: float,
+    max_iter: int,
+    tol: float,
+) -> DataFrame:
+    """Bounded SMALL-GRAPH finisher for ``pagerank``: collect the
+    (already distinct, already checkpointed) edge list and run the
+    power iteration in numpy on the driver, returning the same
+    (id, rank) contract as the distributed loop (unrounded — the
+    caller applies the shared ROUND(8), so half-up rounding semantics
+    stay identical on both paths).
+
+    Why (round-11 optimization; same doctrine as the CC finisher,
+    PERF.md §23/§24): each distributed round costs two joins + a
+    grouped sum + a lineage-truncating checkpoint — ~0.27 s/round of
+    pure driver/AQE scheduling floor on graphs any single node solves
+    in microseconds. ext_pagerank's fixed 30 rounds over a ~6-node
+    event-type transition graph measured 8.49 s at sf0.1, ~85% of it
+    this floor. The caller gates on the ALREADY NEEDED distinct edge
+    count with the same measured ~300 B/edge Python-peak byte model as
+    ``connected_components``; above the bound the distributed loop
+    runs unchanged.
+
+    Float expression shapes mirror the distributed path exactly:
+    per-edge contribution ``rank/deg`` (float64 division), new rank
+    ``(1-d)/n + d*(inflow + dangling/n)``. Summation order inside
+    ``inflow`` differs (bincount vs partial hash agg), which moves
+    results by ulps only — absorbed by the shared ROUND(8) exactly as
+    the cross-engine DuckDB oracle comparison already absorbs
+    engine-order differences.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    id_type = nodes.schema["id"].dataType
+    ids = nodes.toPandas()["id"].tolist()
+    idx = {v: i for i, v in enumerate(ids)}
+    epdf = e.toPandas()
+    m = len(epdf)
+    src_i = np.fromiter(
+        (idx[v] for v in epdf["s"].tolist()), dtype=np.int64, count=m
+    )
+    dst_i = np.fromiter(
+        (idx[v] for v in epdf["d"].tolist()), dtype=np.int64, count=m
+    )
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    dangling_mask = deg == 0.0
+    has_dangling = bool(dangling_mask.any())
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        inflow = np.bincount(
+            dst_i, weights=ranks[src_i] / deg[src_i], minlength=n
+        )
+        dangling = (
+            float(ranks[dangling_mask].sum()) if has_dangling else 0.0
+        )
+        new_ranks = (1.0 - damping) / n + damping * (
+            inflow + dangling / n
+        )
+        if tol > 0:
+            delta = float(np.abs(ranks - new_ranks).sum())
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("rank", T.DoubleType(), True),
+        ]
+    )
+    out = pd.DataFrame({"id": ids, "rank": ranks})
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def pagerank(
@@ -27,6 +108,7 @@ def pagerank(
     tol: float = 1e-6,
     src: str = "src",
     dst: str = "dst",
+    driver_finish_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, rank) for every node appearing in ``edges`` (directed)."""
     # materialize the loop-invariant state ONCE: without this every
@@ -46,6 +128,45 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    if driver_finish_max_edges > 0:
+        # bounded driver finisher (round 11; the CC-finisher doctrine —
+        # see _driver_pagerank_ranks). The probe reads the ALREADY
+        # materialized checkpoint; the byte model is the measured
+        # Python-process peak from connected_components (round 10):
+        # ~300 B/edge for integral ids, plus character data ×4 for
+        # strings. Pass driver_finish_max_edges=0 to force the
+        # distributed loop (tests/probes).
+        from mitoscape_spark.operators.dedup import _INTEGRAL_TYPES
+
+        integral = isinstance(
+            e.schema["s"].dataType, _INTEGRAL_TYPES
+        ) and isinstance(e.schema["d"].dataType, _INTEGRAL_TYPES)
+        per_edge_overhead = F.count(F.lit(1)) * F.lit(300)
+        payload = (
+            per_edge_overhead
+            if integral
+            else per_edge_overhead
+            + F.coalesce(
+                F.sum(
+                    (
+                        F.octet_length(F.col("s").cast("string"))
+                        + F.octet_length(F.col("d").cast("string"))
+                    )
+                    * F.lit(4)
+                ),
+                F.lit(0),
+            )
+        )
+        probe = e.agg(
+            F.count(F.lit(1)).alias("n"), payload.alias("b")
+        ).first()
+        if (
+            probe["n"] <= driver_finish_max_edges
+            and probe["b"] <= 640 * 1024 * 1024
+        ):
+            return _driver_pagerank_ranks(
+                e, nodes, n, damping, max_iter, tol
+            ).select("id", F.round("rank", 8).alias("rank"))
     out_deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))

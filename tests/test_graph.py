@@ -55,6 +55,43 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     assert all(abs(r - 1 / 3) < 1e-6 for r in got)
 
 
+def test_pagerank_driver_finisher_matches_distributed(spark):
+    """Round-11 routing: small edge sets take the bounded numpy driver
+    finisher; driver_finish_max_edges=0 forces the distributed star of
+    joins. Both paths must agree to the shared ROUND(8) contract on a
+    seeded random graph with dangling nodes, string ids, duplicate
+    input edges, and a fixed-iteration (tol=0) run — the exact
+    configuration ext_pagerank oracles."""
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"t{i}" for i in range(17)]
+    edge_list = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ] + [("t0", "t1")] * 3  # duplicates: the distinct must dedupe both paths
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    fast = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, max_iter=25, tol=0.0).collect()
+    }
+    slow = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            df, max_iter=25, tol=0.0, driver_finish_max_edges=0
+        ).collect()
+    }
+    assert fast == slow
+    # and with convergence-mode tol (early break must agree too)
+    fast_tol = {
+        r["id"]: r["rank"] for r in pagerank(df, max_iter=60).collect()
+    }
+    slow_tol = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, max_iter=60, driver_finish_max_edges=0).collect()
+    }
+    assert fast_tol == slow_tol
+
+
 # ---------------------------------------------------------- triangles
 from itertools import combinations
 
