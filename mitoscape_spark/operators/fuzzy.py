@@ -53,7 +53,19 @@ def fuzzy_pairs(
     excludes exact duplicates — exact dedup is a hash groupBy, not an
     edit-distance problem).
 
-    Three scale levers, all semantics-preserving:
+    Four scale levers, all semantics-preserving:
+    - **text-level kernel** (round 11): edit distance is a function of
+      the TEXTS, not the ids, so the DP runs once per distinct
+      (block, text) pair and the id pairs are expanded back by two
+      equi-joins afterwards. On corpora with repeated values this is
+      the difference between O(distinct²) and O(rows²) DP calls
+      (measured at sf0.1: 64 distinct part names over 20k rows —
+      25.0M banded DPs collapsed to ≤2k, ext_fuzzy_match 4.6 s →
+      sub-second kernel + the irreducible 1.5M-row pair emission);
+      with unique texts it degenerates to exactly the old shape plus
+      one cheap distinct. The expansion is joins, not per-name id
+      arrays, so a hot text value is an AQE-splittable hot join key
+      rather than an unsplittable giant row (guide §2.5).
     - **salted self-join**: a low-cardinality blocking key caps
       parallelism at #blocks (measured: 8 blocks pinned the whole job
       to 8 tasks, 121 s). The probe side keeps one salt per row, the
@@ -71,6 +83,11 @@ def fuzzy_pairs(
             "blk"
         ),
     )
+    # distinct (block, text) values — the DP kernel's true domain.
+    # Pinned (§20 doctrine: reduced form consumed ≥2 times — the
+    # partition-count probe plus both self-join sides) so the corpus
+    # scan + distinct shuffle run once.
+    uniq = keyed.select("blk", "txt").distinct().localCheckpoint(eager=False)
     # the probe side must actually be distributed: a dimension-sized
     # input arrives as one scan task, and with a broadcast build side
     # the join inherits that single partition — repartition on the
@@ -89,17 +106,17 @@ def fuzzy_pairs(
     # max(user, conf) — which only ever ADDS parallelism.)
     if n_partitions is None:
         n_partitions = fuzzy_partitions(
-            keyed.select("blk").distinct().count(), n_salts
+            uniq.select("blk").distinct().count(), n_salts
         )
     a = (
-        keyed.withColumn(
-            "salt", F.pmod(F.hash("id"), F.lit(n_salts)).cast("int")
+        uniq.withColumn(
+            "salt", F.pmod(F.hash("txt"), F.lit(n_salts)).cast("int")
         )
         .repartition(n_partitions, "blk", "salt")
         .alias("a")
     )
     b = (
-        keyed.withColumn(
+        uniq.withColumn(
             "salt",
             F.explode(
                 F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")
@@ -108,23 +125,63 @@ def fuzzy_pairs(
         .repartition(n_partitions, "blk", "salt")
         .alias("b")
     )
-    return (
+    # strict text ordering canonicalizes the unordered text pair (the
+    # id-level a.id < b.id canonicalization moves to least/greatest in
+    # the expansion below); same-text id pairs have dist 0 and are the
+    # min_distance == 0 branch at the end.
+    name_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.txt") < F.col("b.txt"))
             & (
                 F.abs(F.length("a.txt") - F.length("b.txt"))
                 <= max_distance
             ),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.blk").alias("blk"),
+            F.col("a.txt").alias("txt_a"),
+            F.col("b.txt").alias("txt_b"),
             F.levenshtein("a.txt", "b.txt", max_distance + 1).alias(
                 "dist"
             ),
         )
-        .where(F.col("dist").between(min_distance, max_distance))
+        .where(F.col("dist").between(max(min_distance, 1), max_distance))
     )
+    ia = keyed.select(
+        "blk", F.col("txt").alias("txt_a"), F.col("id").alias("_ida")
+    )
+    ib = keyed.select(
+        "blk", F.col("txt").alias("txt_b"), F.col("id").alias("_idb")
+    )
+    out = (
+        name_pairs.join(ia, ["blk", "txt_a"])
+        .join(ib, ["blk", "txt_b"])
+        # a duplicate id carried under both texts must not self-pair
+        # (the old id-level join excluded it via a.id < b.id)
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist",
+        )
+    )
+    if min_distance == 0:
+        x, y = keyed.alias("x"), keyed.alias("y")
+        same = (
+            x.join(
+                y,
+                (F.col("x.blk") == F.col("y.blk"))
+                & (F.col("x.txt") == F.col("y.txt"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.lit(0).alias("dist"),
+            )
+        )
+        out = out.unionAll(same)
+    return out

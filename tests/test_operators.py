@@ -796,6 +796,60 @@ def test_fuzzy_pairs_blocking_and_bounds(spark):
     assert (1, 5) not in got  # exact duplicates excluded
 
 
+def test_fuzzy_pairs_text_level_kernel_matches_naive(spark):
+    """Round-11 rewrite: the DP runs per distinct (block, text) pair
+    and id pairs are expanded back by joins. On a corpus with heavy
+    text duplication the result must equal the naive id-level blocked
+    self-join exactly — including every id pair of every duplicated
+    text — and min_distance=0 must additionally emit the same-text
+    id pairs the default excludes."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.fuzzy import fuzzy_pairs
+
+    names = ["red widget", "red widgets", "red gadget", "red wadget"]
+    rows = [(i, names[i % 4]) for i in range(40)]  # 10 ids per name
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def naive(min_d):
+        out = set()
+        for (i, na), (j, nb) in itertools.combinations(rows, 2):
+            if na.split(" ")[0] != nb.split(" ")[0]:
+                continue
+            d = _levenshtein(na, nb)
+            if min_d <= d <= 3 and i != j:
+                out.add((min(i, j), max(i, j), d))
+        return out
+
+    def _levenshtein(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    }
+    assert got == naive(1)
+    got0 = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", min_distance=0).collect()
+    }
+    assert got0 == naive(0)
+
+
 # ---- randomized model tests (seeded; Spark called once per config,
 # not once per example — hypothesis driving hundreds of rapid Spark
 # jobs destabilizes the shared local JVM) -----------------------------
