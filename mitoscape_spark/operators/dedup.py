@@ -1246,9 +1246,9 @@ def sparse_near_duplicates(
 def _shingle_id_tables(docs: DataFrame, shingle_size: int):
     """Shared frozen shingle→long-id dictionary pipeline for the
     prefix-filtered set-similarity paths (Jaccard + containment):
-    returns ``(shs, ordered, sizes, sets)`` where shs = (doc_id, _sid,
-    _df) postings, ordered adds the rare-first ``_pos`` per doc,
-    sizes = per-doc set size, sets = per-doc sorted ``_sid`` arrays.
+    returns ``(shs, ordered, sets)`` where shs = (doc_id, _sid,
+    _df) postings, ordered adds the rare-first ``_pos`` AND the per-doc
+    set size ``n``, sets = per-doc sorted ``_sid`` arrays.
 
     The dictionary assigns ids with ``monotonically_increasing_id`` —
     nondeterministic across recomputation — so the freq table is
@@ -1260,6 +1260,20 @@ def _shingle_id_tables(docs: DataFrame, shingle_size: int):
     eager materialization is one tiny job over the distinct-shingle
     table and removes the race outright; the downstream tables are
     pure functions of the frozen dictionary and stay lazy.
+
+    Round-11 layout (guide §2.4 — share one exchange): the set size
+    rides the SAME doc_id window exchange that assigns ``_pos``
+    (a count over the unordered partition frame), and ``sets`` is
+    aggregated FROM ``ordered``, whose window output is already
+    hash-partitioned on doc_id — so the old separate ``sizes``
+    aggregation, its joins back onto the postings, and the separate
+    ``sets`` exchange disappear. Measured at sf0.1: ext_containment's
+    plan drops 8 → 6 exchanges; wall-clock is a wash at this scale
+    (interleaved A/B 2.5 s both — the removed shuffles carried only
+    ~250k-row postings), so this is a shuffle-count change for the
+    100 TB shape, where every removed postings exchange is a full
+    corpus-shingle pass over the wire. Output identical
+    (prefix-vs-full-index equivalence tests + oracle hash).
     """
     from pyspark.sql import Window
 
@@ -1277,19 +1291,24 @@ def _shingle_id_tables(docs: DataFrame, shingle_size: int):
         .select("doc_id", "_sid", "_df")
         .localCheckpoint(eager=False)
     )
-    ordered = shs.withColumn(
-        "_pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "_sid")
-        ),
+    by_doc = Window.partitionBy("doc_id")
+    ordered = (
+        shs.withColumn(
+            "_pos", F.row_number().over(by_doc.orderBy("_df", "_sid"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(by_doc))
+        # consumed by the prefix filter AND (containment) the full
+        # postings side — pin so the window pass runs once (§20)
+        .localCheckpoint(eager=False)
     )
-    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # sets feed two join branches (doc_a side, doc_b side)
-    sets = shs.groupBy("doc_id").agg(
+    # sets feed two join branches (doc_a side, doc_b side); grouping
+    # ordered's window output reuses its doc_id partitioning — no
+    # extra exchange (max(_pos) == the per-doc count)
+    sets = ordered.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("_sid")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n"),
+        F.max("_pos").alias("n"),
     ).localCheckpoint(eager=False)
-    return shs, ordered, sizes, sets
+    return shs, ordered, sets
 
 
 def _prefix_len(threshold: float):
@@ -1342,14 +1361,14 @@ def ngram_jaccard_pairs_prefix(
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs 0 < threshold <= 1")
 
-    shs, ordered, sizes, sets = _shingle_id_tables(docs, shingle_size)
+    shs, ordered, sets = _shingle_id_tables(docs, shingle_size)
     prefix_len = _prefix_len(threshold)
     # materialize the prefix postings once: the candidate SELF-join
     # consumes this subtree twice, and lineage re-evaluation there
-    # costs more than the materialized rows (measured at sf0.1)
+    # costs more than the materialized rows (measured at sf0.1).
+    # ``n`` rides ``ordered`` since round 11 — no sizes join.
     prefix = (
-        ordered.join(sizes, "doc_id")
-        .where(F.col("_pos") <= prefix_len)
+        ordered.where(F.col("_pos") <= prefix_len)
         .select("doc_id", "_sid")
         .localCheckpoint(eager=False)
     )
@@ -1426,14 +1445,15 @@ def ngram_containment_pairs(
     if not 0 < threshold <= 1:
         raise ValueError("containment prefix filter needs 0 < threshold <= 1")
 
-    shs, ordered, sizes, sets = _shingle_id_tables(docs, shingle_size)
+    shs, ordered, sets = _shingle_id_tables(docs, shingle_size)
+    # ``n`` rides ``ordered`` since round 11 — no sizes joins; the
+    # full postings side reads the same checkpointed window output
     prefix = (
-        ordered.join(sizes, "doc_id")
-        .where(F.col("_pos") <= _prefix_len(threshold))
+        ordered.where(F.col("_pos") <= _prefix_len(threshold))
         .select("doc_id", "_sid", "n")
         .localCheckpoint(eager=False)
     )
-    full = shs.join(sizes, "doc_id").select("doc_id", "_sid", "n")
+    full = ordered.select("doc_id", "_sid", "n")
     # smaller side must produce the prefix hit; size ties break by id
     # so each unordered pair is generated exactly once
     cand = (
