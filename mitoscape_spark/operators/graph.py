@@ -294,16 +294,25 @@ def triangle_counts(
     # of the wedge join): per ORIENTED edge (a→b), the triangles
     # through it are |N⁺(a) ∩ N⁺(b)|. The naive wedge self-join
     # materializes and SHUFFLES every wedge (Σ C(outdeg,2) rows — 35M
-    # at a mere 1.2M edges, measured); here the adjacency lists ship
-    # once (Σ outdeg = m elements), the intersection runs JVM-side
-    # per edge row, and only actual triangle closures explode out.
-    # Same O(m^1.5) work bound from the orientation, ~m rows shuffled.
+    # at a mere 1.2M edges, measured); here the intersection runs
+    # JVM-side per edge row and only actual triangle closures explode
+    # out. Same O(m^1.5) work bound from the orientation.
+    #
+    # Round 11 (guide §2.4): the a-side adjacency attach needs NO join
+    # — exploding each adjacency list regenerates exactly the oriented
+    # edge rows with the source's own list already attached, removing
+    # one m-row shuffle join (plan: 2 closure joins → 1). The b-side
+    # attach stays a join; its shuffle carries the exploded rows with
+    # their a-lists (wedge-mass bytes) exactly as the two-join form's
+    # second shuffle did.
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
-    a_adj = adj.select(F.col("lo").alias("a"), F.col("nbrs").alias("na"))
     b_adj = adj.select(F.col("lo").alias("b"), F.col("nbrs").alias("nb"))
     closed = (
-        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        .join(a_adj, "a")
+        adj.select(
+            F.col("lo").alias("a"),
+            F.explode("nbrs").alias("b"),
+            F.col("nbrs").alias("na"),
+        )
         .join(b_adj, "b")
         .select(
             "a",

@@ -9820,6 +9820,11 @@ def ext_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_s"))
         .where(F.col("_s") >= 2)
         .select("u", "v")
+        # §20 pin: consumed by BOTH the triangle path and the wedge
+        # branch below — without it the co-purchase self-join lineage
+        # executes twice (triangle_counts pins only its internal
+        # canonicalized copy)
+        .localCheckpoint(eager=False)
     )
     tri = triangle_counts(edges, src="u", dst="v").agg(
         F.sum("n_triangles").alias("_t3")
