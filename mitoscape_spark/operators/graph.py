@@ -553,6 +553,11 @@ def adamic_adar_scores(
     Scores round to 6 dp (sums of 1/ln terms — summation-order jitter
     is last-ulp only).
     """
+    # §20 pin: the caller's edge derivation is referenced by the
+    # symmetric union (twice) and the existing-edge anti-join below —
+    # without the checkpoint an expensive upstream lineage (e.g. the
+    # co-purchase self-join) re-executes per occurrence
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.selectExpr("u", "v").union(
         edges.selectExpr("v AS u", "u AS v")
     )

@@ -9523,7 +9523,14 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     step on top of ext_copurchase_pairs' candidate pass). Pair and
     item supports are two hash aggs; the rule table is pair-bounded."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # §20 pin: op feeds the n_orders count action, the item-support
+    # agg, and BOTH sides of the pair self-join — four executions of
+    # the distinct without the checkpoint
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = op.select("l_orderkey").distinct().count()
     item = op.groupBy(F.col("l_partkey").alias("x")).agg(
         F.count(F.lit(1)).alias("_sx")
@@ -9538,6 +9545,8 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("_sxy"))
         .where(F.col("_sxy") >= 2)
+        # §20 pin: the rule table reads pairs in both directions
+        .localCheckpoint(eager=False)
     )
     both = pairs.unionByName(
         pairs.select(
@@ -9770,6 +9779,10 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_s"))
         .where(F.col("_s") >= 2)
         .select("u", "v")
+        # §20 pin: the symmetric union below embeds this lineage twice
+        # (and deg/pairs each consume sym) — the co-purchase self-join
+        # must run once
+        .localCheckpoint(eager=False)
     )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
