@@ -320,6 +320,10 @@ def triangle_counts(
             F.array_intersect(F.col("na"), F.col("nb")).alias("ws"),
         )
         .where(F.size("ws") > 0)
+        # §20 pin: the per-node credit below unions three projections
+        # of closed — without it the whole adjacency pipeline executes
+        # once per union branch
+        .localCheckpoint(eager=False)
     )
     # per-node credit: the edge endpoints once per closure, every
     # closing node once

@@ -236,7 +236,14 @@ def video_near_duplicates(
     stop-gram treatment text dedup uses), then one grouped count +
     broadcast of per-video set sizes.
     """
-    sigs = frame_hashes.select("media_id", "phash").distinct()
+    # §20 pin: sigs feeds the size agg AND both self-join sides — the
+    # caller's frame-hash lineage is the Python video-decode path, which
+    # must run once, not three times
+    sigs = (
+        frame_hashes.select("media_id", "phash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = sigs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sigs.alias("a"), sigs.alias("b")
     shared = (

@@ -460,8 +460,13 @@ def token_group_pmi(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
     )
-    c_tg = toks.groupBy("tok", "grp").agg(
-        F.count(F.lit(1)).alias("c_tg")
+    # §20 pin: c_tg (the reduced (token, group) table) feeds the token
+    # marginal, the group marginal, the grand total AND the final join
+    # — four re-executions of the corpus explode+agg without it
+    c_tg = (
+        toks.groupBy("tok", "grp")
+        .agg(F.count(F.lit(1)).alias("c_tg"))
+        .localCheckpoint(eager=False)
     )
     c_t = c_tg.groupBy("tok").agg(F.sum("c_tg").alias("c_t"))
     c_g = c_tg.groupBy("grp").agg(F.sum("c_tg").alias("c_g"))
@@ -663,8 +668,12 @@ def js_divergence_by_group(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
     )
-    c_gt = toks.groupBy("grp", "tok").agg(
-        F.count(F.lit(1)).alias("_cg")
+    # §20 pin: c_gt feeds the token marginal, the grand total AND the
+    # probability join — the corpus explode+agg must run once
+    c_gt = (
+        toks.groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+        .localCheckpoint(eager=False)
     )
     c_t = c_gt.groupBy("tok").agg(F.sum("_cg").alias("_ct"))
     from pyspark.sql import Window
