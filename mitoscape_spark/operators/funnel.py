@@ -48,11 +48,16 @@ def funnel_counts(
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("s"),
     )
-    # stage 0: earliest occurrence of the first step per user
+    # stage 0: earliest occurrence of the first step per user.
+    # Per-stage §20 pin: each stage's count() action plus the next
+    # stage's join consume `state` — uncheckpointed, stage i re-executes
+    # stages 0..i-1 from scratch (O(k²) stage work for a k-step funnel);
+    # the pinned state is the reduced per-user aggregate.
     state = (
         ev.where(F.col("s") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("t_prev"))
+        .localCheckpoint(eager=False)
     )
     counts = [state.count()]
     for step in steps[1:]:
@@ -62,6 +67,7 @@ def funnel_counts(
             .where(F.col("t") > F.col("t_prev"))
             .groupBy("u")
             .agg(F.min("t").alias("t_prev"))
+            .localCheckpoint(eager=False)
         )
         counts.append(state.count())
     spark = events.sparkSession
@@ -107,8 +113,12 @@ def funnel_counts_windowed(
         F.col(type_col).alias("s"),
     )
     span = F.expr(f"INTERVAL {int(max_span_seconds)} SECONDS")
-    state = ev.where(F.col("s") == steps[0]).select(
-        "u", F.col("t").alias("t0"), F.col("t").alias("t_prev")
+    # per-stage §20 pins: same O(k²) re-execution hazard as
+    # funnel_counts above (count action + next stage's join)
+    state = (
+        ev.where(F.col("s") == steps[0])
+        .select("u", F.col("t").alias("t0"), F.col("t").alias("t_prev"))
+        .localCheckpoint(eager=False)
     )
     counts = [state.select("u").distinct().count()]
     for step in steps[1:]:
@@ -121,6 +131,7 @@ def funnel_counts_windowed(
             )
             .groupBy("u", "t0")
             .agg(F.min("t").alias("t_prev"))
+            .localCheckpoint(eager=False)
         )
         counts.append(state.select("u").distinct().count())
     spark = events.sparkSession

@@ -79,6 +79,9 @@ def join_explosion_report(
     per_key = (
         lc.join(rc, keys)
         .withColumn("out_rows", F.col("n_left") * F.col("n_right"))
+        # §20 pin: consumed by the TOTAL aggregate and the hottest-key
+        # top-k — both key-count aggs + the join would run twice
+        .localCheckpoint(eager=False)
     )
     total = per_key.agg(
         *[F.lit(None).cast(per_key.schema[k].dataType).alias(k)

@@ -73,7 +73,9 @@ def scd2_apply(
     for k in key_cols:
         clause = F.col(f"cur.{k}").eqNullSafe(F.col(f"chg.{k}"))
         on = clause if on is None else on & clause
-    joined = cur.join(chg, on, "full_outer")
+    # §20 pin: the unchanged/closed/opened branches each consume this
+    # full-outer join — without the checkpoint it executes three times
+    joined = cur.join(chg, on, "full_outer").localCheckpoint(eager=False)
 
     in_dim = F.col("cur.is_current").isNotNull()
     in_chg = F.col("chg._chg").isNotNull()
