@@ -297,8 +297,12 @@ def ext_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.textstats import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, k=3, window=4).dropDuplicates(
-        ["doc_id", "fp"]
+    # §20 pin: both self-join sides consume the winnowing pipeline
+    # (tokenize → k-gram hash → window argmin) — run it once
+    fps = (
+        winnow_fingerprints(docs, k=3, window=4)
+        .dropDuplicates(["doc_id", "fp"])
+        .localCheckpoint(eager=False)
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (
@@ -8078,7 +8082,9 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # §20 pin: sigs feeds the banding pass AND both estimator join
+    # sides — the shingle explode + 8×md5 signature agg runs once
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
     cands = minhash_candidate_pairs(sigs)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
