@@ -531,8 +531,12 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nominal capacity (4096 entries; 150 users/type here) estimates are
     EXACT, so the DuckDB oracle states plain COUNT(DISTINCT ...)."""
     events = load_table(spark, sf_dir, "events")
-    sk = events.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
+    # §20 pin: both sides of the pair cross-join read the sketch
+    # table — without it the events scan + sketch agg runs twice
+    sk = (
+        events.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=False)
     )
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
@@ -568,9 +572,13 @@ def ext_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact, so the oracle states the brute-force per-window
     COUNT(DISTINCT)."""
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # §20 pin: the rolling self-join reads the hourly sketch table on
+    # both sides — without it the events scan + sketch agg runs twice
+    hourly = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
     a, b = hourly.alias("a"), hourly.alias("b")
     return (
         a.join(
@@ -1077,9 +1085,14 @@ def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
         eager=False
     )
-    assigned = leakage_safe_splits(
-        docs, pairs, {"train": 0.8, "test": 0.2}
-    ).select("doc_id", "split")
+    # §20 pin: the assignment feeds BOTH straddle-audit sides AND the
+    # stats agg — without it the CC labeling over the pair graph runs
+    # three times
+    assigned = (
+        leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2})
+        .select("doc_id", "split")
+        .localCheckpoint(eager=False)
+    )
     sa = assigned.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("_spl_a")
     )
@@ -2932,10 +2945,13 @@ def ext_tfidf_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
         F.lit(n_features),
     )
+    # §20 pin: tf feeds the document-frequency agg AND the postings
+    # join — without it the tokenize + hash + TF lineage runs twice
     tf = (
         tok.select("doc_id", idx.alias("idx"))
         .groupBy("doc_id", "idx")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     # corpus-level scalar (1-row action, same pattern as the stats
     # cross-joins elsewhere); df rides the tf aggregate — tf rows are
@@ -3799,6 +3815,8 @@ def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.graph import shortest_hops
 
     li = load_table(spark, sf_dir, "lineitem")
+    # §20 pin: the undirected union embeds fwd twice in ONE plan —
+    # without it the lineitem scan + filter + distinct runs twice
     fwd = (
         li.where(F.col("l_quantity") >= 48)
         .select(
@@ -3806,6 +3824,7 @@ def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     undirected = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -3965,7 +3984,13 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.m: r.n
         for r in tagged.groupBy("m").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    all_pairs = tagged.select("doc_a", "doc_b").distinct()
+    # §20 pin: the distinct union-pair set feeds BOTH the report count
+    # and the CC survivor pass
+    all_pairs = (
+        tagged.select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     survivors = dedup_keep_canonical(docs, all_pairs)
     return spark.createDataFrame(
         [
@@ -8627,7 +8652,13 @@ def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.graph import adamic_adar_scores
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # §20 pin: both sides of the co-purchase self-join read op —
+    # without it the lineitem scan + distinct runs twice in one plan
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     edges = (
         op.alias("a")
         .join(op.alias("b"), "l_orderkey")
@@ -8881,14 +8912,21 @@ def ext_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    daily = hll_registers_grouped(
-        events.select(
-            F.to_date("ts").alias("day"), F.col("user_id")
-        ),
-        "day",
-        "user_id",
-        p=8,
-    ).select(F.col("grp").alias("day"), "register", "max_rank")
+    # §20 pin: the register table feeds the day grid, the register
+    # grid, and the as-of join — without it the events scan + HLL
+    # register agg runs three times
+    daily = (
+        hll_registers_grouped(
+            events.select(
+                F.to_date("ts").alias("day"), F.col("user_id")
+            ),
+            "day",
+            "user_id",
+            p=8,
+        )
+        .select(F.col("grp").alias("day"), "register", "max_rank")
+        .localCheckpoint(eager=False)
+    )
     days = daily.select("day").distinct()
     regs = daily.select("register").distinct()
     grid = days.crossJoin(F.broadcast(regs))  # bounded 256-row side
@@ -9201,6 +9239,9 @@ def ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm last-ulp risk."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # (round-11 A/B: a §20 pin here LOST 0.33→0.51 s — the before-plan
+    # already reuses the digit-agg exchange (ReusedExchange), so the
+    # pin only added a materialization job. Left unpinned on evidence.)
     digits = (
         orders.where(F.col("o_totalprice") > 0)
         .select(
@@ -9470,10 +9511,17 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     One contingency agg; expected counts from broadcast marginals; the
     test statistic is a scalar reduction."""
     events = load_table(spark, sf_dir, "events")
-    obs = events.groupBy(
-        F.col("event_type").alias("a"),
-        F.dayofweek("ts").alias("b"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # §20 pin: the contingency table feeds FIVE reductions (row/col
+    # marginals, total, cells, dims) — without it the events scan +
+    # agg runs five times
+    obs = (
+        events.groupBy(
+            F.col("event_type").alias("a"),
+            F.dayofweek("ts").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     ma = obs.groupBy("a").agg(F.sum("o").alias("_na"))
     mb = obs.groupBy("b").agg(F.sum("o").alias("_nb"))
     tot = obs.agg(F.sum("o").alias("_n"))
@@ -9665,9 +9713,13 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
         "doc_a", "doc_b", "jaccard"
     )
-    cands = minhash_candidate_pairs(
-        minhash_signatures(docs)
-    ).withColumn("_is_cand", F.lit(1))
+    # §20 pin: cands feeds the count action AND the left join —
+    # without it the MinHash banding lineage runs twice
+    cands = (
+        minhash_candidate_pairs(minhash_signatures(docs))
+        .withColumn("_is_cand", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
     joined = exact.join(cands, ["doc_a", "doc_b"], "left").select(
         "jaccard", F.coalesce("_is_cand", F.lit(0)).alias("_c")
     )
@@ -9793,6 +9845,9 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # (round-11 A/B: pinning deg LOST 0.88→0.92 s — both broadcast
+    # builds re-aggregate the PINNED edge checkpoint, which is cheap;
+    # the pin serializes them. Left unpinned on evidence.)
     deg = sym.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -10010,8 +10065,12 @@ def ext_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("_tf")
+    # §20 pin: tf feeds the document-frequency agg AND the scored
+    # join — without it the explode + TF agg runs twice
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.select("doc_id").distinct().count()
@@ -10221,6 +10280,9 @@ def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("value"), 6).alias("y"))
         .withColumn("dow", F.dayofweek("day"))
+        # §20 pin: the daily rollup feeds the dow means, the grand
+        # means, and the residual join — three events scans without it
+        .localCheckpoint(eager=False)
     )
     dow_mu = daily.groupBy("event_type", "dow").agg(
         F.avg("y").alias("_dm")
@@ -10452,6 +10514,9 @@ def ext_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
+    # (round-11 A/B: a §20 pin here LOST 0.35→0.39 s — the daily-agg
+    # exchange is ReusedExchange'd across the two lag branches already.
+    # Left unpinned on evidence.)
     daily = (
         events.where(F.col("value").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -10638,8 +10703,12 @@ def ext_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the naive Wald interval). One contingency agg + closed-form
     scalar math."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("_k")
+    # §20 pin: the 5-row count table feeds the total agg AND the
+    # readout — without it the events scan + agg runs twice
+    counts = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("_k").alias("_n"))
     z = F.lit(1.959963984540054)  # Phi^-1(0.975)
