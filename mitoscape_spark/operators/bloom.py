@@ -111,6 +111,9 @@ def bloom_join_stats(
     filter passes vs how many truly match — (n_probe, n_pass, n_true,
     n_false_pos). The observability query that justifies (or vetoes)
     enabling the filter for a given build predicate."""
+    # (round-11 A/B: a §20 pin here LOST 1.10→1.23 s — the distinct is
+    # cheap next to the bloom agg and the pin serializes the two
+    # branches. Left unpinned on evidence.)
     keys = build.select(F.col(build_key).alias("_bk")).distinct()
     words = build_bloom(keys, "_bk", m_bits=m_bits, k=k)
     flagged = (

@@ -278,8 +278,15 @@ def phrase_search(
     terms = [t for t in phrase.lower().split(" ") if t]
     if not terms:
         raise ValueError("phrase_search: empty phrase")
-    postings = positional_postings(docs, text_col, id_col).where(
-        F.col("token").isin(sorted(set(terms)))
+    # §20 pin (round 11): the pruned postings feed the df-lookup
+    # action AND one join-chain leg per phrase term — without it the
+    # positional-postings explode over every document re-executes
+    # k+1 times for a k-term phrase. The filtered table is the
+    # REDUCED form (only the phrase terms' postings survive).
+    postings = (
+        positional_postings(docs, text_col, id_col)
+        .where(F.col("token").isin(sorted(set(terms))))
+        .localCheckpoint(eager=False)
     )
     # k-row df lookup (k = distinct phrase tokens); a token with zero
     # postings sorts first and empties the chain at the anchor — the

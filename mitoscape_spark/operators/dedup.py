@@ -213,6 +213,12 @@ def incremental_minhash_pairs(
     Old×old pairs were emitted by earlier batches; new×new pairs come
     from the ordinary self-join on the batch (batch-sized, tiny).
     """
+    # (round-11 A/B: pinning new_bands/sized/wsized here LOST —
+    # ext_incremental_dedup 1.18→1.33 s and the STREAMING consumer
+    # ext_stream_text_dedup 3.7→7.9 s, a per-micro-batch
+    # materialization job the incremental contract cannot afford; the
+    # corpus-side sized join is also bands-sized, not a reduced form.
+    # Left unpinned on evidence.)
     new_bands = minhash_bands(
         minhash_signatures(new_docs, num_hashes, shingle_size), band_size
     )
@@ -314,7 +320,13 @@ def minhash_candidate_pairs(
     the ext_dedup_near pipeline passes a cap because its keep-set
     provably cannot change.
     """
-    bands = minhash_bands(signatures, band_size)
+    # §20 pin (round 11): the band table feeds both self-join sides
+    # (and, on the capped path, the bucket-size agg + the sized join)
+    # with DIFFERENT projections — ReuseExchange does not fire across
+    # them, so the signature+banding lineage re-executed per side
+    bands = minhash_bands(signatures, band_size).localCheckpoint(
+        eager=False
+    )
     if max_bucket_size is not None:
         # one extra hash-agg keyed like the join: per-bucket size + the
         # star representative (min doc_id)
@@ -322,7 +334,11 @@ def minhash_candidate_pairs(
             F.count(F.lit(1)).alias("_bn"),
             F.min("doc_id").alias("_rep"),
         )
-        sized = bands.join(buckets, ["band", "band_key"])
+        # §20 pin: sized feeds the small filter (both self-join sides)
+        # AND the star branch
+        sized = bands.join(buckets, ["band", "band_key"]).localCheckpoint(
+            eager=False
+        )
         small = sized.where(F.col("_bn") <= max_bucket_size)
         star = (
             sized.where(
@@ -374,6 +390,10 @@ def ngram_jaccard_pairs(
     to 6 dp for cross-engine determinism.
     """
     sh = shingles(docs, shingle_size)
+    # (round-11 A/B: a §20 pin on sizes LOST 1.14→1.79 s — the plan
+    # already serves both endpoint attaches from one ReusedExchange of
+    # the size agg; the pin only added a materialization job. Left
+    # unpinned on evidence.)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

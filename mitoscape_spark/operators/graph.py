@@ -274,11 +274,14 @@ def triangle_counts(
         # (round-7; same discipline as connected_components)
         .localCheckpoint(eager=False)
     )
+    # §20 pin: the degree table attaches to BOTH edge endpoints (du/dv
+    # are different projections — no ReuseExchange)
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
@@ -305,7 +308,14 @@ def triangle_counts(
     # attach stays a join; its shuffle carries the exploded rows with
     # their a-lists (wedge-mass bytes) exactly as the two-join form's
     # second shuffle did.
-    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    # §20 pin: adj feeds the exploded a-side AND the b-side attach
+    # with different projections — without it the orientation join +
+    # collect_list agg execute twice
+    adj = (
+        oriented.groupBy("lo")
+        .agg(F.collect_list("hi").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
     b_adj = adj.select(F.col("lo").alias("b"), F.col("nbrs").alias("nb"))
     closed = (
         adj.select(
@@ -562,8 +572,12 @@ def adamic_adar_scores(
     # without the checkpoint an expensive upstream lineage (e.g. the
     # co-purchase self-join) re-executes per occurrence
     edges = edges.localCheckpoint(eager=False)
-    sym = edges.selectExpr("u", "v").union(
-        edges.selectExpr("v AS u", "u AS v")
+    # §20 pin: sym feeds the degree agg AND the adjacency projection
+    # (whose self-join reads it twice more)
+    sym = (
+        edges.selectExpr("u", "v")
+        .union(edges.selectExpr("v AS u", "u AS v"))
+        .localCheckpoint(eager=False)
     )
     deg = sym.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).alias("_deg")

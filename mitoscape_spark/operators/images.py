@@ -244,6 +244,10 @@ def video_near_duplicates(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # (round-11 A/B: pinning sizes LOST 1.82→2.12 s — it is a cheap
+    # agg over the ALREADY pinned sigs checkpoint; the extra
+    # materialization job outweighs the saved re-agg at every scale
+    # because the input is already local. Left unpinned on evidence.)
     sizes = sigs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sigs.alias("a"), sigs.alias("b")
     shared = (

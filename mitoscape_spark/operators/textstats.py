@@ -273,8 +273,16 @@ def bigram_lm_scores(
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # (round-11 A/B: pinning bc LOST — the bc agg exchange is
+    # ReusedExchange'd between the unigram rollup and the scoring
+    # join once uc derives from bc; the pin only added a job.)
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # round 11 (guide §2.3, aggregate before you shuffle): c(w1·) is
+    # the row-sum of the bigram table — Σ_w2 c(w1,w2) ≡ count of
+    # bigrams starting at w1 — so derive it from bc instead of
+    # re-exploding every document a second time (one full
+    # explode+shuffle removed; counts are identical by definition)
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("nv")
     )

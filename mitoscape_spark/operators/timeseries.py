@@ -115,8 +115,14 @@ def seasonal_decompose_dow(
         .agg(F.sum(value_col).alias("total"))
     )
     # ISO weekday: Spark weekday() is 0=Mon..6=Sun
-    daily = daily.withColumn("dow", (F.weekday("day") + F.lit(1)).cast("int"))
+    # §20 pin: daily feeds the seasonal agg AND the decomposition join
+    daily = daily.withColumn(
+        "dow", (F.weekday("day") + F.lit(1)).cast("int")
+    ).localCheckpoint(eager=False)
     seasonal = daily.groupBy("dow").agg(F.avg("total").alias("dow_avg"))
+    # (round-11 A/B: ALSO pinning with_season LOST badly, 0.41→2.0 s —
+    # two chained materialization barriers serialize what was one
+    # pipelined plan. Only daily, the fact-scan consumer, is pinned.)
     with_season = daily.join(F.broadcast(seasonal), "dow").withColumn(
         "resid", F.col("total") - F.col("dow_avg")
     )
