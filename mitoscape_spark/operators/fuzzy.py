@@ -76,13 +76,75 @@ def fuzzy_pairs(
     - **banded Levenshtein**: the threshold arg caps the DP band at
       O(len·max) per pair with early exit.
     """
-    keyed = df.select(
+    keyed = _keyed(df, id_col, text_col, block)
+    name_pairs = _distinct_text_pairs(
+        keyed, min_distance, max_distance, n_salts, n_partitions
+    )
+    ia = keyed.select(
+        "blk", F.col("txt").alias("txt_a"), F.col("id").alias("_ida")
+    )
+    ib = keyed.select(
+        "blk", F.col("txt").alias("txt_b"), F.col("id").alias("_idb")
+    )
+    out = (
+        name_pairs.join(ia, ["blk", "txt_a"])
+        .join(ib, ["blk", "txt_b"])
+        # a duplicate id carried under both texts must not self-pair
+        # (the old id-level join excluded it via a.id < b.id)
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist",
+        )
+    )
+    if min_distance == 0:
+        x, y = keyed.alias("x"), keyed.alias("y")
+        same = (
+            x.join(
+                y,
+                (F.col("x.blk") == F.col("y.blk"))
+                & (F.col("x.txt") == F.col("y.txt"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.lit(0).alias("dist"),
+            )
+        )
+        out = out.unionAll(same)
+    return out
+
+
+def _keyed(
+    df: DataFrame, id_col: str, text_col: str, block: Column | None
+) -> DataFrame:
+    """(id, txt, blk) projection shared by the fuzzy operators."""
+    return df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         (block if block is not None else first_token_block(text_col)).alias(
             "blk"
         ),
     )
+
+
+def _distinct_text_pairs(
+    keyed: DataFrame,
+    min_distance: int,
+    max_distance: int,
+    n_salts: int,
+    n_partitions: int | None,
+) -> DataFrame:
+    """(blk, txt_a, txt_b, dist): the blocked+salted Levenshtein kernel
+    over DISTINCT (block, text) values — the shared core of
+    ``fuzzy_pairs`` (which expands ids back afterwards) and
+    ``fuzzy_dedup_keep_canonical`` (which clusters at text level and
+    never expands). ``txt_a < txt_b`` strictly; dist ∈
+    [max(min_distance, 1), max_distance] (the dist-0 same-text branch
+    is the caller's concern — texts here are distinct by construction).
+    """
     # distinct (block, text) values — the DP kernel's true domain.
     # Pinned (§20 doctrine: reduced form consumed ≥2 times — the
     # partition-count probe plus both self-join sides) so the corpus
@@ -150,38 +212,112 @@ def fuzzy_pairs(
         )
         .where(F.col("dist").between(max(min_distance, 1), max_distance))
     )
-    ia = keyed.select(
-        "blk", F.col("txt").alias("txt_a"), F.col("id").alias("_ida")
-    )
-    ib = keyed.select(
-        "blk", F.col("txt").alias("txt_b"), F.col("id").alias("_idb")
-    )
-    out = (
-        name_pairs.join(ia, ["blk", "txt_a"])
-        .join(ib, ["blk", "txt_b"])
-        # a duplicate id carried under both texts must not self-pair
-        # (the old id-level join excluded it via a.id < b.id)
-        .where(F.col("_ida") != F.col("_idb"))
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-            "dist",
+    return name_pairs
+
+
+def fuzzy_dedup_keep_canonical(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_distance: int = 1,
+    max_distance: int = 3,
+    n_salts: int = 16,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Entity-resolution fusion of ``fuzzy_pairs`` →
+    ``dedup.dedup_keep_canonical``: drop every row whose id is a
+    non-minimal member of a fuzzy-linkage cluster, WITHOUT ever
+    materializing the id-level pair set.
+
+    Why (round 11, guide §8 — decide with small rows): the id-level
+    edge set is the bipartite expansion of the text-level edge set —
+    on corpora with repeated values that expansion is O(rows²) per
+    linked text pair (measured at sf0.1: 64 distinct names over 20k
+    parts → 1.5M id pairs, all of which the generic path distincts,
+    collects, and union-finds on the driver). Connectivity, though, is
+    decidable entirely at text level:
+
+    - Every id-level edge (i, j) comes from a text edge (tᵃ, tᵇ) with
+      i ∈ ids(tᵃ), j ∈ ids(tᵇ) (``min_distance ≥ 1`` — no same-text
+      edges), so ids attached to one connected text component form one
+      id component (every text carries ≥ 1 id, so adjacent texts'
+      id sets chain transitively).
+    - The ONLY other id-level connectivity is an id carried under two
+      edge-bearing texts, which merges their text components; adding a
+      per-id text-chain bridge to the text graph reproduces it.
+    - Texts with no fuzzy edge contribute no id pairs at all — their
+      ids never appear in any component and survive untouched, exactly
+      the generic path's anti-join behaviour.
+
+    So: components over (text edges ∪ same-id bridges), labels joined
+    back to ids, keep min(id) per component — provably the same
+    survivor set (pinned by
+    ``test_fuzzy_dedup_canonical_matches_generic_path``), with the CC
+    running on ≤ distinct-text-sized input.
+
+    Node identity is the text itself, which requires the block key to
+    be a function of the text — true of the built-in first-token
+    block; callers needing an out-of-band block column (or
+    ``min_distance=0`` semantics, whose same-text edges make every
+    duplicated text a cluster) should use the generic
+    ``fuzzy_pairs`` → ``dedup_keep_canonical`` composition.
+    """
+    if min_distance < 1:
+        raise ValueError(
+            "fuzzy_dedup_keep_canonical requires min_distance >= 1 "
+            "(min_distance=0 links same-text ids: use fuzzy_pairs + "
+            "dedup_keep_canonical)"
         )
+    from pyspark.sql import Window
+
+    from mitoscape_spark.operators.dedup import connected_components
+
+    keyed = _keyed(docs, id_col, text_col, None)
+    tp = _distinct_text_pairs(
+        keyed, min_distance, max_distance, n_salts, n_partitions
     )
-    if min_distance == 0:
-        x, y = keyed.alias("x"), keyed.alias("y")
-        same = (
-            x.join(
-                y,
-                (F.col("x.blk") == F.col("y.blk"))
-                & (F.col("x.txt") == F.col("y.txt"))
-                & (F.col("x.id") < F.col("y.id")),
-            )
-            .select(
-                F.col("x.id").alias("id_a"),
-                F.col("y.id").alias("id_b"),
-                F.lit(0).alias("dist"),
-            )
-        )
-        out = out.unionAll(same)
-    return out
+    # §20 pin: the kernel lineage feeds the node-set derivation AND the
+    # CC input — reduced (pair-level) form, never row-level
+    tedges = (
+        tp.select(F.col("txt_a").alias("u"), F.col("txt_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    tnodes = (
+        tedges.select(F.col("u").alias("txt"))
+        .unionAll(tedges.select(F.col("v").alias("txt")))
+        .distinct()
+    )
+    # ids attached to edge-bearing texts; distinct (id, txt) — consumed
+    # by the bridge derivation and the label join (§20 pin)
+    in_t = (
+        keyed.join(tnodes, "txt", "left_semi")
+        .select("id", "txt")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # an id under several edge-bearing texts merges their components:
+    # chain each id's texts (consecutive pairs ≡ full clique for
+    # connectivity, linear not quadratic in texts-per-id)
+    w_id = Window.partitionBy("id").orderBy("txt")
+    bridges = (
+        in_t.withColumn("_prev", F.lag("txt").over(w_id))
+        .where(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("u"), F.col("txt").alias("v"))
+    )
+    comp = connected_components(
+        tedges.unionAll(bridges), id_a="u", id_b="v"
+    ).select(F.col("id").alias("_t"), "component")
+    lab = in_t.join(comp, in_t["txt"] == comp["_t"]).select(
+        "id", "component"
+    )
+    # min id per component via one window (a groupBy+join would shuffle
+    # lab twice); bridges guarantee one component per id, so the
+    # min-window sees every id exactly once per (id, txt) attachment
+    w_c = Window.partitionBy("component")
+    losers = (
+        lab.withColumn("_keep", F.min("id").over(w_c))
+        .where(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

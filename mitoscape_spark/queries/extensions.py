@@ -1511,15 +1511,17 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the smallest key per entity cluster. The full record-linkage
     pipeline as three engine operators; oracle replays it as a
     recursive-CTE transitive closure over the same levenshtein pairs."""
-    from mitoscape_spark.operators.dedup import dedup_keep_canonical
-    from mitoscape_spark.operators.fuzzy import fuzzy_pairs
+    from mitoscape_spark.operators.fuzzy import fuzzy_dedup_keep_canonical
 
     part = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_pairs(part, "p_partkey", "p_name").select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    # fused text-level path (round 11, guide §8): connectivity is
+    # decided on the ≤distinct-name text graph and expanded to ids by
+    # one label join — the generic fuzzy_pairs → dedup_keep_canonical
+    # composition materializes the O(rows²)-per-linked-pair id edge
+    # set (1.5M pairs at sf0.1) only to rediscover the same clusters;
+    # equivalence pinned by test_fuzzy_dedup_canonical_matches_generic_path
     return (
-        dedup_keep_canonical(part, pairs, id_col="p_partkey")
+        fuzzy_dedup_keep_canonical(part, "p_partkey", "p_name")
         .select("p_partkey")
         .orderBy("p_partkey")
     )

@@ -850,6 +850,59 @@ def test_fuzzy_pairs_text_level_kernel_matches_naive(spark):
     assert got0 == naive(0)
 
 
+def test_fuzzy_dedup_canonical_matches_generic_path(spark):
+    """Round-11 fusion: fuzzy_dedup_keep_canonical decides clusters on
+    the text graph (+ same-id bridges) and must keep exactly the rows
+    the generic fuzzy_pairs → dedup_keep_canonical composition keeps.
+    The corpus exercises every equivalence-proof branch: heavy text
+    duplication (many ids per text), a transitive text chain, an
+    isolated duplicated text (no fuzzy edge — ALL its ids survive), a
+    text alone in its block, and one id carried under two texts whose
+    components must merge through the bridge."""
+    from mitoscape_spark.operators.dedup import dedup_keep_canonical
+    from mitoscape_spark.operators.fuzzy import (
+        fuzzy_dedup_keep_canonical,
+        fuzzy_pairs,
+    )
+
+    rows = (
+        # chain: widget —1— widgets —2— wadgets (same block "red")
+        [(i, "red widget") for i in range(0, 6)]
+        + [(i, "red widgets") for i in range(6, 10)]
+        + [(i, "red wadgets") for i in range(10, 13)]
+        # isolated duplicated text: no name within dist 3 in block
+        # "blue" — every id must survive
+        + [(i, "blue completely different") for i in range(13, 16)]
+        # singleton block
+        + [(16, "green gizmo")]
+        # bridge: id 2 ALSO appears under "teal thing" — a DIFFERENT
+        # block whose cluster (teal thing —1— teal thingy) has no fuzzy
+        # edge to the chain; only the shared id merges the two
+        # components, exercising the same-id bridge
+        + [(2, "teal thing"), (17, "teal thingy"), (18, "teal thingy")]
+    )
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    pairs = fuzzy_pairs(df, "id", "name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want = sorted(
+        (r.id, r.name)
+        for r in dedup_keep_canonical(df, pairs, id_col="id").collect()
+    )
+    got = sorted(
+        (r.id, r.name)
+        for r in fuzzy_dedup_keep_canonical(df, "id", "name").collect()
+    )
+    assert got == want
+    # the isolated duplicated text's ids all survive on both paths
+    surviving = {i for i, _ in got}
+    assert {13, 14, 15} <= surviving
+    # min_distance=0 is the generic path's job
+    with pytest.raises(ValueError):
+        fuzzy_dedup_keep_canonical(df, "id", "name", min_distance=0)
+
+
 # ---- randomized model tests (seeded; Spark called once per config,
 # not once per example — hypothesis driving hundreds of rapid Spark
 # jobs destabilizes the shared local JVM) -----------------------------
