@@ -571,8 +571,19 @@ class SignRandomProjectionLSH:
         vec_col: str = "embedding",
     ) -> DataFrame:
         """Approximate top-k: score only vectors sharing a bucket with
-        the query in at least one table."""
-        buckets = self.bucketize(embeddings, id_col, vec_col)
+        the query in at least one table.
+
+        Round 11 (guide §2.3/§2.4): the candidate test is evaluated as
+        ONE row pass — an OR of per-table bucket equalities — instead
+        of materializing ``bucketize``'s n_tables-way unionAll (which
+        scanned and shipped the 64-dim vector payload once per table
+        and then dropDuplicates'd the blow-up back down). The
+        candidate set is identical by definition: a vector qualifies
+        iff ∃t: bucket_t(v) == bucket_t(q), which is exactly the OR
+        filter; the per-table bucket arithmetic (and so the
+        oracle-pinned sign bits) is the same ``_bucket_expr`` either
+        way. ``bucketize`` remains the persistable-index surface.
+        """
         qv = np.asarray(query, dtype=float)
         q_buckets = {
             t: int(
@@ -583,14 +594,19 @@ class SignRandomProjectionLSH:
             )
             for t in range(self.n_tables)
         }
+        e = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
         cond = None
         for t, bk in q_buckets.items():
-            c = (F.col("table") == t) & (F.col("bucket") == bk)
+            c = self._bucket_expr("v", t) == F.lit(bk)
             cond = c if cond is None else (cond | c)
         q = F.array(*[F.lit(float(x)) for x in query])
-        candidates = (
-            buckets.where(cond).select("id", "v").dropDuplicates(["id"])
-        )
+        # dropDuplicates preserves the old one-row-per-id contract for
+        # inputs carrying duplicate ids (candidate-set-sized, not
+        # corpus-sized)
+        candidates = e.where(cond).dropDuplicates(["id"])
         return (
             candidates.select(
                 "id",
