@@ -1143,9 +1143,34 @@ def sparse_near_duplicates(
     triplet block (~24 B/posting) and the densified per-block matrix
     ((docs/B) × n_dims doubles) stay ~64 MB as the corpus grows. Ids
     must be integral (see embedding_near_duplicates).
+
+    Round 12 (guide §3/§2.3) — two EXACT prunes, active when the
+    effective cut ``threshold - margin`` is positive (a non-positive
+    cut accepts disjoint-support pairs, so everything below degrades to
+    the plain all-pairs GEMM):
+
+    - **max-component bound**: for any vectors, dot(a, b) ≤
+      Σ|aᵢ||bᵢ| ≤ min(‖a‖₁·max|b|, max|a|·‖b‖₁). Per block the packed
+      aggregate carries max-over-docs ‖·‖₁ and max|·| of the
+      normalized vectors, and the block-pair join condition drops
+      whole block pairs whose bound cannot reach the cut (plan-visible
+      prune — at scale it skips shipping both 64 MB blocks). Inside a
+      surviving task the same bound per DOC (recomputed from the
+      shipped triplets, nothing extra on the wire) drops rows/columns
+      of the GEMM that cannot reach the cut against ANY counterpart.
+      No false negatives: the bound is an upper bound on the dot, so a
+      pruned pair provably sits below the cut.
+    - **shared-support compaction**: a feature column zero in either
+      block contributes exactly 0.0 to every cross dot (x + 0.0 == x
+      in IEEE), so each task densifies onto the INTERSECTION of the
+      two blocks' present feature sets instead of all ``n_dims``
+      columns. Same dots, fewer multiply-adds — measured 132× fewer
+      flops at sf0.1 TF-IDF, where 31 of 4096 hashed features occur.
+      (BLAS accumulation grouping varies with the K dimension, so
+      results can move by ulps — inside the margin by construction,
+      and sparse callers hold no bit-exactness contract.)
     """
     _require_integral_id(postings, id_col, "sparse_near_duplicates")
-    margin = 1e-6
     # postings feeds the block-count stats, the norm agg, AND the
     # normalized projection — for callers whose postings lineage is
     # expensive (TF-IDF: a fitted-pipeline transform + posexplode) the
@@ -1168,8 +1193,12 @@ def sparse_near_duplicates(
                 postings.sparkSession, float(docs) * docs * n_dims
             ),
         )
+    margin = 1e-6
+    cut = threshold - margin
     norm = postings.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("_n")
+        F.sqrt(F.sum(F.col(w_col) * F.col(w_col))).alias("_n"),
+        F.sum(F.abs(F.col(w_col))).alias("_l1r"),
+        F.max(F.abs(F.col(w_col))).alias("_mxr"),
     ).where(F.col("_n") > 0)
     # zero-norm docs (all-zero weights) are dropped via the inner
     # join below rather than divided by: under ANSI mode (session
@@ -1181,26 +1210,38 @@ def sparse_near_duplicates(
             F.col(id_col).alias("id"),
             F.col(idx_col).alias("idx"),
             (F.col(w_col) / F.col("_n")).alias("w"),
+            # per-doc bound ingredients of the NORMALIZED vector;
+            # constant per doc, so the per-block MAX below reads them
+            # off the posting rows without a second per-doc aggregation
+            (F.col("_l1r") / F.col("_n")).alias("_l1"),
+            (F.col("_mxr") / F.col("_n")).alias("_mx"),
             F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
         )
     )
-    # both sides of the block cross-join consume `packed`
+    # both sides of the block cross-join consume `packed`; the
+    # max-over-docs bound scalars ride the same grouped aggregation
     packed = p.groupBy("block").agg(
         F.collect_list("id").alias("ids"),
         F.collect_list("idx").alias("idxs"),
         F.collect_list("w").alias("ws"),
+        F.max("_l1").alias("_l1max"),
+        F.max("_mx").alias("_mxmax"),
     ).localCheckpoint(eager=False)
     a = packed.select(
         F.col("block").alias("block_a"),
         F.col("ids").alias("ids_a"),
         F.col("idxs").alias("idxs_a"),
         F.col("ws").alias("ws_a"),
+        F.col("_l1max").alias("_l1max_a"),
+        F.col("_mxmax").alias("_mxmax_a"),
     )
     b = packed.select(
         F.col("block").alias("block_b"),
         F.col("ids").alias("ids_b"),
         F.col("idxs").alias("idxs_b"),
         F.col("ws").alias("ws_b"),
+        F.col("_l1max").alias("_l1max_b"),
+        F.col("_mxmax").alias("_mxmax_b"),
     )
     # explicit repartition = exempt from AQE byte-based coalescing: the
     # packed aggregate is a few KB-per-row table, so AQE merges it (and
@@ -1212,19 +1253,52 @@ def sparse_near_duplicates(
     sc = postings.sparkSession.sparkContext
     n_tasks = max(1, min(n_blocks * (n_blocks + 1) // 2,
                          2 * sc.defaultParallelism))
-    block_pairs = a.join(b, F.col("block_a") <= F.col("block_b")).repartition(
-        n_tasks
-    )
-    cut = threshold - margin
+    pair_cond = F.col("block_a") <= F.col("block_b")
+    if cut > 0:
+        # block-level max-component bound (see docstring): a block pair
+        # whose best-case dot cannot reach the cut is dropped in the
+        # join itself — before either block's payload ships
+        pair_cond = pair_cond & (
+            F.least(
+                F.col("_l1max_a") * F.col("_mxmax_b"),
+                F.col("_mxmax_a") * F.col("_l1max_b"),
+            )
+            >= F.lit(cut)
+        )
+    block_pairs = a.join(b, pair_cond).repartition(n_tasks)
 
-    def densify(ids, idxs, ws):
+    def densify(idsq, idxs, ws, rows, cols):
+        """Dense (docs × |cols|) matrix over the shared-support columns
+        only; postings outside ``cols`` contribute exact zeros to every
+        cross dot and are dropped. ``cols=None`` densifies all n_dims
+        (the pre-round-12 shape, kept for non-positive cuts)."""
         import numpy as np
 
-        ids = np.asarray(ids, dtype=np.int64)
-        uniq, rows = np.unique(ids, return_inverse=True)
-        m = np.zeros((len(uniq), n_dims))
-        m[rows, np.asarray(idxs, dtype=np.int64)] = np.asarray(ws)
-        return uniq, m
+        idxs = np.asarray(idxs, dtype=np.int64)
+        ws = np.asarray(ws)
+        if cols is None:
+            m = np.zeros((len(idsq), n_dims))
+            m[rows, idxs] = ws
+            return m
+        pos = np.searchsorted(cols, idxs)
+        pos_c = np.minimum(pos, len(cols) - 1)
+        keep = cols[pos_c] == idxs
+        m = np.zeros((len(idsq), len(cols)))
+        m[rows[keep], pos_c[keep]] = ws[keep]
+        return m
+
+    def doc_bounds(n_rows, rows, ws):
+        """Per-doc ‖·‖₁ and max|·| of the (already normalized) shipped
+        triplets — the doc-level ingredients of the same bound the join
+        applied at block level."""
+        import numpy as np
+
+        aw = np.abs(np.asarray(ws))
+        l1 = np.zeros(n_rows)
+        np.add.at(l1, rows, aw)
+        mx = np.zeros(n_rows)
+        np.maximum.at(mx, rows, aw)
+        return l1, mx
 
     def gemm(batches):
         import numpy as np
@@ -1233,11 +1307,44 @@ def sparse_near_duplicates(
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for row in pdf.itertuples(index=False):
-                ids_a, ma = densify(row.ids_a, row.idxs_a, row.ws_a)
-                ids_b, mb = densify(row.ids_b, row.idxs_b, row.ws_b)
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                uniq_a, rows_a = np.unique(ids_a, return_inverse=True)
+                uniq_b, rows_b = np.unique(ids_b, return_inverse=True)
+                if cut > 0:
+                    # shared-support compaction: only features present
+                    # on BOTH sides can contribute to a dot
+                    cols = np.intersect1d(
+                        np.unique(np.asarray(row.idxs_a, dtype=np.int64)),
+                        np.unique(np.asarray(row.idxs_b, dtype=np.int64)),
+                    )
+                    if cols.size == 0:
+                        continue  # all dots are exactly 0 < cut
+                else:
+                    cols = None
+                ma = densify(uniq_a, row.idxs_a, row.ws_a, rows_a, cols)
+                mb = densify(uniq_b, row.idxs_b, row.ws_b, rows_b, cols)
+                if cut > 0:
+                    # doc-level bound: drop rows/cols that cannot reach
+                    # the cut against ANY counterpart (exact — bound is
+                    # an upper bound on every dot involving that doc)
+                    l1_a, mx_a = doc_bounds(len(uniq_a), rows_a, row.ws_a)
+                    l1_b, mx_b = doc_bounds(len(uniq_b), rows_b, row.ws_b)
+                    ka = np.minimum(
+                        l1_a * mx_b.max(initial=0.0),
+                        mx_a * l1_b.max(initial=0.0),
+                    ) >= cut
+                    kb = np.minimum(
+                        l1_b * mx_a.max(initial=0.0),
+                        mx_b * l1_a.max(initial=0.0),
+                    ) >= cut
+                    if not (ka.any() and kb.any()):
+                        continue
+                    uniq_a, ma = uniq_a[ka], ma[ka]
+                    uniq_b, mb = uniq_b[kb], mb[kb]
                 cos = ma @ mb.T
                 ia, ib = np.nonzero(cos >= cut)
-                lhs, rhs, c = ids_a[ia], ids_b[ib], cos[ia, ib]
+                lhs, rhs, c = uniq_a[ia], uniq_b[ib], cos[ia, ib]
                 if row.block_a == row.block_b:
                     keep = lhs < rhs
                     lhs, rhs, c = lhs[keep], rhs[keep], c[keep]

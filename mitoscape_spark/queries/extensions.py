@@ -2955,18 +2955,25 @@ def ext_tfidf_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .localCheckpoint(eager=False)
     )
-    # corpus-level scalar (1-row action, same pattern as the stats
-    # cross-joins elsewhere); df rides the tf aggregate — tf rows are
-    # already distinct per (doc, idx)
-    n_docs = docs.count()
+    # corpus-level scalar rides the PLAN as a 1-row broadcast cross
+    # join (round 12, guide §5 — it was a separate docs.count() driver
+    # action, ~0.5 s of serial job floor; (N+1)/(df+1) is long/long →
+    # double division either way, so the weights are bit-identical);
+    # df rides the tf aggregate — tf rows are already distinct per
+    # (doc, idx)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
     dfreq = tf.groupBy("idx").agg(F.count(F.lit(1)).alias("df"))
-    postings = tf.join(dfreq, "idx").select(
-        F.col("doc_id").alias("id"),
-        "idx",
-        (
-            F.col("tf")
-            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
-        ).alias("w"),
+    postings = (
+        tf.join(dfreq, "idx")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("id"),
+            "idx",
+            (
+                F.col("tf")
+                * F.log((F.col("_nd") + F.lit(1)) / (F.col("df") + F.lit(1)))
+            ).alias("w"),
+        )
     )
     return (
         sparse_near_duplicates(postings, n_dims=n_features, threshold=0.85)
