@@ -126,6 +126,29 @@ def test_lsh_recall_against_bruteforce(spark, emb):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_lsh_bucketize_matches_numpy_reference(spark, emb):
+    """Round-12 single-fold kernel: bucketize's posexplode over the
+    one-pass dots array must reproduce every (id, table, bucket) of an
+    independent numpy sign-bit derivation (seeded corpus — dots are
+    O(1)-scale, so cross-library sign flips are not a practical risk)."""
+    import numpy as np
+
+    from mitoscape_spark.operators.similarity import SignRandomProjectionLSH
+
+    lsh = SignRandomProjectionLSH(dim=64, n_planes=4, n_tables=3, seed=5)
+    got = {(r.id, r.table, r.bucket) for r in lsh.bucketize(emb).collect()}
+    want = set()
+    for r in emb.collect():
+        v = np.asarray(r.embedding, dtype=float)
+        for t in range(lsh.n_tables):
+            b = sum(
+                int(float(lsh.planes[t, p] @ v) >= 0) << p
+                for p in range(lsh.n_planes)
+            )
+            want.add((r.vec_id, t, b))
+    assert got == want
+
+
 def test_lang_id_profiles(spark):
     from mitoscape_spark.operators.textstats import lang_id
 
