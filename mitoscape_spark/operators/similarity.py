@@ -34,6 +34,23 @@ from pyspark.sql import functions as F
 from mitoscape_spark.functions.vectors import cosine_similarity
 
 
+def _double_array_sql(values) -> str:
+    """SQL text of an array<double> literal (rows of a 2-D input become
+    nested arrays). repr() round-trips every double exactly and the
+    parser reads 'xD' as that exact double, so ONE parsed expression
+    replaces per-element F.lit construction — hundreds of py4j driver
+    round-trips (measured: 1.8 s to build the LSH 2048-literal plane
+    matrix column element-wise vs a ~4 ms parse)."""
+    a = np.asarray(values, dtype=float)
+    if a.ndim == 1:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in a) + ")"
+    return "array(" + ",".join(_double_array_sql(row) for row in a) + ")"
+
+
+def _double_array_lit(values):
+    return F.expr(_double_array_sql(values))
+
+
 def _training_sample(
     embeddings: DataFrame,
     vec_col: str,
@@ -79,7 +96,7 @@ def topk_cosine(
     The query vector is inlined as an array literal (broadcast by
     value); ranking is deterministic via the (cos DESC, id) tie-break.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _double_array_lit(query)
     scored = embeddings.select(
         F.col(id_col).alias("id"),
         F.round(
@@ -520,28 +537,6 @@ class SignRandomProjectionLSH:
         self.n_planes = n_planes
         self.n_tables = n_tables
 
-    @staticmethod
-    def _double_array_expr(values) -> str:
-        """SQL text of an array<double> literal (rows of a 2-D input
-        become nested arrays). repr() round-trips every double exactly
-        and the parser reads 'xD' as that exact double, so ONE parsed
-        expression replaces per-element F.lit construction — which is
-        hundreds of py4j driver round-trips (measured: 1.8 s to build
-        the 2048-literal plane matrix column element-wise, ~70% of
-        ext_ann_lsh's wall-clock; the parse is ~4 ms)."""
-        import numpy as np
-
-        a = np.asarray(values, dtype=float)
-        if a.ndim == 1:
-            return "array(" + ",".join(f"{float(x)!r}D" for x in a) + ")"
-        return (
-            "array("
-            + ",".join(
-                SignRandomProjectionLSH._double_array_expr(row) for row in a
-            )
-            + ")"
-        )
-
     def _fold_sql(self, vec_col: str, finish_sql) -> str:
         """THE sign-bit kernel (round 12, single source — VERDICT r11
         item 2): one ``aggregate`` pass over the vector accumulates all
@@ -561,7 +556,7 @@ class SignRandomProjectionLSH:
         expression construction, not execution); the equivalent parse
         is ~4 ms and yields the same resolved expressions."""
         flat = self.planes.reshape(self.n_tables * self.n_planes, -1)
-        contribs = self._double_array_expr(flat.T)
+        contribs = _double_array_sql(flat.T)
         zero = "array(" + ",".join(["0.0D"] * len(flat)) + ")"
         return (
             f"aggregate(zip_with({vec_col}, {contribs}, "
@@ -662,7 +657,7 @@ class SignRandomProjectionLSH:
                 ),
             )
         )
-        q = F.expr(self._double_array_expr(query))
+        q = _double_array_lit(query)
         # dropDuplicates preserves the old one-row-per-id contract for
         # inputs carrying duplicate ids (candidate-set-sized, not
         # corpus-sized)
@@ -822,7 +817,7 @@ class IVFFlatIndex:
         qv = qv / max(np.linalg.norm(qv), 1e-12)
         probe = np.argsort(-(self.centroids @ qv))[: self.n_probe]
         cells = [int(c) for c in probe]
-        q = F.array(*[F.lit(float(x)) for x in query])
+        q = _double_array_lit(query)
         return (
             self.assign(embeddings, id_col, vec_col)
             .where(F.col("centroid").isin(cells))
