@@ -1890,6 +1890,28 @@ def test_sparse_neardup_prune_is_exact_against_brute_force(spark):
     assert got == want
 
 
+def test_connected_components_n_edges_hint_both_routes(spark):
+    """Round-12 probe-skip hint: a caller-certified edge count must
+    route identically to the probe — small hint → driver finisher, big
+    hint → distributed star rounds — with identical labels."""
+    from mitoscape_spark.operators.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (5, 5), (3, 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    want = {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+    small = {
+        (r.id, r.component)
+        for r in connected_components(df, n_edges=4).collect()
+    }
+    big = {
+        (r.id, r.component)
+        for r in connected_components(df, n_edges=10_000_000).collect()
+    }
+    assert small == want and big == want
+
+
 def test_connected_components_propagation_raises_on_nonconvergence(spark):
     import pytest as _pytest
 
