@@ -24,7 +24,6 @@ from pyspark.sql import types as T
 def _driver_pagerank_ranks(
     e: DataFrame,
     nodes: DataFrame,
-    n: int,
     damping: float,
     max_iter: int,
     tol: float,
@@ -61,6 +60,15 @@ def _driver_pagerank_ranks(
     spark = e.sparkSession
     id_type = nodes.schema["id"].dataType
     ids = nodes.toPandas()["id"].tolist()
+    n = len(ids)  # round 12: no separate nodes.count() job
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("rank", T.DoubleType(), True),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
     idx = {v: i for i, v in enumerate(ids)}
     epdf = e.toPandas()
     m = len(epdf)
@@ -91,12 +99,6 @@ def _driver_pagerank_ranks(
                 break
         else:
             ranks = new_ranks
-    out_schema = T.StructType(
-        [
-            T.StructField("id", id_type, True),
-            T.StructField("rank", T.DoubleType(), True),
-        ]
-    )
     out = pd.DataFrame({"id": ids, "rank": ranks})
     return spark.createDataFrame(out, schema=out_schema)
 
@@ -110,32 +112,50 @@ def pagerank(
     dst: str = "dst",
     driver_finish_max_edges: int = 2_000_000,
 ) -> DataFrame:
-    """(id, rank) for every node appearing in ``edges`` (directed)."""
-    # materialize the loop-invariant state ONCE: without this every
-    # iteration re-runs the edge scan + distinct shuffle + degree agg
-    # from source lineage (~2 redundant full shuffles per round)
+    """(id, rank) for every node appearing in ``edges`` (directed).
+
+    Edges with a NULL endpoint are dropped in the shared
+    canonicalization (round 12, ADVICE r11): the distributed loop's
+    equi-joins never matched a null id anyway (a null-src edge
+    contributed no inflow and null was always classified dangling),
+    while the numpy finisher would have indexed null as an ordinary
+    node — filtering makes both paths agree; null node ids are
+    unsupported.
+
+    ``tol`` caveat (ADVICE r11): in convergence mode (tol > 0) the
+    finisher and the distributed loop compute the L1 delta with
+    different summation orders, so near the tol boundary the early
+    break can fire one iteration apart — results can then differ by
+    more than the shared ROUND(8) absorbs. Path-independent results
+    need tol=0 (fixed iterations; ext_pagerank's oracle mode) or a
+    pinned path via ``driver_finish_max_edges=0``.
+    """
+    # canonicalize + pin the loop-invariant edge set ONCE — LAZILY
+    # (round 12): the gate probe below is the first action and
+    # materializes it, so the old eager pin's separate job (plus the
+    # separate nodes job + nodes.count() job) collapses; without a pin
+    # every iteration re-runs the edge scan + distinct shuffle from
+    # source lineage (~2 redundant full shuffles per round)
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("d").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     if driver_finish_max_edges > 0:
         # bounded driver finisher (round 11; the CC-finisher doctrine —
-        # see _driver_pagerank_ranks). The probe reads the ALREADY
-        # materialized checkpoint; the byte model is the measured
-        # Python-process peak from connected_components (round 10):
-        # ~300 B/edge for integral ids, plus character data ×4 for
-        # strings. Pass driver_finish_max_edges=0 to force the
-        # distributed loop (tests/probes).
+        # see _driver_pagerank_ranks). The probe materializes the edge
+        # checkpoint the loop needed anyway; the byte model is the
+        # measured Python-process peak from connected_components
+        # (round 10): ~300 B/edge for integral ids, plus character
+        # data ×4 for strings. Pass driver_finish_max_edges=0 to force
+        # the distributed loop (tests/probes).
         from mitoscape_spark.operators.dedup import _INTEGRAL_TYPES
 
         integral = isinstance(
@@ -164,9 +184,14 @@ def pagerank(
             probe["n"] <= driver_finish_max_edges
             and probe["b"] <= 640 * 1024 * 1024
         ):
+            # the finisher reads n from its own nodes collect — no
+            # separate count job on this path
             return _driver_pagerank_ranks(
-                e, nodes, n, damping, max_iter, tol
+                e, nodes, damping, max_iter, tol
             ).select("id", F.round("rank", 8).alias("rank"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))

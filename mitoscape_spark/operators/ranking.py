@@ -143,27 +143,134 @@ def global_ntile(
     ``NTILE(k) OVER (ORDER BY ...)``. Bucket boundary contract is
     ``floor((rank-1)·k/n) + 1`` (even spread; differs from SQL NTILE's
     big-buckets-first fill when n % k != 0 — deterministic and stated
-    so oracles restate it verbatim). Ranks come from ``global_rank``;
-    n is a 1-row broadcast stats join.
+    so oracles restate it verbatim). One-dimension form of
+    ``global_ntile_multi`` (single source)."""
+    return global_ntile_multi(
+        df, {out_col: F.col(score_col)}, id_col, k, n_buckets=n_buckets
+    )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    scores: dict,
+    id_col: str,
+    k: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """All-dimensions-at-once ``global_ntile`` (round 12 — VERDICT r11
+    item 5): every ``out_col: score expression`` in ``scores`` gets its
+    exact k-quantile bucket under (score, id) order, with ONE
+    quantile-probe action and ONE bucket-count action for ALL
+    dimensions — the chained per-dimension form fired two driver
+    actions per dimension and re-joined each scored branch back on the
+    key. Boundaries only steer bucket balance, never the rank, so
+    sharing one probe pass is results-identical to the chained form
+    (the per-dimension rank/bucket arithmetic is unchanged:
+    rank = exclusive bucket prefix + in-bucket row_number, bucket =
+    floor((rank-1)·k/n) + 1).
     """
+    from pyspark.sql import Window
+
+    from mitoscape_spark.operators.orderstats import bucket_expr
+
     if k < 1:
         raise ValueError("global_ntile: k >= 1")
-    ranked = global_rank(
-        df, score_col, id_col, out_col="_rnk", n_buckets=n_buckets
-    )
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        ranked.crossJoin(F.broadcast(total))  # 1-row stats join
-        .withColumn(
-            out_col,
-            (
-                F.floor(
-                    (F.col("_rnk") - 1)
-                    * F.lit(float(k))
-                    / F.col("_n")
-                )
-                + 1
-            ).cast("int"),
+    if not scores:
+        raise ValueError("global_ntile_multi: at least one dimension")
+    names = list(scores)
+    d = df
+    for out, sc in scores.items():
+        col = F.col(sc) if isinstance(sc, str) else sc
+        d = d.withColumn(f"_s_{out}", col)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # one probe action: every dimension's approx boundaries + NULL
+    # guard ride a single aggregate (same guard as global_rank —
+    # bucket_expr maps NULL to bucket 0, which would silently rank
+    # NULL scores first)
+    aggs = []
+    for out in names:
+        aggs.append(
+            F.percentile_approx(f"_s_{out}", fracs, 10_000).alias(
+                f"_b_{out}"
+            )
         )
-        .drop("_rnk", "_n")
+        aggs.append(
+            F.sum(F.col(f"_s_{out}").isNull().cast("long")).alias(
+                f"_nulls_{out}"
+            )
+        )
+    probe = d.agg(*aggs).first()
+    for out in names:
+        if probe[f"_nulls_{out}"]:
+            raise ValueError(
+                f"global_ntile: {probe[f'_nulls_{out}']} NULL value(s) "
+                f"in score column for {out!r} — rank over a NULL score "
+                "is undefined; filter or coalesce upstream"
+            )
+    bounds_by: dict = {}
+    for out in names:
+        bounds_by[out] = sorted(
+            {float(b) for b in (probe[f"_b_{out}"] or []) if b is not None}
+        )
+        d = d.withColumn(
+            f"_bk_{out}", bucket_expr(f"_s_{out}", bounds_by[out])
+        )
+    # one bucket-count action across all dimensions: explode the
+    # (dimension, bucket) pairs — output is n_dims × n_buckets tiny
+    # rows, the same driver-sized state the chained form collected
+    # once per dimension
+    cnt_rows = (
+        d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(out).alias("_dim"),
+                            F.col(f"_bk_{out}").alias("_bk"),
+                        )
+                        for out in names
+                    ]
+                )
+            ).alias("_e")
+        )
+        .groupBy("_e._dim", "_e._bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
     )
+    counts: dict = {out: {} for out in names}
+    for r in cnt_rows:
+        counts[r["_dim"]][r["_bk"]] = r["_n"]
+    n_total = sum(counts[names[0]].values())
+    for out in names:
+        # exclusive cumulative prefix per POSSIBLE bucket (0..len
+        # bounds), inlined as one tiny array literal indexed by the
+        # bucket column — no broadcast join, no extra plan nodes (the
+        # driver-side state is the same ≤ n_buckets counts the chained
+        # form collected per dimension)
+        offs, acc = [], 0
+        for bk in range(len(bounds_by[out]) + 1):
+            offs.append(acc)
+            acc += counts[out].get(bk, 0)
+        off_arr = F.expr(
+            "array(" + ",".join(f"{o}L" for o in offs) + ")"
+        )
+        w = Window.partitionBy(f"_bk_{out}").orderBy(f"_s_{out}", id_col)
+        d = (
+            d.withColumn(
+                out,
+                (
+                    F.floor(
+                        (
+                            off_arr.getItem(F.col(f"_bk_{out}"))
+                            + F.row_number().over(w)
+                            - 1
+                        )
+                        * F.lit(float(k))
+                        / F.lit(n_total)
+                    )
+                    + 1
+                ).cast("int"),
+            )
+            .drop(f"_bk_{out}", f"_s_{out}")
+        )
+    return d

@@ -7755,7 +7755,7 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a single-partition NTILE window); the even-spread bucket
     contract floor((rank-1)·5/n)+1 is restated verbatim in the
     oracle."""
-    from mitoscape_spark.operators.ranking import global_ntile
+    from mitoscape_spark.operators.ranking import global_ntile_multi
 
     orders = load_table(spark, sf_dir, "orders")
     # revenue in integer CENTS: sums/averages/rank order stay exact
@@ -7767,11 +7767,12 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_freq"),
         F.sum(cents).alias("_rev"),
     )
-    # each global_ntile fires two internal actions (quantile probe +
-    # bucket counts); CHAINING the three would re-execute the orders
-    # agg ~9x through the growing lineage — materialize the small
-    # per-customer table once and score the three dimensions as
-    # independent branches joined back on the key
+    # the stacked multi-dim ntile fires TWO internal actions total
+    # (round 12 — one shared quantile probe, one shared bucket-count
+    # pass); the chained per-dimension form fired two per dimension
+    # and re-joined each scored branch on the key. The pin still
+    # matters: the probe + count actions and the final window pass all
+    # read the per-customer table
     cust = cust.localCheckpoint(eager=False)
     # ascending score = better rank first: negate so "most recent /
     # most frequent / highest revenue" gets bucket 1
@@ -7780,16 +7781,9 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_score": (-F.col("_freq")).cast("double"),
         "m_score": (-F.col("_rev")).cast("double"),
     }
-    scored = cust.select("o_custkey", "_rev")
-    for out, score in dims.items():
-        branch = global_ntile(
-            cust.select("o_custkey", score.alias("_s")),
-            "_s",
-            "o_custkey",
-            5,
-            out_col=out,
-        ).select("o_custkey", out)
-        scored = scored.join(branch, "o_custkey")
+    scored = global_ntile_multi(cust, dims, "o_custkey", 5).select(
+        "o_custkey", "_rev", "r_score", "f_score", "m_score"
+    )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
