@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
@@ -286,7 +288,7 @@ def phrase_search(
     postings = (
         positional_postings(docs, text_col, id_col)
         .where(F.col("token").isin(sorted(set(terms))))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # k-row df lookup (k = distinct phrase tokens); a token with zero
     # postings sorts first and empties the chain at the anchor — the

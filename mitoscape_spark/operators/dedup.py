@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mitoscape_spark.pins import pin, pin_eager
+
 from mitoscape_spark.functions.vectors import cosine_similarity
 
 DEFAULT_NUM_HASHES = 8
@@ -324,9 +326,7 @@ def minhash_candidate_pairs(
     # (and, on the capped path, the bucket-size agg + the sized join)
     # with DIFFERENT projections — ReuseExchange does not fire across
     # them, so the signature+banding lineage re-executed per side
-    bands = minhash_bands(signatures, band_size).localCheckpoint(
-        eager=False
-    )
+    bands = minhash_bands(signatures, band_size).transform(pin)
     if max_bucket_size is not None:
         # one extra hash-agg keyed like the join: per-bucket size + the
         # star representative (min doc_id)
@@ -336,9 +336,7 @@ def minhash_candidate_pairs(
         )
         # §20 pin: sized feeds the small filter (both self-join sides)
         # AND the star branch
-        sized = bands.join(buckets, ["band", "band_key"]).localCheckpoint(
-            eager=False
-        )
+        sized = bands.join(buckets, ["band", "band_key"]).transform(pin)
         small = sized.where(F.col("_bn") <= max_bucket_size)
         star = (
             sized.where(
@@ -878,8 +876,10 @@ def connected_components(
     an edge-set checksum (count + hash sum — two scalars); raises if
     the round budget is exhausted rather than returning silently-wrong
     labels. Cluster note: localCheckpoint trades executor-loss
-    recovery for speed; set a reliable checkpoint dir and switch to
-    ``checkpoint()`` where jobs outlive executors.
+    recovery for speed; flip the engine-wide pin knob
+    (``spark.mitoscape.pin.mode=reliable`` + a checkpoint dir — see
+    ``mitoscape_spark.pins`` and SCALE.md) where jobs outlive
+    executors.
 
     Small graphs take a BOUNDED driver finisher instead (round-9,
     verdict item 2): when the distinct'd edge set is at most
@@ -925,7 +925,7 @@ def connected_components(
         # otherwise re-execute per occurrence; the materialization is
         # edge-set-sized, the same bound the per-round checkpoint
         # already accepts (round-7, measured on ext_leakage_safe_split)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     if driver_finish_max_edges > 0:
         # one aggregate job; it materializes the checkpoint that
@@ -1018,7 +1018,7 @@ def connected_components(
             # so ONE job per round materializes checkpoint + signature
             # (eager=True ran a separate materialization job per round
             # — pure fixed overhead on small graphs)
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         sig_row = edges_new.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1099,7 +1099,7 @@ def connected_components_propagation(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(pin_eager)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -1199,7 +1199,7 @@ def sparse_near_duplicates(
     # normalized projection — for callers whose postings lineage is
     # expensive (TF-IDF: a fitted-pipeline transform + posexplode) the
     # re-evaluations dominate; materialize once
-    postings = postings.localCheckpoint(eager=False)
+    postings = postings.transform(pin)
     if n_blocks is None:
         stats = postings.agg(
             F.count(F.lit(1)).alias("nnz"),
@@ -1250,7 +1250,7 @@ def sparse_near_duplicates(
         F.collect_list("w").alias("ws"),
         F.max("_l1").alias("_l1max"),
         F.max("_mx").alias("_mxmax"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     a = packed.select(
         F.col("block").alias("block_a"),
         F.col("ids").alias("ids_a"),
@@ -1430,17 +1430,17 @@ def _shingle_id_tables(docs: DataFrame, shingle_size: int):
 
     # the shingle explosion feeds several consumers — materialize once
     # instead of re-tokenizing per consumer
-    sh = shingles(docs, shingle_size).localCheckpoint(eager=False)
+    sh = shingles(docs, shingle_size).transform(pin)
     freq = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .withColumn("_sid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)  # freeze ids BEFORE consumers fork
+        .transform(pin_eager)  # freeze ids BEFORE consumers fork
     )
     shs = (
         sh.join(freq, "shingle")
         .select("doc_id", "_sid", "_df")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     by_doc = Window.partitionBy("doc_id")
     ordered = (
@@ -1450,7 +1450,7 @@ def _shingle_id_tables(docs: DataFrame, shingle_size: int):
         .withColumn("n", F.count(F.lit(1)).over(by_doc))
         # consumed by the prefix filter AND (containment) the full
         # postings side — pin so the window pass runs once (§20)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # sets feed two join branches (doc_a side, doc_b side); grouping
     # ordered's window output reuses its doc_id partitioning — no
@@ -1458,7 +1458,7 @@ def _shingle_id_tables(docs: DataFrame, shingle_size: int):
     sets = ordered.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("_sid")).alias("sh_set"),
         F.max("_pos").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     return shs, ordered, sets
 
 
@@ -1521,7 +1521,7 @@ def ngram_jaccard_pairs_prefix(
     prefix = (
         ordered.where(F.col("_pos") <= prefix_len)
         .select("doc_id", "_sid")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     cand = (
         prefix.alias("a")
@@ -1602,7 +1602,7 @@ def ngram_containment_pairs(
     prefix = (
         ordered.where(F.col("_pos") <= _prefix_len(threshold))
         .select("doc_id", "_sid", "n")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     full = ordered.select("doc_id", "_sid", "n")
     # smaller side must produce the prefix hit; size ties break by id

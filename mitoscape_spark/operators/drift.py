@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 from mitoscape_spark.operators.orderstats import running_prefix
 
 EPS = 1e-6
@@ -116,7 +118,7 @@ def _drift_report_numeric(
     # the |cols|-row edges table feeds BOTH bin passes; a lazy local
     # checkpoint computes it once and reuses the materialized rows
     # (without it each pass re-runs the reference scan + agg subtree)
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(pin)
     from pyspark.sql import Window as W
 
     # per-column totals ride a window over the ALREADY-AGGREGATED
@@ -333,7 +335,7 @@ def _drift_report_grouped_numeric(
     edges = (
         ref_tall.groupBy("grp", "col_name")
         .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def _counts(tall: DataFrame, n_name: str) -> DataFrame:
@@ -500,7 +502,7 @@ def wasserstein_distance(
     # the reverse pass fires its own quantile/bucket actions — pin the
     # (distinct-value-sized) CDF table so those don't re-run the whole
     # per-value aggregation lineage (same trick as ext_rfm_segments)
-    cdf = cdf.localCheckpoint(eager=False)
+    cdf = cdf.transform(pin)
     rev = running_prefix(
         cdf.withColumn("_nv", -F.col("_v")),
         "_nv",

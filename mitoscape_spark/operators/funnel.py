@@ -50,16 +50,21 @@ def funnel_counts(
     )
     # stage 0: earliest occurrence of the first step per user.
     # Per-stage §20 pin: each stage's count() action plus the next
-    # stage's join consume `state` — uncheckpointed, stage i re-executes
+    # stage's join consume `state` — unpinned, stage i re-executes
     # stages 0..i-1 from scratch (O(k²) stage work for a k-step funnel);
-    # the pinned state is the reduced per-user aggregate.
+    # the pinned state is the reduced per-user aggregate. persist()
+    # rather than localCheckpoint so the PREVIOUS stage can be
+    # unpersisted once the next stage's count() has materialized on top
+    # of it — a k-step funnel holds at most 2 stage states in executor
+    # storage, not k (round-11 ADVICE item 3).
     state = (
         ev.where(F.col("s") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("t_prev"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     counts = [state.count()]
+    prev = state
     for step in steps[1:]:
         state = (
             ev.where(F.col("s") == step)
@@ -67,9 +72,12 @@ def funnel_counts(
             .where(F.col("t") > F.col("t_prev"))
             .groupBy("u")
             .agg(F.min("t").alias("t_prev"))
-            .localCheckpoint(eager=False)
+            .persist()
         )
         counts.append(state.count())
+        prev.unpersist()
+        prev = state
+    prev.unpersist()
     spark = events.sparkSession
     first = counts[0] or 1
     rows = [
@@ -113,14 +121,23 @@ def funnel_counts_windowed(
         F.col(type_col).alias("s"),
     )
     span = F.expr(f"INTERVAL {int(max_span_seconds)} SECONDS")
-    # per-stage §20 pins: same O(k²) re-execution hazard as
-    # funnel_counts above (count action + next stage's join)
+    # per-stage §20 pins: same O(k²) re-execution hazard (count action
+    # + next stage's join) and the same persist/unpersist discipline as
+    # funnel_counts above. Stage 0 is additionally AGGREGATED before the
+    # pin (round-11 ADVICE item 3): distinct (u, t0) is the chain
+    # domain — two step-0 events at the same (user, timestamp) open the
+    # same chain, and every downstream stage groupBy(u, t0) collapses
+    # their duplicate join matches to the identical row anyway — so the
+    # pin holds the reduced chain set, not the raw event projection.
     state = (
         ev.where(F.col("s") == steps[0])
-        .select("u", F.col("t").alias("t0"), F.col("t").alias("t_prev"))
-        .localCheckpoint(eager=False)
+        .select("u", F.col("t").alias("t0"))
+        .distinct()
+        .withColumn("t_prev", F.col("t0"))
+        .persist()
     )
     counts = [state.select("u").distinct().count()]
+    prev = state
     for step in steps[1:]:
         state = (
             ev.where(F.col("s") == step)
@@ -131,9 +148,12 @@ def funnel_counts_windowed(
             )
             .groupBy("u", "t0")
             .agg(F.min("t").alias("t_prev"))
-            .localCheckpoint(eager=False)
+            .persist()
         )
         counts.append(state.select("u").distinct().count())
+        prev.unpersist()
+        prev = state
+    prev.unpersist()
     spark = events.sparkSession
     first = counts[0] or 1
     out = spark.createDataFrame(

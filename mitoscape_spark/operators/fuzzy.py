@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 
 def first_token_block(col: Column | str) -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, " ")[0]
@@ -99,12 +101,29 @@ def fuzzy_pairs(
         )
     )
     if min_distance == 0:
-        x, y = keyed.alias("x"), keyed.alias("y")
+        # salted like the kernel join (round-11 ADVICE item 4): a
+        # heavily duplicated text is one hot (blk, txt) join key whose
+        # O(dups²) same-text pair emission would otherwise concentrate
+        # in a single task. The probe side keeps one deterministic salt
+        # per id, the build side replicates across n_salts, so the hot
+        # key splits into n_salts parallel tasks and each unordered
+        # pair is still emitted exactly once (via the build replica
+        # whose salt equals the probe row's).
+        x = keyed.withColumn(
+            "_salt", F.pmod(F.hash("id"), F.lit(n_salts)).cast("int")
+        ).alias("x")
+        y = keyed.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")
+            ),
+        ).alias("y")
         same = (
             x.join(
                 y,
                 (F.col("x.blk") == F.col("y.blk"))
                 & (F.col("x.txt") == F.col("y.txt"))
+                & (F.col("x._salt") == F.col("y._salt"))
                 & (F.col("x.id") < F.col("y.id")),
             )
             .select(
@@ -149,7 +168,7 @@ def _distinct_text_pairs(
     # Pinned (§20 doctrine: reduced form consumed ≥2 times — the
     # partition-count probe plus both self-join sides) so the corpus
     # scan + distinct shuffle run once.
-    uniq = keyed.select("blk", "txt").distinct().localCheckpoint(eager=False)
+    uniq = keyed.select("blk", "txt").distinct().transform(pin)
     # the probe side must actually be distributed: a dimension-sized
     # input arrives as one scan task, and with a broadcast build side
     # the join inherits that single partition — repartition on the
@@ -280,7 +299,7 @@ def fuzzy_dedup_keep_canonical(
     # CC input — reduced (pair-level) form, never row-level
     tedges = (
         tp.select(F.col("txt_a").alias("u"), F.col("txt_b").alias("v"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tnodes = (
         tedges.select(F.col("u").alias("txt"))
@@ -293,7 +312,7 @@ def fuzzy_dedup_keep_canonical(
         keyed.join(tnodes, "txt", "left_semi")
         .select("id", "txt")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # an id under several edge-bearing texts merges their components:
     # chain each id's texts (consecutive pairs ≡ full clique for

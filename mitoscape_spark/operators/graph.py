@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mitoscape_spark.pins import pin, pin_eager
+
 
 def _driver_pagerank_ranks(
     e: DataFrame,
@@ -140,13 +142,13 @@ def pagerank(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("d").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     if driver_finish_max_edges > 0:
         # bounded driver finisher (round 11; the CC-finisher doctrine —
@@ -195,7 +197,7 @@ def pagerank(
     out_deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
@@ -206,7 +208,7 @@ def pagerank(
     # action per round, ~45% of wall-clock on a dangling-free graph
     dangling_nodes = (
         nodes.join(out_deg, nodes["id"] == out_deg["s"], "left_anti")
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     has_dangling = bool(dangling_nodes.head(1))
 
@@ -247,7 +249,7 @@ def pagerank(
             # checkpoint materializes the round — deterministic
             # iteration count makes the run SQL-restatable, which is
             # how ext_pagerank carries a DuckDB oracle)
-            .localCheckpoint(eager=tol <= 0)
+            .transform(lambda d: pin(d, eager=tol <= 0))
         )
         if tol > 0:
             delta = (
@@ -297,7 +299,7 @@ def triangle_counts(
         # an expensive caller edge derivation (ext_triangle_count's
         # co-purchase self-join) must not re-execute per occurrence
         # (round-7; same discipline as connected_components)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # §20 pin: the degree table attaches to BOTH edge endpoints (du/dv
     # are different projections — no ReuseExchange)
@@ -306,7 +308,7 @@ def triangle_counts(
         .unionAll(e.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
@@ -339,7 +341,7 @@ def triangle_counts(
     adj = (
         oriented.groupBy("lo")
         .agg(F.collect_list("hi").alias("nbrs"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     b_adj = adj.select(F.col("lo").alias("b"), F.col("nbrs").alias("nb"))
     closed = (
@@ -358,7 +360,7 @@ def triangle_counts(
         # §20 pin: the per-node credit below unions three projections
         # of closed — without it the whole adjacency pipeline executes
         # once per union branch
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # per-node credit: the edge endpoints once per closure, every
     # closing node once
@@ -405,12 +407,10 @@ def label_propagation(
             F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         # loop-invariant: materialize once, not per round
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     nodes = und.select(F.col("a").alias("id")).distinct()
-    labels = nodes.withColumn("lbl", F.col("id")).localCheckpoint(
-        eager=True
-    )
+    labels = nodes.withColumn("lbl", F.col("id")).transform(pin_eager)
 
     for _ in range(max_iter):
         neigh = (
@@ -441,7 +441,7 @@ def label_propagation(
             .select(F.col("node").alias("id"), "lbl")
             # lazy: the changed-count below materializes it (one job
             # per round instead of two)
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         changed = (
             labels.withColumnRenamed("lbl", "old")
@@ -480,13 +480,13 @@ def shortest_hops(
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     settled = (
         sources.select(F.col("id"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -498,11 +498,11 @@ def shortest_hops(
         fresh = (
             reached.join(settled, "id", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
         if fresh.isEmpty():
             break
-        settled = settled.unionByName(fresh).localCheckpoint(eager=True)
+        settled = settled.unionByName(fresh).transform(pin_eager)
         frontier = fresh
     return settled
 
@@ -540,7 +540,7 @@ def k_core(
         edges.select(u.alias("u"), v.alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     n_edges = e.count()
     for _ in range(max_rounds):
@@ -555,7 +555,7 @@ def k_core(
             e.join(keep.withColumnRenamed("id", "u"), "u", "semi")
             .join(keep.withColumnRenamed("id", "v"), "v", "semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -596,13 +596,13 @@ def adamic_adar_scores(
     # symmetric union (twice) and the existing-edge anti-join below —
     # without the checkpoint an expensive upstream lineage (e.g. the
     # co-purchase self-join) re-executes per occurrence
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(pin)
     # §20 pin: sym feeds the degree agg AND the adjacency projection
     # (whose self-join reads it twice more)
     sym = (
         edges.selectExpr("u", "v")
         .union(edges.selectExpr("v AS u", "u AS v"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     deg = sym.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).alias("_deg")

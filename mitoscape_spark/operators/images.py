@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mitoscape_spark.pins import pin
+
 N_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
 
 
@@ -136,7 +138,7 @@ def phash_near_duplicates(
     # KB/MB-scale where payloads are GB-scale — so pin it at entry:
     # measured at sf0.1, the audio pair join dropped 6.9 s → 0.7 s
     # with the fingerprint derivation running once.
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(pin)
     banded = hashes.select(
         "media_id",
         "phash",
@@ -242,7 +244,7 @@ def video_near_duplicates(
     sigs = (
         frame_hashes.select("media_id", "phash")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # (round-11 A/B: pinning sizes LOST 1.82→2.12 s — it is a cheap
     # agg over the ALREADY pinned sigs checkpoint; the extra

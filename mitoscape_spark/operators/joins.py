@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from mitoscape_spark.pins import pin
+
 
 def broadcast_join(
     fact: DataFrame, dim: DataFrame, on, how: str = "inner"
@@ -81,7 +83,7 @@ def join_explosion_report(
         .withColumn("out_rows", F.col("n_left") * F.col("n_right"))
         # §20 pin: consumed by the TOTAL aggregate and the hottest-key
         # top-k — both key-count aggs + the join would run twice
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     total = per_key.agg(
         *[F.lit(None).cast(per_key.schema[k].dataType).alias(k)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 _KINDS = ("sum", "min")
 
 
@@ -76,7 +78,7 @@ def running_prefix(
     # plan); pin it so they don't re-run the caller's upstream lineage
     # three times — by contract it is already reduced to one row per
     # distinct key, so the materialization is key-cardinality-sized
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(pin)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     # NULL-key guard rides the quantile probe's existing action (no
     # extra job): bucket_expr would silently map NULL to bucket 0 and

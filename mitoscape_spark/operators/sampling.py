@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
 
@@ -617,7 +619,7 @@ def sample_negatives(
     # count + the candidate join both act on idx, and global_rank's
     # own internal actions already ran the distinct scan twice — pin
     # the (corpus-id-sized) index so nothing re-derives it again
-    idx = idx.localCheckpoint(eager=False)
+    idx = idx.transform(pin)
     n = idx.count()  # 1-scalar driver state, like the bucket bounds
     n_draws = oversample * k
     qids = positives.select(F.col(qid_col).alias("_qid")).distinct()

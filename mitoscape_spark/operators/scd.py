@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 SCD2_COLS = ("effective_from", "effective_to", "is_current")
 
 
@@ -75,7 +77,7 @@ def scd2_apply(
         on = clause if on is None else on & clause
     # §20 pin: the unchanged/closed/opened branches each consume this
     # full-outer join — without the checkpoint it executes three times
-    joined = cur.join(chg, on, "full_outer").localCheckpoint(eager=False)
+    joined = cur.join(chg, on, "full_outer").transform(pin)
 
     in_dim = F.col("cur.is_current").isNotNull()
     in_chg = F.col("chg._chg").isNotNull()

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 from mitoscape_spark.functions.vectors import cosine_similarity
 
 
@@ -450,9 +452,7 @@ def knn_join_ivf(
         order = np.argsort(-(x @ cent.T), axis=1)[:, :n_probe]
         return pd.Series(list(order.astype("int32")))
 
-    assigned = index.assign(embeddings, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
+    assigned = index.assign(embeddings, id_col, vec_col).transform(pin)
     members = assigned.select(
         "centroid", F.lit(False).alias("is_q"), "id", "v"
     )

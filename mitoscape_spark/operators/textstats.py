@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 # tiny built-in stopword profiles; deterministic, embedded identically
 # in the DuckDB oracle SQL (queries.extensions)
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -474,7 +476,7 @@ def token_group_pmi(
     c_tg = (
         toks.groupBy("tok", "grp")
         .agg(F.count(F.lit(1)).alias("c_tg"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     c_t = c_tg.groupBy("tok").agg(F.sum("c_tg").alias("c_t"))
     c_g = c_tg.groupBy("grp").agg(F.sum("c_tg").alias("c_g"))
@@ -681,7 +683,7 @@ def js_divergence_by_group(
     c_gt = (
         toks.groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("_cg"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     c_t = c_gt.groupBy("tok").agg(F.sum("_cg").alias("_ct"))
     from pyspark.sql import Window

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 
 def daily_rollup(
     events: DataFrame,
@@ -118,7 +120,7 @@ def seasonal_decompose_dow(
     # §20 pin: daily feeds the seasonal agg AND the decomposition join
     daily = daily.withColumn(
         "dow", (F.weekday("day") + F.lit(1)).cast("int")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     seasonal = daily.groupBy("dow").agg(F.avg("total").alias("dow_avg"))
     # (round-11 A/B: ALSO pinning with_season LOST badly, 0.41→2.0 s —
     # two chained materialization barriers serialize what was one

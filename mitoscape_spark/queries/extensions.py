@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mitoscape_spark.pins import pin
+
 from mitoscape_spark.catalog import load_table
 from mitoscape_spark.functions.textnorm import TEXTNORM_SQL
 
@@ -302,7 +304,7 @@ def ext_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = (
         winnow_fingerprints(docs, k=3, window=4)
         .dropDuplicates(["doc_id", "fp"])
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (
@@ -536,7 +538,7 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         events.groupBy("event_type")
         .agg(F.theta_sketch_agg("user_id").alias("sk"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
@@ -577,7 +579,7 @@ def ext_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         events.groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a, b = hourly.alias("a"), hourly.alias("b")
     return (
@@ -1082,16 +1084,14 @@ def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin: the pair set feeds BOTH the component labeling and the
     # straddle audit below — without it the MinHash banding lineage
     # (~3 s at sf0.1) executes twice (round-7)
-    pairs = minhash_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
-        eager=False
-    )
+    pairs = minhash_candidate_pairs(minhash_signatures(docs)).transform(pin)
     # §20 pin: the assignment feeds BOTH straddle-audit sides AND the
     # stats agg — without it the CC labeling over the pair graph runs
     # three times
     assigned = (
         leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2})
         .select("doc_id", "split")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sa = assigned.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("_spl_a")
@@ -2953,7 +2953,7 @@ def ext_tfidf_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("doc_id", idx.alias("idx"))
         .groupBy("doc_id", "idx")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # corpus-level scalar rides the PLAN as a 1-row broadcast cross
     # join (round 12, guide §5 — it was a separate docs.count() driver
@@ -3833,7 +3833,7 @@ def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     undirected = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -4014,7 +4014,7 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("m") == "image").cast("long")).alias("_i"),
             F.sum((F.col("m") == "audio").cast("long")).alias("_a"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     stats = per_pair.agg(
         F.count(F.lit(1)).alias("pairs"),
@@ -7773,7 +7773,7 @@ def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-joined each scored branch on the key. The pin still
     # matters: the probe + count actions and the final window pass all
     # read the per-customer table
-    cust = cust.localCheckpoint(eager=False)
+    cust = cust.transform(pin)
     # ascending score = better rank first: negate so "most recent /
     # most frequent / highest revenue" gets bucket 1
     dims = {
@@ -8142,7 +8142,7 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # §20 pin: sigs feeds the banding pass AND both estimator join
     # sides — the shingle explode + 8×md5 signature agg runs once
-    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs).transform(pin)
     cands = minhash_candidate_pairs(sigs)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -8283,7 +8283,7 @@ def ext_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     sk = countmin_build(lineitem, "l_partkey", width=1024, depth=4)
-    sk = sk.localCheckpoint(eager=False)  # both estimator sides read it
+    sk = sk.transform(pin)  # both estimator sides read it
     est = countmin_inner_product(sk, sk)
     truth = (
         lineitem.where(F.col("l_partkey").isNotNull())
@@ -8690,7 +8690,7 @@ def ext_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     edges = (
         op.alias("a")
@@ -8958,7 +8958,7 @@ def ext_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             p=8,
         )
         .select(F.col("grp").alias("day"), "register", "max_rank")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     days = daily.select("day").distinct()
     regs = daily.select("register").distinct()
@@ -9553,7 +9553,7 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofweek("ts").alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     ma = obs.groupBy("a").agg(F.sum("o").alias("_na"))
     mb = obs.groupBy("b").agg(F.sum("o").alias("_nb"))
@@ -9616,7 +9616,7 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n_orders = op.select("l_orderkey").distinct().count()
     item = op.groupBy(F.col("l_partkey").alias("x")).agg(
@@ -9633,7 +9633,7 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_sxy"))
         .where(F.col("_sxy") >= 2)
         # §20 pin: the rule table reads pairs in both directions
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     both = pairs.unionByName(
         pairs.select(
@@ -9751,7 +9751,7 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         minhash_candidate_pairs(minhash_signatures(docs))
         .withColumn("_is_cand", F.lit(1))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     joined = exact.join(cands, ["doc_a", "doc_b"], "left").select(
         "jaccard", F.coalesce("_is_cand", F.lit(0)).alias("_c")
@@ -9873,7 +9873,7 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # §20 pin: the symmetric union below embeds this lineage twice
         # (and deg/pairs each consume sym) — the co-purchase self-join
         # must run once
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -9931,7 +9931,7 @@ def ext_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branch below — without it the co-purchase self-join lineage
         # executes twice (triangle_counts pins only its internal
         # canonicalized copy)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tri = triangle_counts(edges, src="u", dst="v").agg(
         F.sum("n_triangles").alias("_t3")
@@ -10103,7 +10103,7 @@ def ext_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.select("doc_id").distinct().count()
@@ -10315,7 +10315,7 @@ def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dow", F.dayofweek("day"))
         # §20 pin: the daily rollup feeds the dow means, the grand
         # means, and the residual join — three events scans without it
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     dow_mu = daily.groupBy("event_type", "dow").agg(
         F.avg("y").alias("_dm")
@@ -10741,7 +10741,7 @@ def ext_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         events.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("_k"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tot = counts.agg(F.sum("_k").alias("_n"))
     z = F.lit(1.959963984540054)  # Phi^-1(0.975)

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from mitoscape_spark.pins import pin_eager
+
 from mitoscape_spark.operators.merge import merge_upsert
 
 
@@ -95,7 +97,7 @@ def upsert_to_parquet(
         # rewrite snapshot: stage in memory (bench-scale) or to a temp
         # dir then swap in production; localCheckpoint breaks the
         # read-own-input cycle
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        merged.transform(pin_eager).write.mode("overwrite").parquet(
             path
         )
 

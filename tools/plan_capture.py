@@ -94,8 +94,11 @@ def main() -> int:
         with open(path, "w") as fh:
             fh.write(buf.getvalue())
         plan = buf.getvalue()
-        n_exch = plan.count("Exchange")
+        # 'ReusedExchange' contains the substring 'Exchange'; subtract so
+        # the headline number is actual shuffles, not shuffles + reuses
+        # (round-11 ADVICE item 5)
         n_reused = plan.count("ReusedExchange")
+        n_exch = plan.count("Exchange") - n_reused
         joins = sorted(
             set(re.findall(r"(\w*Join\w*|CartesianProduct)", plan))
         )
