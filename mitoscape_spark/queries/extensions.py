@@ -4028,9 +4028,25 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors = docs minus non-canonical component members; every
     # component id IS a doc id (all pairs derive from this corpus), so
     # the count is pure arithmetic — the anti-join corpus scan of
-    # dedup_keep_canonical re-derived a count the labels already hold
-    n_losers = comp.where(F.col("id") != F.col("component")).count()
-    n_docs = docs.count()
+    # dedup_keep_canonical re-derived a count the labels already hold.
+    # The corpus doc count rides the SAME action as the loser count
+    # (unionAll of two one-row aggregates — one collect, no broadcast),
+    # so the report runs exactly 3 driver actions: the stats/pin
+    # materialization, the CC edge collect (gate pre-certified via
+    # n_edges), and this tail collect.
+    tail = {
+        r["_k"]: int(r["n"])
+        for r in comp.where(F.col("id") != F.col("component"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("losers").alias("_k"), "n")
+        .unionAll(
+            docs.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("docs").alias("_k"), "n"
+            )
+        )
+        .collect()
+    }
+    n_losers, n_docs = tail["losers"], tail["docs"]
     return spark.createDataFrame(
         [
             (
