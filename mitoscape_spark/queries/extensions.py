@@ -2566,15 +2566,18 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.intervals import point_interval_join
 
     events = load_table(spark, sf_dir, "events")
-    intervals = events.select(
+    # MICROSECOND-precision epochs, same round-12 correctness fix as
+    # q13: the corpus timestamps are sub-second and the oracle compares
+    # full timestamps — unix_timestamp's seconds truncation drops a
+    # same-user pair sharing a truncated second (materializes at sf0.1)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+    intervals = events.selectExpr(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("w_start"),
-        (F.unix_timestamp("ts") + 3600).alias("w_end"),
+        f"{us} AS w_start",
+        f"{us} + 3600000000 AS w_end",
     )
-    points = events.select(
-        "user_id", F.unix_timestamp("ts").alias("p_ts")
-    )
+    points = events.selectExpr("user_id", f"{us} AS p_ts")
     joined = point_interval_join(
         points,
         intervals,
@@ -2582,7 +2585,7 @@ def ext_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="w_start",
         end_col="w_end",
         equi_keys=["user_id"],
-        bucket_width=3600,
+        bucket_width=3600 * 1_000_000,
         closed="right",
     )
     return (

@@ -78,11 +78,16 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet scan (PushedFilters); row-group statistics prune at scale.
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # one-parse predicate (see q10): the three-comparison Column build
+    # was ~10 py4j round-trips; the parsed conjunction is the same
+    # expression tree (the 0.05 decimal literal widens to double
+    # against the double column at analysis) and pushes down identically
     return (
         li.where(
-            (F.col("l_quantity") > 30)
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_returnflag") == "R")
+            F.expr(
+                "l_quantity > 30 AND l_discount >= 0.05 "
+                "AND l_returnflag = 'R'"
+            )
         )
         .select("l_orderkey", "l_linenumber")
         .transform(_present, "l_orderkey", "l_linenumber")
@@ -237,27 +242,30 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = li.repartition("l_orderkey")
     # bucketed source: the scan itself is hash-partitioned on
     # l_orderkey, so the whole cascade plans ZERO exchanges
+    # expressions as one-parse SQL strings: the builder-API form spent
+    # ~0.15 s per call in py4j round-trips constructing this query's
+    # ~30 column objects — 40% of the whole query serial — while
+    # F.expr/selectExpr parse each string in ONE round-trip to the
+    # identical expression tree (SQL `/` on longs is double division,
+    # CAST truncates, ROUND is HALF_UP — same operators as the Column
+    # forms they replace; hash-verified at sf0.001/0.01/0.1)
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("l_quantity").alias("sq"),
+        F.expr("COUNT(1) AS c"),
+        F.expr("SUM(l_quantity) AS sq"),
     )
     return (
         per_line.groupBy("l_orderkey")
         .agg(
-            F.sum("c").alias("n"),
-            F.sum(F.col("c") * F.col("c")).alias("c2"),
-            F.sum("sq").alias("s1"),
-            F.sum(F.col("sq") * F.col("sq")).alias("s2"),
+            F.expr("SUM(c) AS n"),
+            F.expr("SUM(c*c) AS c2"),
+            F.expr("SUM(sq) AS s1"),
+            F.expr("SUM(sq*sq) AS s2"),
         )
-        .where((F.col("n") * F.col("n") - F.col("c2")) > 0)
-        .select(
+        .where(F.expr("n*n - c2 > 0"))
+        .selectExpr(
             "l_orderkey",
-            ((F.col("n") * F.col("n") - F.col("c2")) / 2)
-            .cast("long")
-            .alias("pairs"),
-            F.round((F.col("s1") * F.col("s1") - F.col("s2")) / 2)
-            .cast("long")
-            .alias("s"),
+            "CAST((n*n - c2)/2 AS LONG) AS pairs",
+            "CAST(ROUND((s1*s1 - s2)/2) AS LONG) AS s",
         )
         .transform(_present, "l_orderkey")
     )
@@ -304,13 +312,27 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitoscape_spark.operators.intervals import point_interval_join
 
     events = load_table(spark, sf_dir, "events")
-    intervals = events.select(
+    # MICROSECOND-precision epochs (round-12 correctness fix): every
+    # event in this corpus carries sub-second precision, and the
+    # oracle's `e2.ts > e1.ts AND e2.ts <= e1.ts + 1 HOUR` compares
+    # full timestamps — the old unix_timestamp (SECONDS) truncation
+    # dropped a same-user pair whose two events share a truncated
+    # second (first materialized at sf0.1: spark 8806 vs oracle 8807
+    # rows). unix_micros is the exact epoch the µs-backed timestamp
+    # stores, so the join now matches the oracle at every density.
+    # Projections stay one-parse selectExpr (py4j round-trip economy,
+    # see q10).
+    # (timestampdiff, not unix_micros: ts is TIMESTAMP_NTZ and the
+    # wall-clock difference is timezone-free — unix_micros would force
+    # a session-timezone-dependent NTZ→TZ cast)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+    intervals = events.selectExpr(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("w_start"),
-        (F.unix_timestamp("ts") + 3600).alias("w_end"),
+        f"{us} AS w_start",
+        f"{us} + 3600000000 AS w_end",
     )
-    points = events.select("user_id", F.unix_timestamp("ts").alias("p_ts"))
+    points = events.selectExpr("user_id", f"{us} AS p_ts")
     joined = point_interval_join(
         points,
         intervals,
@@ -318,12 +340,12 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="w_start",
         end_col="w_end",
         equi_keys=["user_id"],
-        bucket_width=3600,
+        bucket_width=3600 * 1_000_000,
         closed="right",
     )
     return (
         joined.groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr("COUNT(1) AS n"))
         .transform(_present, "event_id")
     )
 
