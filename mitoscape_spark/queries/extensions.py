@@ -565,20 +565,26 @@ def ext_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 3-hour distinct users from MERGEABLE hourly HLL
+    """Rolling 3-hour distinct users from MERGEABLE hourly THETA
     sketches: one sketch per hour (map-side partial agg), the rolling
     window unions 3 sketch rows — the fact table is scanned ONCE no
     matter how many windows, the re-aggregation works on KB sketch
     state. COUNT(DISTINCT) does not decompose over overlapping
-    windows; sketch algebra does. Below nominal capacity the estimate
-    is exact, so the oracle states the brute-force per-window
-    COUNT(DISTINCT)."""
+    windows; sketch algebra does. Theta (not HLL — round-12 fix): a
+    theta sketch below nominal capacity retains the raw hash set, so
+    its estimate is the EXACT distinct count and the brute-force
+    oracle below is valid by construction; HLL's coupon estimator is
+    only approximately exact even in sparse mode and first diverged
+    (±1 on 15/500 windows) at sf0.1. lgNomEntries=14 keeps the 3-hour
+    unions (~400 users at sf0.1) far below the 16384-entry exact
+    capacity; beyond capacity the same plan degrades to ±2% estimates
+    with identical shuffle bytes."""
     events = load_table(spark, sf_dir, "events")
     # §20 pin: the rolling self-join reads the hourly sketch table on
     # both sides — without it the events scan + sketch agg runs twice
     hourly = (
         events.groupBy(F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.theta_sketch_agg("user_id", 14).alias("sk"))
         .transform(pin)
     )
     a, b = hourly.alias("a"), hourly.alias("b")
@@ -590,8 +596,8 @@ def ext_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.h").alias("h"))
         .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.col("b.sk"))
+            F.theta_sketch_estimate(
+                F.theta_union_agg(F.col("b.sk"), 14)
             ).alias("n_users_3h")
         )
         .orderBy("h")
@@ -2246,7 +2252,18 @@ def ext_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling rollup in batch: date_trunc to the hour +
     per-(hour, type) aggregates — the batch twin of the streaming
-    window queries (streaming/windows.py shares this grouping)."""
+    window queries (streaming/windows.py shares this grouping).
+
+    avg_value is computed in EXACT integer arithmetic (round-12 fix):
+    the corpus `value` is a 2-decimal quantity, so group means land on
+    exact .00005 ties (e.g. 1403.37/24 = 58.47375) where the engines'
+    double ROUND implementations disagree — Spark rounds the shortest
+    decimal repr of the double, DuckDB the double's value — and the
+    old ROUND(AVG(value), 4) flipped on 3 groups at sf0.1. Instead:
+    per-row cents = ROUND(value*100) (exact, deterministic), and the
+    half-up 4-decimal mean is the INTEGER identity
+    (200·Σcents + n) DIV (2n) / 10⁴ — floor((2a+b)/2b) = half-up(a/b)
+    for a,b > 0 — identical in both engines by construction."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -2254,7 +2271,17 @@ def ext_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("_cents"),
+        )
+        .select(
+            "hr",
+            "event_type",
+            "n",
+            F.expr(
+                "CAST((200 * _cents + n) DIV (2 * n) AS DOUBLE) / 10000"
+            ).alias("avg_value"),
         )
         .orderBy("hr", "event_type")
     )
@@ -2601,19 +2628,22 @@ def ext_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 100 TB profile jobs where exact distinct/percentile would
     shuffle the world: theta-sketch distinct part counts + GK-sketch
     median. Both sketches are EXACT below capacity — theta stores raw
-    hashes until 4096 entries (2000 distinct parts/flag at sf0.01) and
-    percentile_approx's rank error floor(n/accuracy) is <1 rank at
-    accuracy=100000 — so the DuckDB oracle states plain
-    COUNT(DISTINCT)/quantile_disc (same trick as ext_theta_overlap).
-    At 100 TB the same plan degrades gracefully to ±2% estimates with
-    identical memory: sketches partial-aggregate map-side, the shuffle
-    carries KB of state per flag, never the fact rows."""
+    hashes until its nominal-entry capacity (lgNomEntries=15 → 32768,
+    sized past the largest shipped corpus: 20000 distinct parts/flag
+    at sf0.1 overflowed the old 4096 default and skewed nd_parts by
+    ~0.03% — round-12 fix) and percentile_approx's rank error
+    floor(n/accuracy) is <1 rank at accuracy=100000 — so the DuckDB
+    oracle states plain COUNT(DISTINCT)/quantile_disc (same trick as
+    ext_theta_overlap). At 100 TB the same plan degrades gracefully to
+    ±2% estimates with identical memory: sketches partial-aggregate
+    map-side, the shuffle carries KB of state per flag, never the
+    fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.theta_sketch_estimate(
-                F.theta_sketch_agg("l_partkey")
+                F.theta_sketch_agg("l_partkey", 15)
             ).alias("nd_parts"),
             F.percentile_approx("l_quantity", 0.5, 100000).alias("p50"),
             F.count(F.lit(1)).alias("n"),
@@ -6481,11 +6511,16 @@ ORACLE = {
         FROM embeddings ORDER BY vec_id
     """,
     "ext_time_rollup": """
-        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-               event_type, COUNT(*) AS n,
-               ROUND(AVG(value), 4) AS avg_value
-        FROM events
-        GROUP BY 1, 2 ORDER BY 1, 2
+        SELECT hr, event_type, n,
+               CAST((200 * cents + n) // (2 * n) AS DOUBLE) / 10000
+                   AS avg_value
+        FROM (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ) ORDER BY hr, event_type
     """,
     "ext_sql_correlated_min": _CORRELATED_MIN_SQL,
     "ext_sql_large_orders": """
