@@ -229,3 +229,31 @@ def test_sequence_pattern_match_semantics(spark):
     )
     seq = sequence_pattern_match(same_ts, ".*").head().sequence
     assert seq == "a>b"
+
+
+def test_collect_stage_counts_orders_and_single_action(spark):
+    """Round-12: all per-stage counts resolve through ONE collect; the
+    helper must map union rows back to stage order regardless of the
+    order the union emits them."""
+    from pyspark.sql import functions as F
+
+    from mitoscape_spark.operators.funnel import _collect_stage_counts
+
+    aggs = [
+        spark.range(n).select(F.count(F.lit(1)).alias("n"))
+        for n in (5, 0, 3, 7)
+    ]
+    sc = spark.sparkContext
+    # one-job property holds under the bench session shape (AQE off at
+    # bench SFs); with AQE on each union branch re-plans as its own job
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("stage_counts_probe", "stage_counts_probe")
+        got = _collect_stage_counts(aggs)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup("stage_counts_probe")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert got == [5, 0, 3, 7]
+    assert len(jobs) == 1, f"expected one job, saw {len(jobs)}"

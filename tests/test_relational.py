@@ -60,3 +60,50 @@ def test_verdict_history_sorts_rounds_numerically(tmp_path):
     latest = e._verdict_history(here=str(tmp_path))
     assert latest["q"][0] == 10
     assert latest["q"][1]["hash_match"] is True
+
+
+def test_q13_interval_join_counts_subsecond_pairs(spark):
+    """Round-12 precision pin: every corpus event carries sub-second
+    precision and the oracle compares FULL timestamps, so two same-user
+    events inside one truncated second are a valid pair (the old
+    unix_timestamp seconds path dropped exactly one such pair at
+    sf0.1), and the window edge is inclusive at exactly +1h, exclusive
+    one microsecond past it."""
+    import datetime as dt
+
+    from mitoscape_spark.operators.intervals import point_interval_join
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 14, 10, 49, 26, 417201)
+    rows = [
+        (1, 7, base),
+        # same truncated second, 59 ms later -> MUST pair with event 1
+        (2, 7, base + dt.timedelta(microseconds=58870)),
+        # exactly +1h from event 1 -> included (closed='right')
+        (3, 7, base + dt.timedelta(hours=1)),
+        # +1h and 1 microsecond from event 1 -> excluded
+        (4, 7, base + dt.timedelta(hours=1, microseconds=1)),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+    intervals = events.selectExpr(
+        "event_id", "user_id", f"{us} AS w_start",
+        f"{us} + 3600000000 AS w_end",
+    )
+    points = events.selectExpr("user_id", f"{us} AS p_ts")
+    joined = point_interval_join(
+        points, intervals, point_col="p_ts", start_col="w_start",
+        end_col="w_end", equi_keys=["user_id"],
+        bucket_width=3600 * 1_000_000, closed="right",
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in joined.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # event 1 sees events 2 and 3 (sub-second sibling + the exact-hour
+    # edge), NOT event 4; event 2 sees 3 and 4; event 3 sees only 4.
+    assert got == {1: 2, 2: 2, 3: 1}
